@@ -1,0 +1,58 @@
+"""Catalog: the driver's testdata parquet tables as DataFrames/temp views.
+
+Schemas are declared (FIXTURES.md), not inferred — parquet footers carry them,
+but declaring the expectation lets us fail fast on drift.  Load pattern is a
+plain ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition pruning for free on every contract query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts arrives as epoch-nanos long (see session.py nanosAsLong);
+        # floor-truncate to microseconds = DuckDB's timestamp_ns->timestamp
+        # cast, so both engines see the identical instant.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (SQL surface of the engine)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

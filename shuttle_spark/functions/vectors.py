@@ -1,0 +1,43 @@
+"""Dense-vector column expressions over ArrayType(FloatType) embeddings.
+
+All of these are built-in higher-order functions (zip_with / aggregate /
+transform), i.e. JVM-side codegen — no Python in the hot path.  Arithmetic is
+done in DOUBLE in array order, which makes results bit-comparable with a
+DuckDB oracle that also evaluates sequentially in double (list_cosine_
+similarity over a DOUBLE[] cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision."""
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def scale(a: Column, s: Column) -> Column:
+    """Element-wise scalar multiply."""
+    return F.transform(a, lambda x: x.cast("double") * s)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize; with unit vectors cosine == dot, which halves the
+    arithmetic of a 100 TB brute-force scan and makes IVF centroids cheap."""
+    return scale(a, F.lit(1.0) / norm2(a))

@@ -1,0 +1,74 @@
+"""Deduplication operators.
+
+Engine-level twins of the reference's exactly-once read path:
+
+* ``exact_dedup`` / ``distinct_keys`` — duplicate-block dedup via seen-set of
+  (taskId, seqId) in /root/reference/src/main/java/com/oppo/shuttle/rss/
+  clients/ShufflePartitionReader.java:378-393 -> engine analog is
+  ``dropDuplicates`` on key columns (B7).
+* ``keep_latest`` — stale-attempt filtering (keep only the newest attempt per
+  map) in PartitionPipeReader.java:150-170 + latest-attempt map in
+  Ors2Util.scala:54-87 -> engine analog is keep-latest-version-by-key (B8).
+* ``exact_text_dedup`` — LLM-pipeline exact dedup on a normalized-content
+  hash (B27).
+
+Scale notes (100 TB): all of these are single-shuffle, key-partitioned
+operations; `dropDuplicates` plans as a partial+final HashAggregate so the
+map-side already collapses duplicates before the exchange (same motivation as
+the reference's map-side combine).  `keep_latest` uses max_by-style
+aggregation instead of a window when the payload is small — one shuffle, no
+sort — and the window variant when full rows must survive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    """DISTINCT over all columns (B7)."""
+    return df.distinct()
+
+
+def distinct_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """dropDuplicates on a key subset — keeps an arbitrary witness row,
+    mirroring the reference's keep-first-block-seen semantics."""
+    return df.dropDuplicates(list(keys))
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """Keep the newest row per key (B8) — row_number()=1 over a descending
+    order.  ``order`` must be a total order (include a unique tiebreaker, the
+    way the reference tiebreaks on attemptId) for deterministic output.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalized_text_key(text: Column) -> Column:
+    """Canonical content key: lowercase, collapse whitespace, md5 (B27).
+    Identical expression exists in the DuckDB oracle."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup of a document corpus on normalized content hash (B27).
+
+    At 100 TB this is the cheapest dedup pass: the md5 key is computed
+    map-side, dropDuplicates partially collapses before the exchange, and the
+    shuffle carries one row per distinct hash per map partition.
+    """
+    return df.withColumn("__key", normalized_text_key(F.col(text_col))).dropDuplicates(
+        ["__key"]
+    ).drop("__key")

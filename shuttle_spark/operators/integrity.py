@@ -1,0 +1,58 @@
+"""Data-integrity operators (B23).
+
+The reference checksums every (map, partition) stream with CRC32 on write
+(/root/reference/src/main/scala/org/apache/spark/shuffle/Ors2BlockManager.scala:127-136)
+and verifies on read, throwing Ors2ChecksumException on mismatch
+(ShufflePartitionReader.java:186-191,217-249).  Spark ships the same guard
+internally (`spark.shuffle.checksum.enabled`, on in session.py); here we
+expose *query-level* checksums so a pipeline can assert that two stages (or
+two engines) saw the same data.
+
+Cross-engine contract note: DuckDB 1.0 has no crc32(), so the portable
+checksum is a 40-bit prefix of md5 summed over rows — exact, order-
+independent, overflow-safe (sum of 2^40-bit values needs > 2^23 rows to
+overflow int64; guard raises first).  Spark-native crc32/xxhash64 variants are
+also exposed for intra-engine use (they ARE the reference's semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ChecksumMismatch(Exception):
+    """Engine twin of the reference's Ors2ChecksumException."""
+
+
+def md5_prefix40(col: Column) -> Column:
+    """First 40 bits of md5(col) as a bigint — portable across Spark/DuckDB:
+    Spark `conv(substring(md5(x),1,10),16,10)` == DuckDB
+    `('0x' || substr(md5(x),1,10))::BIGINT`."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 10), 16, 10).cast("long")
+
+
+def checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:
+    """Order-independent content checksum: sum of md5_prefix40 over rows."""
+    return df.agg(F.sum(md5_prefix40(col)).alias(alias))
+
+
+def crc32_checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:
+    """Spark-native CRC32 sum — the literal function family the reference
+    uses (A10/A21); not DuckDB-portable, used intra-engine."""
+    return df.agg(F.sum(F.crc32(col.cast("string"))).alias(alias))
+
+
+def xxhash_checksum(df: DataFrame, cols: list[Column], alias: str = "checksum") -> DataFrame:
+    """xxhash64 multi-column row hash, summed (wraps on overflow is fine for
+    equality checks — both sides wrap identically)."""
+    return df.agg(F.sum(F.xxhash64(*cols)).alias(alias))
+
+
+def verify(df: DataFrame, col: Column, expected: int) -> int:
+    """Recompute and compare, raising ChecksumMismatch on drift — the engine
+    twin of the reference's read-side verification."""
+    actual = checksum(df, col).collect()[0][0]
+    if actual != expected:
+        raise ChecksumMismatch(f"checksum mismatch: expected {expected}, got {actual}")
+    return actual

@@ -1,0 +1,215 @@
+"""Relational core operators (SURVEY.md §2.B B1-B19).
+
+These wrap the idiomatic DataFrame API so that every operator family the
+reference's shuffle service exists to serve (map-side combine + final agg,
+hash partitioning, sort-by-partition, reduce-side sort/combine — SURVEY §2.A
+A1-A5, A24-A25) has an explicit, documented, testable engine surface.
+
+Nothing here fights Catalyst: projections/filters are declared so pushdown and
+pruning reach the parquet scan; aggregations rely on Spark planning
+HashAggregate(partial) -> Exchange -> HashAggregate(final), the exact
+partial/final split the reference implements by hand in
+/root/reference/src/main/scala/org/apache/spark/shuffle/sort/
+Ors2ExternalSorter.scala:90-117 (map-side combine) and
+Ors2ShuffleReader.scala:69-81 (reduce-side combine).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Scan / project / filter (B1-B3) — declarative so Catalyst pushes down.
+# ---------------------------------------------------------------------------
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Projection (B2).  Column pruning reaches the scan via Catalyst."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, predicate: Column) -> DataFrame:
+    """Filter (B3).  Predicates on scan columns become parquet PushedFilters."""
+    return df.filter(predicate)
+
+
+# ---------------------------------------------------------------------------
+# Exchange / partitioning (B4, A1) — the reference's hash partitioner
+# (Ors2BypassShuffleWriter.scala:48-54) is Spark's HashPartitioning.
+# ---------------------------------------------------------------------------
+
+def exchange(df: DataFrame, num_partitions: int, *keys: str | Column) -> DataFrame:
+    """Hash-repartition by key (A1).  Result-invariant for downstream aggs."""
+    return df.repartition(num_partitions, *keys) if keys else df.repartition(num_partitions)
+
+
+def range_exchange(df: DataFrame, num_partitions: int, *keys: Column | str) -> DataFrame:
+    """Range-repartition (for globally sorted output without a single reducer)."""
+    return df.repartitionByRange(num_partitions, *keys)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (B5, B6) — partial/final agg is planned by Spark automatically;
+# plan-shape tests in tests/test_plans.py assert the partial mode exists
+# (A2/A3/A24 parity as *plan* tests, per SURVEY §7 Phase 1).
+# ---------------------------------------------------------------------------
+
+def hash_aggregate(
+    df: DataFrame, keys: Sequence[str | Column], aggs: Sequence[Column]
+) -> DataFrame:
+    """groupBy + multi-function agg (B5/B6).  Shuffles once on the keys."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_aggregate(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """GROUP BY ROLLUP (B16)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_aggregate(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """GROUP BY CUBE (B16 sibling)."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def pivot_aggregate(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot: one output column per pivot value.  Values are supplied
+    explicitly so the plan stays a single pass (no values-discovery job)."""
+    return df.groupBy(key).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Sorts (B9-B11, A4/A25).
+# ---------------------------------------------------------------------------
+
+def order_by(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Global sort (A25 reduce-side key sort -> SortExec + range exchange)."""
+    return df.orderBy(*cols)
+
+
+def sort_within_partitions(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Partition-local sort (A4: the reference sorts by partition id only and
+    leaves key order to the reducer; this is the exposed analog)."""
+    return df.sortWithinPartitions(*cols)
+
+
+def top_k(df: DataFrame, k: int, *cols: Column | str) -> DataFrame:
+    """ORDER BY ... LIMIT k.  Spark plans TakeOrderedAndProject: per-partition
+    top-k then a single merge — no global sort materialization, which is the
+    scale-correct plan at 100 TB."""
+    return df.orderBy(*cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, partition_keys: Sequence[str], order: Sequence[Column], k: int
+) -> DataFrame:
+    """Top-k per group via row_number window — one shuffle on the group key."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (B12-B14).  Catalyst picks broadcast/sort-merge/shuffled-hash from
+# stats + AQE; broadcast() pins the small side explicitly.
+# ---------------------------------------------------------------------------
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on: Column | str | list[str], how: str = "inner"
+) -> DataFrame:
+    return left.join(right, on, how)
+
+
+def broadcast_join(
+    left: DataFrame, small: DataFrame, on: Column | str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Explicit broadcast hint (B13): skips the shuffle of the big side's
+    partner entirely — at 100 TB this is the difference between a map-side
+    join and a 100 TB exchange."""
+    return left.join(F.broadcast(small), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """EXISTS (B14)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """NOT EXISTS (B14)."""
+    return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    bands: DataFrame,
+    value: Column,
+    lo: Column,
+    hi: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (theta) join: value BETWEEN lo AND hi.  The bands side must be
+    small; we broadcast it so the plan is BroadcastNestedLoopJoin over a tiny
+    build side instead of a cartesian shuffle."""
+    return left.join(F.broadcast(bands), (value >= lo) & (value <= hi), how)
+
+
+# ---------------------------------------------------------------------------
+# Set operations (B15).
+# ---------------------------------------------------------------------------
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Windows (B17-B18).
+# ---------------------------------------------------------------------------
+
+def running_agg(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order: Sequence[Column | str],
+    agg_col: Column,
+    alias: str,
+) -> DataFrame:
+    """Cumulative window aggregate (UNBOUNDED PRECEDING..CURRENT ROW)."""
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, agg_col.over(w))
+
+
+def ranked(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order: Sequence[Column],
+    alias: str = "rnk",
+    method: str = "rank",
+) -> DataFrame:
+    """rank/dense_rank/row_number over a partition (B18)."""
+    fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}
+    w = Window.partitionBy(*partition_keys).orderBy(*order)
+    return df.withColumn(alias, fns[method]().over(w))

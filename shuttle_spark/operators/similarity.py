@@ -1,0 +1,263 @@
+"""Similarity search over embedding columns (B29 + ANN scale path).
+
+Three tiers, trading exactness for scale:
+
+* ``brute_force_topk`` — exact cosine top-k of a query vector against the
+  corpus: one map-side pass (the query is a literal/broadcast), then
+  TakeOrderedAndProject.  At 100 TB this is a full scan but *no shuffle*;
+  it is the correctness baseline and the oracle contract.
+* ``knn_join_brute`` — exact k-NN for a (small, broadcastable) batch of query
+  vectors: broadcast-nested-loop + per-query top-k window.  Right shape when
+  |queries| << |corpus| (the common batch-inference case).
+* ``lsh_candidate_pairs`` / ``ann_topk_lsh`` — random-hyperplane (sign) LSH:
+  signatures are computed in a vectorized pandas UDF (Arrow batches, numpy
+  matmul), candidates meet via an equi-join on (band, band-signature) —
+  i.e. the candidate generation is *exactly* a hash-partitioned shuffle,
+  the operation the reference's whole shuffle service exists to serve.
+  Exact cosine re-ranking of candidates restores precision; recall is
+  tunable via (n_planes, bands).
+
+The hyperplanes are seeded deterministically (seed=42) so results are
+reproducible across runs and executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shuttle_spark.functions.vectors import cosine, dot, norm2
+
+_SEED = 42
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Returns (id, sim) ordered by similarity desc (id tiebreak).  The plan is
+    scan -> project(cosine) -> TakeOrderedAndProject: no exchange of the
+    corpus, embarrassingly parallel, scale-linear.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sim = cosine(F.col(vec_col), q).alias("sim")
+    out = embeddings.select(F.col(id_col), sim)
+    return out.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+def knn_join_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_embedding",
+) -> DataFrame:
+    """Exact k-NN join for a broadcastable query set: every (query, corpus)
+    pair is scored map-side (broadcast nested loop — no corpus shuffle), then
+    one shuffle on query_id for the per-query top-k window."""
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(_SEED)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def add_lsh_bands(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Append `bands` sign-LSH band keys per row (column array<bigint>
+    ``bands``): n_planes random hyperplanes -> sign bits -> split into bands
+    of n_planes/bands bits.  Vectorized pandas UDF (one numpy matmul per Arrow
+    batch — the approved slow path)."""
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    bits_per_band = n_planes // bands
+    planes = _hyperplanes(dim, n_planes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T) >= 0  # (batch, n_planes)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        out = []
+        for row in signs:
+            keys = [
+                int(row[b * bits_per_band : (b + 1) * bits_per_band] @ weights)
+                for b in range(bands)
+            ]
+            out.append(keys)
+        return pd.Series(out)
+
+    return df.withColumn("bands", band_keys(F.col(vec_col)))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-neighbor pairs (id_a < id_b) that collide in >=1 band.
+
+    The join key (band_idx, band_key) is a plain equi-join — a hash shuffle
+    that AQE will skew-split if one bucket is hot.  Dedup across bands is a
+    dropDuplicates on the pair key (map-side partial, per dedup.py notes).
+    """
+    banded = add_lsh_bands(df, dim, vec_col, n_planes, bands).select(
+        F.col(id_col), F.col(vec_col), F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    exact: bool = False,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    exact=True computes the full self-join (oracle-matching baseline; use only
+    at test SF or within small blocks via ``block_col``).  Default path is
+    LSH candidates + exact re-scoring: same output modulo LSH recall.
+    """
+    if exact:
+        a = df.alias("a")
+        b = df.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        if block_col:
+            cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            pairs = a.join(b, F.col(f"a.{block_col}") == F.col(f"b.{block_col}")).filter(
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+            )
+        else:
+            pairs = a.crossJoin(b).filter(cond)
+        scored = pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
+        )
+    else:
+        cand = lsh_candidate_pairs(df, dim, id_col, vec_col, n_planes, bands)
+        scored = cand.select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("sim")
+        )
+    return scored.filter(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the 100 TB scale path: k-means-ish coarse
+# centroids partition the corpus; queries probe only the nearest cells.
+# ---------------------------------------------------------------------------
+
+def ivf_build(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, np.ndarray]:
+    """Assign every vector to its nearest coarse centroid (one scan).
+
+    Centroids come from a deterministic sample + a few Lloyd iterations run
+    driver-side on the (small) sample — the classic IVF recipe: the *index*
+    is tiny; the *assignment* is the distributed part.  Returns (df +
+    ``cell`` column, centroids array).
+    """
+    sample = df.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=_SEED)
+    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(_SEED)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(5):  # Lloyd iterations on the sample (driver-side, tiny)
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    cents = centroids.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return df.withColumn("cell", nearest_cell(F.col(vec_col))), centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vector: list[float],
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells only — partition pruning for ANN.
+    ``indexed`` written out with .partitionBy('cell') turns the probe into a
+    literal parquet partition-pruned scan at scale."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = [int(c) for c in d.argsort()[:n_probe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        indexed.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
