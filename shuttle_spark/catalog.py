@@ -35,6 +35,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # The driver may hand us a session without this conf; it is
+        # runtime-settable, so set it defensively before the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts arrives as epoch-nanos long (see session.py nanosAsLong);

@@ -1,0 +1,839 @@
+"""SURVEY.md §2.B contract registry: every engine operator as a named
+(query builder, DuckDB oracle SQL) pair.
+
+This is the correctness spine of the engine.  The driver runs each
+``queries()[name](spark, sf_dir)`` side-by-side with ``oracle_sql()[name]``
+in DuckDB over the same parquet tables and compares row count + schema +
+order-insensitive value hash, so every rule here is written for *bit-stable
+cross-engine agreement*:
+
+* **Float discipline** — never hash a raw float aggregate.  Sums of doubles
+  are computed as ``SUM(CAST(x AS DECIMAL(18,s)))`` (exact, association-free)
+  then cast back to double; averages divide that exact sum by the count;
+  row-level float expressions are rounded at fixed precision in BOTH engines.
+  Rationale: parallel (Spark) vs sequential (DuckDB) summation of 60k doubles
+  drifts beyond 12 significant digits, which is hash-visible.
+* **Column names** match exactly between the Spark result and the oracle.
+* **Total order** — every LIMIT query orders by a unique key prefix so both
+  engines pick the identical row set; non-LIMIT queries need no order (the
+  driver's hash is order-insensitive).
+* **Timestamps** — ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it
+  as epoch-nanos and the catalog floors to microseconds
+  (catalog.load_table); oracles use ``ts::TIMESTAMP`` which floors
+  identically in DuckDB.
+
+The operator surface mirrors what the reference's shuffle service exists to
+serve (SURVEY §2.A→§2.B): every contract below induces the exchange /
+combine / sort / dedup patterns of /root/reference's write-read pipeline
+(e.g. map-side combine Ors2ExternalSorter.scala:90-117 → partial aggregates
+here; stale-attempt keep-latest PartitionPipeReader.java:150-170 →
+``keep_latest``; duplicate-block dedup ShufflePartitionReader.java:378-393 →
+``distinct``; CRC32 integrity Ors2BlockManager.scala:127-136 → checksum
+contracts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shuttle_spark.catalog import load_table
+from shuttle_spark.functions import text as TX
+from shuttle_spark.operators import dedup as D
+from shuttle_spark.operators import relational as R
+from shuttle_spark.operators import similarity as S
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Contract:
+    name: str
+    build: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Contract] = {}
+
+# Conf the oracle comparison depends on; all runtime-settable, so builders
+# self-heal even on a SparkSession the driver created without session.py.
+_REQUIRED_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_conf(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session; proceed with its defaults
+
+
+def contract(name: str, oracle: str | None, *tags: str):
+    def deco(fn: Builder) -> Builder:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Contract(name, wrapped, oracle, tags)
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine numeric helpers (Spark side).  Oracle twins are inlined in the
+# SQL strings with the same shapes.
+# ---------------------------------------------------------------------------
+
+def dsum(col: str | F.Column, alias: str, scale: int = 2) -> F.Column:
+    """Exact (association-free) sum of a double column via decimal cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(T.DecimalType(18, scale))).cast("double").alias(alias)
+
+
+def davg(col: str | F.Column, alias: str, scale: int = 2, nd: int = 6) -> F.Column:
+    """Average = exact decimal sum / count, rounded to nd decimals."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(T.DecimalType(18, scale))).cast("double")
+        / F.count(c),
+        nd,
+    ).alias(alias)
+
+
+def _osum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def _oavg(expr: str, alias: str, scale: int = 2, nd: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}), {nd}) AS {alias}"
+    )
+
+
+# ===========================================================================
+# B1-B4: scan / project / filter / exchange
+# ===========================================================================
+
+@contract("scan_count", "SELECT COUNT(*) AS cnt FROM lineitem", "B1")
+def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan (B1).  Catalyst rewrites count(*) over parquet into a
+    metadata-only scan of footer row counts — zero data read."""
+    return load_table(spark, sf, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@contract(
+    "project_arith",
+    "SELECT l_orderkey, l_linenumber,"
+    " ROUND(l_extendedprice * (1 - l_discount), 2) AS rev"
+    " FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "B2",
+)
+def q_project_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection with arithmetic (B2); column pruning reaches the scan."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@contract(
+    "filter_range_count",
+    "SELECT COUNT(*) AS cnt FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'"
+    " AND l_discount BETWEEN 0.05 AND 0.07",
+    "B3",
+)
+def q_filter_range_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter (B3): predicates become parquet PushedFilters."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+    ).agg(F.count("*").alias("cnt"))
+
+
+@contract(
+    "repartition_agg_invariance",
+    "SELECT l_returnflag, COUNT(*) AS cnt, "
+    + _osum("l_quantity", "sum_qty")
+    + " FROM lineitem GROUP BY l_returnflag",
+    "B4",
+)
+def q_repartition_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Exchange invariance (B4): a manual hash repartition (the reference's
+    A1 partitioner, Ors2BypassShuffleWriter.scala:48-54) must not change any
+    aggregate downstream."""
+    li = load_table(spark, sf, "lineitem")
+    return R.exchange(li, 7, "l_returnflag").groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# ===========================================================================
+# B5-B6: aggregation (the reference's map-side combine + final agg)
+# ===========================================================================
+
+@contract(
+    "agg_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    + _osum("l_quantity", "sum_qty") + ", "
+    + _osum("l_extendedprice", "sum_base") + ", "
+    + _osum("l_extendedprice * (1 - l_discount)", "sum_disc", 4) + ", "
+    + _oavg("l_quantity", "avg_qty") + ", "
+    + _oavg("l_discount", "avg_disc", 4) + ", "
+    "COUNT(*) AS cnt FROM lineitem"
+    " WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+    " GROUP BY l_returnflag, l_linestatus",
+    "B5",
+)
+def q_agg_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape (B5) — the generalization of the reference's own smoke
+    query (Ors2ShuffleManagerTest.scala:74-79).  Spark plans partial+final
+    HashAggregate, the engine twin of A2/A3/A24 map/reduce-side combine."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base"),
+            dsum(disc_price, "sum_disc", 4),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc", 4),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@contract(
+    "agg_multi_fn",
+    "SELECT o_orderpriority, COUNT(*) AS cnt,"
+    " MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price"
+    " FROM orders GROUP BY o_orderpriority",
+    "B6",
+)
+def q_agg_multi_fn(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-function hash aggregate (B6).  max/min are exact picks of stored
+    doubles — no float-order hazard, no rounding needed."""
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+    )
+
+
+# ===========================================================================
+# B7-B8: distinct / dedup / keep-latest
+# ===========================================================================
+
+@contract(
+    "distinct_partkeys",
+    "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS cnt FROM lineitem",
+    "B7",
+)
+def q_distinct_partkeys(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("cnt")
+    )
+
+
+@contract(
+    "distinct_pairs_events",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM"
+    " (SELECT DISTINCT user_id, event_type FROM events)",
+    "B7",
+)
+def q_distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT on a key subset — engine twin of the reference's duplicate-
+    block dedup (ShufflePartitionReader.java:378-393)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        D.distinct_rows(ev.select("user_id", "event_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@contract(
+    "keep_latest",
+    "SELECT user_id, event_type, value FROM ("
+    " SELECT user_id, event_type, value,"
+    "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP DESC,"
+    "   event_id DESC) AS rn FROM events) WHERE rn = 1",
+    "B8",
+)
+def q_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-latest-by-key (B8) — the engine twin of stale-attempt filtering
+    (PartitionPipeReader.java:150-170): newest (ts, event_id) wins."""
+    ev = load_table(spark, sf, "events")
+    return D.keep_latest(
+        ev.select("user_id", "event_type", "value", "ts", "event_id"),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+    ).select("user_id", "event_type", "value")
+
+
+# ===========================================================================
+# B9-B11: sorts and top-k
+# ===========================================================================
+
+@contract(
+    "global_sort_topk",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
+    " ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50",
+    "B9",
+    "B11",
+)
+def q_global_sort_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY + LIMIT (B9/B11): Spark plans TakeOrderedAndProject —
+    per-partition top-k then single merge, no global sort materialization."""
+    li = load_table(spark, sf, "lineitem")
+    return R.top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        50,
+        F.desc("l_extendedprice"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@contract(
+    "sort_within_partitions_invariance",
+    "SELECT l_suppkey, COUNT(*) AS cnt, "
+    + _osum("l_extendedprice", "sum_price")
+    + " FROM lineitem GROUP BY l_suppkey",
+    "B10",
+)
+def q_sort_within_partitions(spark: SparkSession, sf: str) -> DataFrame:
+    """sortWithinPartitions (B10/A4: the reference sorts by partition id and
+    defers key order) must be aggregate-invariant."""
+    li = load_table(spark, sf, "lineitem")
+    arranged = R.sort_within_partitions(
+        R.exchange(li, 5, "l_suppkey"), "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return arranged.groupBy("l_suppkey").agg(
+        F.count("*").alias("cnt"), dsum("l_extendedprice", "sum_price")
+    )
+
+
+# ===========================================================================
+# B12-B14: joins
+# ===========================================================================
+
+_JOIN3_ORACLE = (
+    "SELECT n_name, COUNT(*) AS cnt, "
+    + _osum("o_totalprice", "sum_price")
+    + " FROM orders JOIN customer ON o_custkey = c_custkey"
+    " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+)
+
+
+@contract("join_3way_agg", _JOIN3_ORACLE, "B12")
+def q_join_3way(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle equi-join chain (B12): fact⋈dim⋈dim then aggregate."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    j = R.equi_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    j = R.equi_join(j, n, F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@contract("broadcast_join_agg", _JOIN3_ORACLE, "B13")
+def q_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Same result as join_3way_agg with explicit broadcast hints (B13): the
+    dims ship to every task, the fact table never shuffles for the join — at
+    100 TB the difference between a map-side join and a full exchange."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    j = R.broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    j = R.broadcast_join(j, n, F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@contract(
+    "anti_join_count",
+    "SELECT COUNT(*) AS cnt FROM customer WHERE NOT EXISTS"
+    " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "B14",
+)
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return R.anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@contract(
+    "semi_join_count",
+    "SELECT COUNT(*) AS cnt FROM customer WHERE EXISTS"
+    " (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "B14",
+)
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return R.semi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@contract(
+    "left_join_counts",
+    "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer"
+    " LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+    "B14",
+)
+def q_left_join_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join (B14): customers with zero orders surface as 0 (count
+    of a NULL column), exercising null-generation semantics."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        R.equi_join(c, o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ===========================================================================
+# B15: set operations
+# ===========================================================================
+
+@contract(
+    "intersect_count",
+    "SELECT COUNT(*) AS cnt FROM (SELECT o_custkey AS k FROM orders"
+    " INTERSECT SELECT c_custkey AS k FROM customer)",
+    "B15",
+)
+def q_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return R.intersect(o, c).agg(F.count("*").alias("cnt"))
+
+
+@contract(
+    "except_all_count",
+    "SELECT COUNT(*) AS cnt FROM (SELECT c_custkey AS k FROM customer"
+    " EXCEPT ALL SELECT o_custkey AS k FROM orders)",
+    "B15",
+)
+def q_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return R.except_all(c, o).agg(F.count("*").alias("cnt"))
+
+
+@contract(
+    "union_all_count",
+    "SELECT COUNT(*) AS cnt FROM (SELECT o_custkey AS k FROM orders"
+    " UNION ALL SELECT c_custkey AS k FROM customer)",
+    "B15",
+)
+def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return R.union_all(o, c).agg(F.count("*").alias("cnt"))
+
+
+# ===========================================================================
+# B16: rollup / cube
+# ===========================================================================
+
+@contract(
+    "rollup_agg",
+    "SELECT l_returnflag, l_linestatus, "
+    + _osum("l_quantity", "sum_qty")
+    + ", COUNT(*) AS cnt FROM lineitem"
+    " GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "B16",
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return R.rollup_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [dsum("l_quantity", "sum_qty"), F.count("*").alias("cnt")],
+    )
+
+
+@contract(
+    "cube_agg",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem"
+    " GROUP BY CUBE (l_returnflag, l_linestatus)",
+    "B16",
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return R.cube_aggregate(
+        li, ["l_returnflag", "l_linestatus"], [F.count("*").alias("cnt")]
+    )
+
+
+@contract(
+    "grouping_sets_agg",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem"
+    " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))",
+    "B16",
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS via the engine's SQL surface (temp view + spark.sql)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem"
+        " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
+
+
+# ===========================================================================
+# B17-B18: window functions
+# ===========================================================================
+
+@contract(
+    "window_cumsum",
+    "SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS"
+    " DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,"
+    " o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    " AS running FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200",
+    "B17",
+)
+def q_window_cumsum(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative window sum (B17).  The decimal cast keeps the running sum
+    exact so DuckDB's segment-tree accumulation and Spark's streaming frame
+    agree bit-for-bit."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+            .over(w)
+            .cast("double")
+            .alias("running"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+@contract(
+    "window_rank",
+    "SELECT p_brand, p_partkey, RANK() OVER (PARTITION BY p_brand"
+    " ORDER BY p_retailprice DESC, p_partkey) AS rnk FROM part"
+    " ORDER BY p_brand, p_partkey LIMIT 200",
+    "B18",
+)
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return (
+        R.ranked(
+            p.select("p_brand", "p_partkey", "p_retailprice"),
+            ["p_brand"],
+            [F.desc("p_retailprice"), F.col("p_partkey")],
+            alias="rnk",
+            method="rank",
+        )
+        .select("p_brand", "p_partkey", "rnk")
+        .orderBy("p_brand", "p_partkey")
+        .limit(200)
+    )
+
+
+# ===========================================================================
+# B19-B21: scalar functions, JSON, arrays
+# ===========================================================================
+
+@contract(
+    "scalar_functions",
+    "SELECT o_orderkey, SUBSTR(c_name, 1, 8) AS name8,"
+    " CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS omonth,"
+    " ROUND(o_totalprice, 1) AS price1"
+    " FROM orders JOIN customer ON o_custkey = c_custkey"
+    " ORDER BY o_orderkey LIMIT 100",
+    "B19",
+)
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        R.broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.substring("c_name", 1, 8).alias("name8"),
+            F.date_trunc("month", "o_orderdate").alias("omonth"),
+            F.round("o_totalprice", 1).alias("price1"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@contract(
+    "json_extract_agg",
+    "SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS cnt"
+    " FROM events GROUP BY k",
+    "B20",
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON access on the events.props string column (B20)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").alias("k")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@contract(
+    "array_ops_agg",
+    "SELECT label, COUNT(*) AS cnt,"
+    " CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim"
+    " FROM embeddings GROUP BY label",
+    "B21",
+)
+def q_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.size("embedding")).cast("long").alias("sum_dim"),
+    )
+
+
+# ===========================================================================
+# B22-B23: approx distinct + integrity checksum
+# ===========================================================================
+
+@contract("approx_distinct_ok", "SELECT TRUE AS ok", "B22")
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct within 5% of exact (B22).  The sketch value
+    itself is engine-specific (HLL++ here), so the *contract* is the
+    tolerance predicate, which is hash-checkable as a boolean."""
+    li = load_table(spark, sf, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return row.select(
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < F.lit(0.05)
+        ).alias("ok")
+    )
+
+
+_CHECKSUM_ORACLE = (
+    "SELECT CAST(SUM(CAST('0x' || SUBSTR(md5(CAST({col} AS VARCHAR)), 1, 10)"
+    " AS BIGINT)) AS BIGINT) AS checksum FROM {table}"
+)
+
+
+@contract(
+    "checksum_lineitem",
+    _CHECKSUM_ORACLE.format(col="l_orderkey * 10 + l_linenumber", table="lineitem"),
+    "B23",
+)
+def q_checksum_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Content checksum (B23) — engine twin of the reference's CRC32-per-
+    (map,partition) integrity protocol (Ors2BlockManager.scala:127-136,
+    verified read-side ShufflePartitionReader.java:217-249).  DuckDB 1.0 has
+    no crc32(), so the portable form is an md5-prefix sum; order-independent
+    like the reference's summed block CRCs."""
+    from shuttle_spark.operators.integrity import md5_prefix40
+
+    li = load_table(spark, sf, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    return li.agg(F.sum(md5_prefix40(key)).cast("long").alias("checksum"))
+
+
+# ===========================================================================
+# B24-B25: time windows + sessionization (batch equivalents; streaming twins
+# live in shuttle_spark/streaming and must equal these — tests enforce it)
+# ===========================================================================
+
+@contract(
+    "time_window_agg",
+    "SELECT DATE_TRUNC('hour', ts::TIMESTAMP) AS w, event_type,"
+    " COUNT(*) AS cnt, " + _osum("value", "sum_value", 4)
+    + " FROM events GROUP BY w, event_type",
+    "B24",
+)
+def q_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h event-time window (B24), batch form."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value", 4))
+        .select(F.col("win.start").alias("w"), "event_type", "cnt", "sum_value")
+    )
+
+
+@contract(
+    "sessionize",
+    "SELECT user_id, CAST(COUNT(DISTINCT sess) AS BIGINT) AS n_sessions,"
+    " COUNT(*) AS n_events FROM ("
+    "  SELECT user_id, SUM(is_new) OVER (PARTITION BY user_id ORDER BY"
+    "   ts::TIMESTAMP, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+    "   ROW) AS sess FROM ("
+    "   SELECT user_id, ts, event_id, CASE WHEN"
+    "    LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP,"
+    "    event_id) IS NULL OR ts::TIMESTAMP - LAG(ts::TIMESTAMP)"
+    "    OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) >="
+    "    INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events)"
+    " ) GROUP BY user_id",
+    "B25",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (B25): 30-minute inactivity closes a session.
+    Uses Spark's native session_window; the oracle rebuilds the identical
+    gap semantics (new session iff gap >= 30 min) with lag+cumsum."""
+    ev = load_table(spark, sf, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count("*").alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+# ===========================================================================
+# B26-B27, B30: pandas UDF + text analysis + exact dedup
+# ===========================================================================
+
+@contract(
+    "pandas_udf_bucket",
+    "SELECT CAST(n_chars % 7 AS BIGINT) AS bucket, COUNT(*) AS cnt"
+    " FROM documents GROUP BY bucket",
+    "B26",
+)
+def q_pandas_udf_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched pandas UDF (B26) — the approved Python slow path; the
+    oracle computes the same bucketing in plain SQL."""
+
+    @F.pandas_udf(T.LongType())
+    def bucket7(n: pd.Series) -> pd.Series:
+        return n % 7
+
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy(bucket7("n_chars").alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+_NORM_SQL = "LOWER(REGEXP_REPLACE({col}, '\\s+', ' ', 'g'))"
+
+
+@contract(
+    "exact_dedup_docs",
+    "SELECT CAST(COUNT(DISTINCT md5(" + _NORM_SQL.format(col="text") + "))"
+    " AS BIGINT) AS n_distinct, COUNT(*) AS n_total FROM documents",
+    "B27",
+)
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on normalized-content hash (B27)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.countDistinct(D.normalized_text_key(F.col("text"))).alias("n_distinct"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@contract(
+    "text_stats",
+    "SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,"
+    " ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars"
+    " FROM documents GROUP BY lang",
+    "B30",
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+@contract(
+    "token_count_agg",
+    "SELECT CAST(LEAST(CASE WHEN LENGTH(TRIM(" + _NORM_SQL.format(col="text") + ")) = 0"
+    " THEN 0 ELSE LEN(STRING_SPLIT(TRIM(" + _NORM_SQL.format(col="text") + "), ' '))"
+    " END // 10, 12) AS BIGINT) AS tc_bucket, COUNT(*) AS cnt"
+    " FROM documents GROUP BY tc_bucket",
+    "B30",
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token counts bucketed by tens (B30)."""
+    docs = load_table(spark, sf, "documents")
+    bucket = F.least(
+        (TX.token_count(F.col("text")) / 10).cast("long"), F.lit(12)
+    ).alias("tc_bucket")
+    return docs.groupBy(bucket).agg(F.count("*").alias("cnt"))
+
+
+# ===========================================================================
+# B29: similarity search
+# ===========================================================================
+
+@contract(
+    "topk_cosine",
+    "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
+    " (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)"
+    " AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 11",
+    "B29",
+)
+def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (B29): scan -> map-side score ->
+    TakeOrderedAndProject; zero shuffle of the corpus."""
+    emb = load_table(spark, sf, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    out = S.brute_force_topk(emb, [float(x) for x in qv], 11)
+    return out.select("vec_id", F.round("sim", 6).alias("sim")).orderBy(
+        F.desc("sim"), "vec_id"
+    )
+
+
+def names() -> list[str]:
+    return list(REGISTRY)
+
+
+def queries() -> dict[str, Builder]:
+    return {name: c.build for name, c in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: c.oracle for name, c in REGISTRY.items() if c.oracle is not None}

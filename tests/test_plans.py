@@ -1,0 +1,73 @@
+"""Physical-plan audits (SURVEY §7 Phase 1: A26 parity as plan tests).
+
+The reference hand-engineers its shuffle path (writer selection, map-side
+combine, Tungsten sort); our engine's claim is that Catalyst produces the
+equivalent-or-better physical plan.  These tests pin that claim: pushdown
+reaches the scan, aggregates split partial/final, small dims broadcast,
+top-k avoids global sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shuttle_spark.catalog import load_table
+from shuttle_spark.operators import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")).select(
+        "l_orderkey"
+    )
+    txt = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in txt
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    txt = formatted(li.select("l_orderkey", "l_quantity"))
+    # ReadSchema must carry only the projected columns, not all 11.
+    assert "l_extendedprice" not in txt.split("ReadSchema")[1]
+
+
+def test_aggregate_is_partial_final(spark):
+    """A2/A3/A24 parity: map-side combine exists as HashAggregate(partial)."""
+    li = load_table(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    txt = plan_of(df)
+    assert txt.count("HashAggregate") >= 2  # partial + final
+
+
+def test_broadcast_join_plans_broadcast(spark):
+    o = load_table(spark, SF, "orders")
+    n = load_table(spark, SF, "nation")
+    df = R.broadcast_join(
+        o, n, F.col("o_custkey") % 25 == F.col("n_nationkey")
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_top_k_avoids_global_sort(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = R.top_k(li.select("l_orderkey"), 10, F.desc("l_orderkey"))
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_distinct_has_partial_aggregate(spark):
+    """Duplicate collapse must begin map-side (partial agg before exchange),
+    the engine twin of the reference's map-side combine."""
+    li = load_table(spark, SF, "lineitem")
+    df = li.select("l_partkey").distinct()
+    assert plan_of(df).count("HashAggregate") >= 2
