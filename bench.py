@@ -1,0 +1,63 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's contract queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "contract_suite_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"agg_tpch_q1": sec, ...}, "sf": 0.1}
+
+Timing is end-to-end per query: build the DataFrame (plan) + execute +
+collect to the driver, after a one-query JVM/session warm-up so we measure
+the engine, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shuttle_spark import get_session
+from shuttle_spark.contracts import REGISTRY
+
+# Headline set: every oracle-backed contract (completeness is the point);
+# rows-only contracts are included too — they are real operators.
+SKIP: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_session("shuttle-bench")
+
+    # Warm-up: JVM, parquet footer caches, Arrow lanes.
+    REGISTRY["agg_tpch_q1"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, c in REGISTRY.items():
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        c.build(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "contract_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

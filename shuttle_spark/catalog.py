@@ -27,6 +27,11 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame reuse across queries in one session: re-creating a reader per
+# query re-lists files and re-reads footers; the logical plan is immutable so
+# sharing it is safe.  Keyed by application id so a fresh session misses.
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -35,6 +40,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # The driver may hand us a session without this conf; it is
         # runtime-settable, so set it defensively before the read.
@@ -47,6 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _df_cache[key] = df
     return df
 
 
