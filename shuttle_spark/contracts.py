@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 from shuttle_spark.catalog import load_table
 from shuttle_spark.functions import text as TX
 from shuttle_spark.operators import dedup as D
+from shuttle_spark.operators import neardup as N
 from shuttle_spark.operators import relational as R
 from shuttle_spark.operators import similarity as S
 
@@ -824,6 +825,270 @@ def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     out = S.brute_force_topk(emb, [float(x) for x in qv], 11)
     return out.select("vec_id", F.round("sim", 6).alias("sim")).orderBy(
         F.desc("sim"), "vec_id"
+    )
+
+
+# ===========================================================================
+# B28: near-duplicate dedup (exact n-gram Jaccard + MinHash LSH + SimHash)
+# ===========================================================================
+
+_NGRAM_ORACLE_BODY = """
+WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t FROM documents),
+toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),
+grams AS (
+  SELECT DISTINCT doc_id, w[i.i::BIGINT] || ' ' || w[i.i::BIGINT+1] || ' ' || w[i.i::BIGINT+2] AS g
+  FROM toks, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(w)-2, 0)+1)) AS i) i
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY doc_id),
+shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter FROM grams a
+           JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b,
+          ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jac
+        FROM shared JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id)
+"""
+
+
+@contract(
+    "ngram_jaccard_pairs",
+    _NGRAM_ORACLE_BODY + "SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.6",
+    "B28",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3gram Jaccard near-dup pairs (B28), via inverted-index
+    equi-join — the scalable exact algorithm (one hash shuffle on the gram,
+    one on the pair); oracle recomputes brute-force in SQL."""
+    docs = load_table(spark, sf, "documents")
+    return N.near_dup_pairs_exact(docs, 0.6, n=3)
+
+
+@contract(
+    "near_dup_dedup_count",
+    _NGRAM_ORACLE_BODY
+    + "SELECT COUNT(*) AS cnt FROM documents WHERE doc_id NOT IN"
+    " (SELECT id_b FROM jac WHERE jac >= 0.6)",
+    "B28",
+)
+def q_near_dup_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup dedup survivors (smallest doc_id of a dup pair wins — the
+    'first block seen' witness policy of the reference's read-side dedup)."""
+    docs = load_table(spark, sf, "documents")
+    return N.near_dup_dedup(docs, 0.6, n=3).agg(F.count("*").alias("cnt"))
+
+
+@contract("minhash_lsh_pairs", None, "B28")
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(128)+LSH(32x4) near-dup pairs verified join-local with exact
+    Jaccard (B28 scale path).  Deterministic (seed=42) but xxhash64-based,
+    so no SQL oracle — covered instead by minhash_recall_ok."""
+    docs = load_table(spark, sf, "documents")
+    return N.minhash_near_dup_pairs(docs, 0.6)
+
+
+@contract("minhash_recall_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B28")
+def q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Property contract: LSH candidates recover >= 90% of the exact
+    Jaccard>=0.6 pairs (with 128 perms / 32 bands the miss probability at
+    j=0.6 is ~(1-0.6^4)^32 ≈ 1%).  Hash-checkable as booleans."""
+    docs = load_table(spark, sf, "documents")
+    exact_n = N.near_dup_pairs_exact(docs, 0.6, n=3).count()
+    mh_n = N.minhash_near_dup_pairs(docs, 0.6).count()
+    return spark.createDataFrame(
+        [(bool(exact_n == 0 or mh_n / exact_n >= 0.9), bool(exact_n > 0))],
+        "ok boolean, nonempty boolean",
+    )
+
+
+@contract("simhash_pairs", None, "B28")
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash(63-bit) near-dups within hamming distance 8, blocked on
+    16-bit chunks.  Deterministic; xxhash64-based, so rows-only."""
+    docs = load_table(spark, sf, "documents")
+    return N.simhash_near_dup_pairs(docs, max_hamming=8)
+
+
+# ===========================================================================
+# B29 extension: k-NN join
+# ===========================================================================
+
+@contract(
+    "knn_join",
+    "SELECT q_id, vec_id, sim FROM ("
+    " SELECT q.vec_id AS q_id, c.vec_id AS vec_id,"
+    "  ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),"
+    "   CAST(q.embedding AS DOUBLE[])), 6) AS sim,"
+    "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY"
+    "   list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),"
+    "   CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn"
+    " FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id >= 20"
+    ") WHERE rn <= 3",
+    "B29",
+)
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact k-NN join (B29): 20 broadcast query vectors x corpus, top-3
+    per query — broadcast nested loop + one shuffle for the per-query
+    window, the right plan when |queries| << |corpus|."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    out = S.knn_join_brute(corpus, queries, 3)
+    return out.select("q_id", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ===========================================================================
+# Extensions: range join, as-of join, pivot
+# ===========================================================================
+
+@contract(
+    "range_join_bands",
+    "SELECT band, COUNT(*) AS cnt FROM orders JOIN (VALUES"
+    " ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),"
+    " ('high', 300000.0, 1e12)) b(band, lo, hi)"
+    " ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band",
+    "ext",
+)
+def q_range_join_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (band) join: value in [lo, hi) against a broadcast band table."""
+    o = load_table(spark, sf, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1e5), ("mid", 1e5, 3e5), ("high", 3e5, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        R.range_join(o, bands, F.col("o_totalprice"), F.col("lo"), F.col("hi"),
+                     half_open=True)
+        .groupBy("band")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@contract(
+    "as_of_join_events",
+    "SELECT e.event_id, epoch_us((SELECT MAX(s.ts::TIMESTAMP) FROM events s"
+    " WHERE s.user_id = e.user_id AND s.event_type = 'signup'"
+    " AND s.ts::TIMESTAMP <= e.ts::TIMESTAMP)) AS s_ts_asof_us"
+    " FROM events e WHERE e.event_type = 'purchase'",
+    "ext",
+)
+def q_as_of_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase event gets the most recent prior signup
+    timestamp of the same user (union-window plan: one shuffle, one sort)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("s_ts")
+    )
+    out = R.as_of_join(
+        purchases, signups, ["user_id"], "ts", "ts", ["s_ts"], strict=False
+    )
+    return out.select(
+        "event_id", F.unix_micros("s_ts_asof").alias("s_ts_asof_us")
+    )
+
+
+@contract(
+    "events_pivot",
+    "SELECT user_id,"
+    " COUNT(*) FILTER (WHERE event_type = 'click') AS click,"
+    " COUNT(*) FILTER (WHERE event_type = 'error') AS error,"
+    " COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,"
+    " COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,"
+    " COUNT(*) FILTER (WHERE event_type = 'view') AS view"
+    " FROM events GROUP BY user_id",
+    "ext",
+)
+def q_events_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with explicit values (single-pass plan, no discovery job)."""
+    ev = load_table(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+# ===========================================================================
+# B30 second wave: language-ID heuristic, quality scores, fingerprints
+# ===========================================================================
+
+def _lang_score_sql(markers: list[str]) -> str:
+    terms = [
+        f"CAST((LENGTH(p) - LENGTH(REPLACE(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+def _lang_id_oracle() -> str:
+    from shuttle_spark.functions.text import LANG_MARKERS
+
+    scores = ", ".join(
+        f"({_lang_score_sql(ms)}) AS s_{lang}" for lang, ms in LANG_MARKERS.items()
+    )
+    langs_by_eval_order = sorted(LANG_MARKERS)  # de, en, es, fr
+    best = "GREATEST(" + ", ".join(f"s_{la}" for la in sorted(LANG_MARKERS)) + ")"
+    cases = " ".join(
+        f"WHEN s_{la} = best AND best > 0 THEN '{la}'" for la in langs_by_eval_order
+    )
+    return (
+        "SELECT lid, COUNT(*) AS cnt FROM ("
+        f" SELECT CASE {cases} ELSE 'und' END AS lid FROM ("
+        f"  SELECT {scores}, {best} AS best FROM ("
+        "   SELECT ' ' || LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) || ' '"
+        "   AS p FROM documents))) GROUP BY lid"
+    )
+
+
+@contract("lang_id_agg", _lang_id_oracle(), "B30")
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-marker language ID (B30): the oracle re-derives the identical
+    replace-based counting so both engines argmax the same scores."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy(TX.lang_id(F.col("text")).alias("lid")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+_QUALITY_SQL = """
+ROUND((
+  LEAST(LENGTH(t) / 500.0, 1.0)
+  + LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(t), ' '))) / GREATEST(LEN(STRING_SPLIT(TRIM(t), ' ')), 1)
+  + 1.0 - LEAST(LENGTH(REGEXP_REPLACE(t, '[^.,;:!?]', '', 'g')) / GREATEST(LENGTH(t), 1) * 10.0, 1.0)
+) / 3.0, 6)
+"""
+
+
+@contract(
+    "quality_score_avg",
+    "SELECT lang, " + _oavg(_QUALITY_SQL, "avg_quality", 6)
+    + " FROM (SELECT lang, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    " FROM documents) GROUP BY lang",
+    "B30",
+)
+def q_quality_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality heuristic (length/diversity/punctuation), averaged
+    per language; oracle recomputes the identical expression tree."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        davg(TX.quality_score(F.col("text")), "avg_quality", scale=6, nd=6)
+    )
+
+
+@contract(
+    "fingerprint_distinct",
+    "SELECT CAST(COUNT(DISTINCT " + _NORM_SQL.format(col="text") + ")"
+    " AS BIGINT) AS n_fingerprints FROM documents",
+    "B30",
+)
+def q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit content fingerprints (xxhash64 of normalized text): distinct
+    count equals distinct normalized texts (collision odds ~1e-11 at this
+    corpus size); the oracle counts the texts directly."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.countDistinct(TX.fingerprint64(F.col("text"))).alias("n_fingerprints")
     )
 
 

@@ -1,0 +1,301 @@
+"""Near-duplicate detection: exact n-gram Jaccard, MinHash+LSH, SimHash.
+
+The LLM-pipeline dedup family (SURVEY.md §2.B B28).  Design notes for the
+100 TB posture:
+
+* **Everything is JVM-side.**  Shingling, hashing, MinHash permutations and
+  SimHash bit counting are built from higher-order functions
+  (transform/aggregate/zip_with) over arrays — whole-stage codegen, no
+  Python in the hot path.
+* **Candidate generation is a hash-partitioned equi-join** on
+  (band_idx, band_key) — exactly the shuffle shape the reference's service
+  exists to execute (partition -> group-by-key -> merge); AQE skew-join
+  splits hot buckets (a universal shingle at 100 TB is a skewed key).
+* **Exact verification is join-local**: candidates carry their shingle
+  arrays, so Jaccard is computed without another shuffle.
+* ``max_df`` stop-gram filtering caps the blow-up of ubiquitous shingles at
+  scale (a shingle occurring in f docs contributes O(f²) candidate pairs).
+
+The one-pass dedup policy (`near_dup_dedup`) keeps the smallest doc_id of
+each detected pair — the same "first writer wins" witness policy as the
+reference's duplicate-block dedup (ShufflePartitionReader.java:378-393),
+not a transitive closure (connected components would need iteration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shuttle_spark.functions import text as TX
+
+# Mersenne prime 2^31-1: permutation hash space.  a*h+b stays < 2^62, no
+# int64 overflow.
+_P31 = 2147483647
+_SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact Jaccard (the oracle-matchable baseline)
+# ---------------------------------------------------------------------------
+
+def word_ngram_set(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text."""
+    return F.array_distinct(TX.word_ngrams(text, n))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def near_dup_pairs_exact(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs (id_a < id_b, j >= tau) via inverted-index
+    join: explode grams, equi-join on the gram, count shared grams per pair,
+    then Jaccard from the counts.  Exact for any tau > 0 (a qualifying pair
+    shares >= 1 gram).  This is the scalable *exact* algorithm: the join key
+    is a plain hash shuffle; ``max_df`` drops grams present in more than
+    max_df documents (at a tiny recall cost, it bounds the O(f²) pair
+    expansion of ubiquitous grams — essential at 100 TB, off by default so
+    the contract matches the brute-force oracle)."""
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngram_set(F.col(text_col), n).alias("grams")
+    )
+    sizes = grams.select("id", F.size("grams").alias("n_grams"))
+    inv = grams.select("id", F.explode("grams").alias("g"))
+    if max_df is not None:
+        keep = inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
+        inv = inv.join(F.broadcast(keep), "g")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= tau)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Drop every document that near-duplicates a smaller-id document."""
+    pairs = near_dup_pairs_exact(df, tau, id_col, text_col, n, max_df)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+
+def _perm_coeffs(n_perm: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(_SEED)
+    a = rng.randint(1, _P31, size=n_perm, dtype=np.int64)
+    b = rng.randint(0, _P31, size=n_perm, dtype=np.int64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def minhash_signature(shingles: Column, n_perm: int = 128) -> Column:
+    """MinHash signature (array<bigint>, length n_perm) of a shingle array.
+
+    h_i(S) = min over s in S of ((a_i * xxhash64(s) mod P31 + b_i) mod P31);
+    empty shingle sets get the all-P31 sentinel signature.
+
+    Split hybrid: the per-shingle xxhash64 stays JVM-side (codegen), the
+    n_perm affine mins run as ONE numpy broadcast per Arrow batch in a
+    pandas UDF.  A pure expression-tree version (transform over a
+    1..n_perm sequence) is catastrophically slow — Catalyst materializes a
+    128-way nested lambda per row (~0.7 s/row measured) — while the numpy
+    (n_perm, n_shingle) broadcast is microseconds.  Shuffle-free either way.
+    a*h+b < 2^62 so the int64 arithmetic cannot overflow.
+    """
+    av, bv = _perm_coeffs(n_perm)
+    a_arr = np.asarray(av, dtype=np.int64)[:, None]
+    b_arr = np.asarray(bv, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _sig(hash_arrays: pd.Series) -> pd.Series:
+        sentinel = np.full(len(a_arr), _P31, dtype=np.int64)
+        out = []
+        for h in hash_arrays:
+            h = np.asarray(h, dtype=np.int64)
+            if h.size == 0:
+                out.append(sentinel)
+            else:
+                out.append(((a_arr * h[None, :] + b_arr) % _P31).min(axis=1))
+        return pd.Series(out)
+
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+    return _sig(hashes)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band (slice of the signature) to one bigint key."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(F.slice(signature, j * rows_per_band + 1, rows_per_band), j),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 128,
+    bands: int = 32,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on >= 1 LSH band.
+
+    bands=32 of r=4 rows: P(candidate) = 1-(1-j^4)^32 — ~0.5 at j≈0.35,
+    ~1.0 at j>=0.7.  The (band_idx, band_key) equi-join is the one shuffle.
+    ``carry`` columns ride along for join-local verification.
+    """
+    r = n_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        minhash_signature(word_ngram_set(F.col(text_col), n), n_perm).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        *carry,
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, r)).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard, join-local (the
+    shingle sets ride the shuffle via ``carry``)."""
+    df2 = df.withColumn("__grams", word_ngram_set(F.col(text_col), n))
+    cand = minhash_candidates(
+        df2, id_col, text_col, n, n_perm, bands, carry=("__grams",)
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(jaccard(F.col("__grams_a"), F.col("__grams_b")), 6).alias("jac"),
+    ).filter(F.col("jac") >= tau)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit fingerprint; hamming-ball near-dup)
+# ---------------------------------------------------------------------------
+
+_POWS = [1 << i for i in range(63)]  # 63 bits; keeps the value positive
+
+
+def simhash(text: Column) -> Column:
+    """63-bit SimHash of the distinct-token set.
+
+    Same hybrid as minhash_signature: token xxhash64 in codegen, bit voting
+    (per bit b: sum of +-1 over token hashes' bit b; bit set iff sum >= 0)
+    as a numpy unpack per Arrow batch — a 63-way expression tree per row is
+    quadratically slow in Catalyst."""
+
+    @F.pandas_udf("long")
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        pows = np.asarray(_POWS, dtype=np.int64)
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        for i, h in enumerate(hash_arrays):
+            h = np.asarray(h, dtype=np.int64)
+            if h.size == 0:
+                continue
+            bits = (h[:, None] & pows[None, :]) != 0  # (tokens, 63)
+            votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 summed)
+            out[i] = int(pows[votes >= 0].sum())
+        return pd.Series(out)
+
+    hashes = F.transform(F.array_distinct(TX.tokens(text)), lambda t: F.xxhash64(t))
+    return _simhash(hashes)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dups: block on the four 16-bit chunks (two fingerprints
+    within hamming distance 3 of each other agree on >= 1 chunk), then exact
+    hamming via bit_count(xor) join-local."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+                    for j in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -159,11 +159,60 @@ def range_join(
     lo: Column,
     hi: Column,
     how: str = "inner",
+    half_open: bool = False,
 ) -> DataFrame:
-    """Range (theta) join: value BETWEEN lo AND hi.  The bands side must be
-    small; we broadcast it so the plan is BroadcastNestedLoopJoin over a tiny
-    build side instead of a cartesian shuffle."""
-    return left.join(F.broadcast(bands), (value >= lo) & (value <= hi), how)
+    """Range (theta) join: value in [lo, hi] (or [lo, hi) when half_open).
+    The bands side must be small; we broadcast it so the plan is
+    BroadcastNestedLoopJoin over a tiny build side instead of a cartesian
+    shuffle."""
+    upper = (value < hi) if half_open else (value <= hi)
+    return left.join(F.broadcast(bands), (value >= lo) & upper, how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: attach, to every left row, the value columns of the most
+    recent right row with right.ts <= left.ts (< when strict) and equal keys.
+
+    Implemented as the union-window plan: tag both sides, union, and take
+    last(value, ignorenulls) over (key, ts, side) — ONE shuffle on the key
+    and a partition-local sort, instead of the range-explode or per-row
+    subquery a naive formulation needs.  This is the scale-correct shape: at
+    100 TB it is exactly one exchange + sort, skew-handled by AQE.
+    """
+    tag_r, tag_l = (2, 1) if strict else (0, 1)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(tag_r).alias("__src"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__src", F.lit(tag_l))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    out = matched.filter(F.col("__src") == tag_l).select(
+        *left.columns,
+        *[F.col(f"__m_{c}").alias(f"{c}_asof") for c in value_cols],
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,244 @@
+"""Structured Streaming operators (SURVEY.md §2.B B24–B25, §7 Phase 3).
+
+The reference's finalize barrier — reducers poll the partition dir until every
+worker file is `_final` before reading (/root/reference/src/main/java/com/oppo/
+shuttle/rss/clients/ShufflePartitionReader.java:134-153) — is the moral
+ancestor of the watermark: both declare "this slice of input is complete, you
+may emit".  Our engine exposes the Spark-native version: file-source streams,
+event-time watermarks, tumbling/session windows, stream dedup, and a custom
+stateful keep-latest built on ``applyInPandasWithState``.
+
+Correctness protocol (tested in tests/test_streaming.py): every streaming
+operator replayed to completion over a static directory must equal its batch
+twin — the strongest available oracle for stream semantics.
+
+Scale notes (100 TB / real cluster):
+
+* File-source streams list incrementally; ``maxFilesPerTrigger`` is the
+  backpressure knob (the engine twin of the reference's token-bucket flow
+  control, FlowController.java:160-202).
+* Watermark + append mode bounds state: window state is dropped once the
+  watermark passes window end.  Without a watermark, 100 TB of keys would pin
+  unbounded state — every stateful op here therefore requires one.
+* ``applyInPandasWithState`` state lives in the state store (RocksDB in
+  production via ``spark.sql.streaming.stateStore.providerClass``); the
+  shuffle before it hash-partitions by key — the same exchange shape the
+  reference's workers implement server-side.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from shuttle_spark.catalog import table_path
+
+# events.ts is parquet TIMESTAMP(NANOS) read as epoch-nanos long
+# (session.py nanosAsLong); the stream schema must match the physical read.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_staged: dict[str, str] = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """Temp directory containing (a symlink to) the events parquet file."""
+    cached = _staged.get(sf_dir)
+    if cached is not None:
+        return cached
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events-000.parquet"))
+    _staged[sf_dir] = d
+    return d
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events table as a file-source stream (replay of a static dir).
+
+    In production the same code reads a landing directory that receivers
+    append to; ``max_files_per_trigger`` rate-limits each micro-batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource ingests *directories* (a landing zone receivers append
+    # to).  The testdata table is a single file, so stage it into a temp dir
+    # by symlink — zero-copy, and the same code path production would use.
+    stream_dir = _staged_events_dir(sf_dir)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_dir)
+    # Same ns->us floor as catalog.load_table so stream == batch bit-for-bit.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_agg_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window count+sum with an event-time watermark (B24).
+
+    Append-mode-safe: windows finalize (and state is freed) when the
+    watermark passes window end.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w"), *keys, "cnt", "sum_value")
+    )
+
+
+def session_agg_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Gap-based session windows per key (B25) — Spark's native
+    ``session_window`` merges adjacent state; watermark closes sessions."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), *keys)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            *keys,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: Sequence[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once by key on a stream — the streaming twin of the
+    reference's duplicate-block seen-set (ShufflePartitionReader.java:378-393),
+    with the watermark bounding the seen-set the way the reference's stage
+    TTL bounds its state (ShuffleDataExecutor.java:279-313)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stream_keep_latest(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("event_id", "event_type"),
+) -> DataFrame:
+    """Custom stateful operator: latest row per key, emitted once the
+    watermark closes the key's quiet period (B8's streaming twin — the
+    stale-attempt filter of PartitionPipeReader.java:150-170 as a live op).
+
+    Built on ``applyInPandasWithState``: state = the current winner per key;
+    each micro-batch folds its rows in; on event-time timeout the winner is
+    emitted and state freed.  Output schema: key, ts (epoch micros), payload.
+    """
+    out_fields = [
+        T.StructField(key_col, T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            ts_us, event_id, event_type = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "ts_us": [ts_us],
+                    "event_id": [event_id],
+                    "event_type": [event_type],
+                }
+            )
+            return
+        best = state.get if state.exists else None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # total order (ts, event_id) — deterministic like the
+            # reference's attemptId tiebreak
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            pdf = pdf.assign(__us=us)
+            row = pdf.sort_values(["__us", "event_id"]).iloc[-1]
+            cand = (int(row.__us), int(row.event_id), str(row.event_type))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None:
+            state.update(best)
+            # emit once the watermark passes the key's last-seen event time
+            # (timeout must stay ahead of the current watermark)
+            state.setTimeoutTimestamp(
+                max(best[0] // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        return
+        yield  # pragma: no cover — marks this function as a generator
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            T.StructType(out_fields),
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Replay a stream to completion (Trigger.AvailableNow) into a memory
+    sink and return the result as a batch DataFrame — the harness that lets
+    tests assert stream == batch.  Complete/append mode is chosen by Spark
+    from the plan; we use append for watermarked aggs (final results only).
+    """
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

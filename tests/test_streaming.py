@@ -1,0 +1,111 @@
+"""Structured Streaming correctness: every streaming operator replayed to
+completion must equal its batch twin on the finalized (watermark-passed)
+subset — the stream/batch-equivalence protocol of SURVEY §7 Phase 3.
+
+The watermark cutoff mirrors the reference's finalize barrier: only slices
+the engine has declared complete are compared, exactly as the reference's
+readers only consume `_final` partition files
+(ShufflePartitionReader.java:134-153).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from shuttle_spark.catalog import load_table
+from shuttle_spark.operators import dedup as D
+from shuttle_spark.streaming import (
+    events_stream,
+    run_available_now,
+    session_agg_stream,
+    stream_dedup,
+    stream_keep_latest,
+    windowed_agg_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+WATERMARK = dt.timedelta(hours=2)
+
+
+def _events(spark):
+    return load_table(spark, SF, "events")
+
+
+def _cutoff(spark) -> dt.datetime:
+    return _events(spark).agg(F.max("ts")).collect()[0][0] - WATERMARK
+
+
+def _rows(df, *order_cols):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_windowed_agg_stream_equals_batch(spark):
+    got = run_available_now(
+        windowed_agg_stream(events_stream(spark, SF), "1 hour", "2 hours"),
+        "wa_stream",
+    )
+    cutoff = _cutoff(spark)
+    batch = (
+        _events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .filter(F.col("win.end") <= F.lit(cutoff))
+        .select(F.col("win.start").alias("w"), "event_type", "cnt", "sum_value")
+    )
+    want = _rows(batch)
+    assert len(want) > 50
+    assert _rows(got.filter(F.col("w") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))) == want
+
+
+def test_session_stream_equals_batch(spark):
+    got = run_available_now(
+        session_agg_stream(events_stream(spark, SF), "30 minutes", "2 hours"),
+        "sess_stream",
+    )
+    cutoff = _cutoff(spark)
+    batch = (
+        _events(spark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .filter(F.col("session_end") <= F.lit(cutoff))
+    )
+    want = _rows(batch)
+    assert len(want) > 100
+    assert _rows(got.filter(F.col("session_end") <= F.lit(cutoff))) == want
+
+
+def test_stream_dedup_is_exact_on_unique_keys(spark):
+    got = run_available_now(
+        stream_dedup(events_stream(spark, SF), ["event_id"], "2 hours"),
+        "dedup_stream",
+    )
+    # event_id is unique, so dedup must be the identity on this input.
+    assert got.count() == _events(spark).count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_stream_keep_latest_equals_batch(spark):
+    got = run_available_now(
+        stream_keep_latest(events_stream(spark, SF)), "kl_stream"
+    )
+    cutoff = _cutoff(spark)
+    latest = D.keep_latest(
+        _events(spark), ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    )
+    # Only keys whose final event predates the watermark have timed out.
+    want = _rows(
+        latest.filter(F.col("ts") < F.lit(cutoff)).select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+        )
+    )
+    assert want  # at 15 users over 30 days, some quiesce before the cutoff
+    assert _rows(got) == want
