@@ -907,6 +907,55 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return N.simhash_near_dup_pairs(docs, max_hamming=8)
 
 
+@contract(
+    "cosine_near_dup_pairs",
+    "SELECT id_a, id_b, sim FROM ("
+    " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    "  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    "   CAST(b.embedding AS DOUBLE[])), 6) AS sim"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    ") WHERE sim >= 0.4",
+    "B28",
+)
+def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (B28's vector-space member), exact
+    path: self-join + double-precision cosine, thresholded on the rounded
+    value in both engines.  The LSH path is contracted separately as a
+    recall property (cosine_lsh_recall_ok)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = S.cosine_near_dup_pairs(emb, dim=64, threshold=0.0, exact=True)
+    return out.select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    ).filter(F.col("sim") >= 0.4)
+
+
+@contract("cosine_lsh_recall_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B28")
+def q_cosine_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Property contract: sign-LSH (64 planes x 16 bands) candidates recover
+    >= 80% of exact cosine>=0.4 pairs (expected ~94%: p=1-theta/pi=0.63 at
+    cos 0.4, band hit p^4, 1-(1-p^4)^16).  At scale, more bits per band
+    trades recall for candidate-set size."""
+    emb = load_table(spark, sf, "embeddings")
+    exact_n = (
+        S.cosine_near_dup_pairs(emb, dim=64, threshold=0.0, exact=True)
+        .select(F.round("sim", 6).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .count()
+    )
+    lsh_n = (
+        S.cosine_near_dup_pairs(
+            emb, dim=64, threshold=0.0, n_planes=64, bands=16
+        )
+        .select(F.round("sim", 6).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(bool(exact_n == 0 or lsh_n / exact_n >= 0.8), bool(exact_n > 0))],
+        "ok boolean, nonempty boolean",
+    )
+
+
 # ===========================================================================
 # B29 extension: k-NN join
 # ===========================================================================

@@ -1,0 +1,19 @@
+from shuttle_spark.plans.audit import (
+    assert_plan,
+    audit,
+    count_exchanges,
+    executed_plan,
+    explain_formatted,
+    pushed_filters,
+    read_schema_columns,
+)
+
+__all__ = [
+    "assert_plan",
+    "audit",
+    "count_exchanges",
+    "executed_plan",
+    "explain_formatted",
+    "pushed_filters",
+    "read_schema_columns",
+]

@@ -55,6 +55,9 @@ _DEFAULTS = {
     # SF) broadcast; at 100 TB the same queries still broadcast region/nation
     # and AQE converts sort-merge->broadcast when runtime stats allow.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Managed-table warehouse (bucketed tables, sources/io.py) out of the
+    # source tree; production overrides with a DFS URI.
+    "spark.sql.warehouse.dir": "/tmp/shuttle_spark_warehouse",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }

@@ -71,3 +71,42 @@ def test_distinct_has_partial_aggregate(spark):
     li = load_table(spark, SF, "lineitem")
     df = li.select("l_partkey").distinct()
     assert plan_of(df).count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Engine-level plan audits via shuttle_spark.plans (the API the tests above
+# hand-roll) — plan-shape budgets for headline contracts.
+# ---------------------------------------------------------------------------
+
+from shuttle_spark import plans as P  # noqa: E402
+from shuttle_spark.contracts import REGISTRY  # noqa: E402
+
+
+def test_audit_exposes_pushdown_and_pruning(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey")
+    a = P.audit(df)
+    assert any("GreaterThan(l_quantity" in f for f in a["pushed_filters"])
+    assert a["scan_columns"] == [["l_orderkey", "l_quantity"]]
+    assert a["exchanges"] == 0
+
+
+def test_tpch_q1_plan_budget(spark):
+    """Flagship: one exchange (the group-by), partial aggregation on, no
+    cartesian — the plan shape that scales to 100 TB."""
+    df = REGISTRY["agg_tpch_q1"].build(spark, SF)
+    a = P.assert_plan(df, max_exchanges=2, require_partial_agg=True)
+    assert not a["python_stages"]  # all-JVM hot path
+
+
+def test_join_3way_broadcasts_dims(spark):
+    df = REGISTRY["join_3way_agg"].build(spark, SF)
+    P.assert_plan(df, require_broadcast=True, no_cartesian=True)
+
+
+def test_topk_cosine_has_no_exchange(spark):
+    """Brute-force cosine top-k must be scan -> project -> TakeOrdered:
+    zero shuffles of the corpus."""
+    df = REGISTRY["topk_cosine"].build(spark, SF)
+    a = P.assert_plan(df, max_exchanges=0)
+    assert a["top_k"]
