@@ -923,7 +923,9 @@ def q_cosine_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     value in both engines.  The LSH path is contracted separately as a
     recall property (cosine_lsh_recall_ok)."""
     emb = load_table(spark, sf, "embeddings")
-    out = S.cosine_near_dup_pairs(emb, dim=64, threshold=0.0, exact=True)
+    # emit at 0.39 raw, gate at 0.4 rounded: every rounded>=0.4 pair has
+    # raw >= 0.3999995 > 0.39, so the pre-filter loses nothing.
+    out = S.cosine_near_dup_pairs(emb, dim=64, threshold=0.39, exact=True)
     return out.select(
         "id_a", "id_b", F.round("sim", 6).alias("sim")
     ).filter(F.col("sim") >= 0.4)
@@ -937,14 +939,14 @@ def q_cosine_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     trades recall for candidate-set size."""
     emb = load_table(spark, sf, "embeddings")
     exact_n = (
-        S.cosine_near_dup_pairs(emb, dim=64, threshold=0.0, exact=True)
+        S.cosine_near_dup_pairs(emb, dim=64, threshold=0.39, exact=True)
         .select(F.round("sim", 6).alias("sim"))
         .filter(F.col("sim") >= 0.4)
         .count()
     )
     lsh_n = (
         S.cosine_near_dup_pairs(
-            emb, dim=64, threshold=0.0, n_planes=64, bands=16
+            emb, dim=64, threshold=0.39, n_planes=64, bands=16
         )
         .select(F.round("sim", 6).alias("sim"))
         .filter(F.col("sim") >= 0.4)

