@@ -1143,6 +1143,203 @@ def q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Aggregation breadth: statistical aggs, arg-extrema, set collection,
+# exact percentiles, salted skew aggregation, classic TPC-H shapes
+# ===========================================================================
+
+@contract(
+    "stats_agg",
+    "SELECT l_returnflag,"
+    " ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,"
+    " ROUND(VAR_SAMP(l_discount), 6) AS var_disc,"
+    " ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,"
+    " ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qd"
+    " FROM lineitem GROUP BY l_returnflag",
+    "B6",
+)
+def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (variance family + correlation).  Both engines
+    use streaming (Welford-style) moment updates; rounding absorbs the
+    association drift of parallel merging."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qd"),
+    )
+
+
+@contract(
+    "minmax_by_agg",
+    "SELECT o_orderpriority,"
+    " MAX_BY(o_totalprice, o_orderkey) AS last_price,"
+    " MIN_BY(o_totalprice, o_orderkey) AS first_price"
+    " FROM orders GROUP BY o_orderpriority",
+    "B6",
+)
+def q_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    """Arg-extrema (max_by/min_by) keyed on the unique o_orderkey, so the
+    witness row is deterministic in both engines."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("last_price"),
+        F.expr("min_by(o_totalprice, o_orderkey)").alias("first_price"),
+    )
+
+
+@contract(
+    "collect_set_agg",
+    "SELECT r_name, STRING_AGG(DISTINCT n_name, ',' ORDER BY n_name) AS nations"
+    " FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "B6",
+)
+def q_collect_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Set collection as a canonical string (sorted, comma-joined) so the
+    cross-engine hash is order-stable."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@contract(
+    "percentile_agg",
+    "SELECT o_orderpriority,"
+    " ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,"
+    " ROUND(QUANTILE_CONT(o_totalprice, 0.95), 4) AS p95"
+    " FROM orders GROUP BY o_orderpriority",
+    "B6",
+)
+def q_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`): the sort-based aggregation shape."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@contract(
+    "salted_agg_invariance",
+    "SELECT l_returnflag, COUNT(*) AS cnt, "
+    + _osum("l_quantity", "sum_qty")
+    + ", MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag",
+    "B5",
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant two-stage (salted) aggregation must be hash-identical
+    to the plain aggregate — the engine twin of the reference's hot-partition
+    spreading (RandomSortPartition.java:34-91).  sum runs over a decimal cast
+    so stage-2 recombination is association-free."""
+    li = load_table(spark, sf, "lineitem")
+    out = R.salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "cnt": ("l_returnflag", "count"),
+            "sum_qty": (F.col("l_quantity").cast(T.DecimalType(18, 2)), "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag", "cnt", F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_price",
+    )
+
+
+@contract(
+    "tpch_q3_shape",
+    "SELECT o_orderkey, "
+    + _osum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    " AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'"
+    " AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'"
+    " GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    "B12",
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (unshipped-order revenue top-10): selective dim filter
+    -> two shuffle joins -> agg -> top-k.  The broadcast of the filtered
+    customer side + AQE make this two exchanges total at any scale."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# B24 as TRUE streaming: replayed Structured Streaming vs batch oracle
+# ===========================================================================
+
+@contract(
+    "stream_window_agg",
+    "SELECT w, event_type, cnt, "
+    "CAST(sum_value AS DOUBLE) AS sum_value FROM ("
+    " SELECT date_trunc('hour', ts::TIMESTAMP) AS w, event_type,"
+    "  COUNT(*) AS cnt, "
+    + _osum("value", "sum_value", 6)
+    + " FROM events GROUP BY 1, 2)"
+    " WHERE w + INTERVAL 1 HOUR <="
+    "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 2 HOUR FROM events)",
+    "B24",
+)
+def q_stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly windows computed by an ACTUAL Structured Streaming replay
+    (file stream -> watermark -> window agg -> AvailableNow to memory sink),
+    hash-matched against the batch oracle on the finalized subset — windows
+    the 2 h watermark has closed, the engine's `_final`-marker analog
+    (ShufflePartitionReader.java:134-153)."""
+    from shuttle_spark.streaming import events_stream, run_available_now
+
+    ev = load_table(spark, sf, "events")
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
+    stream = (
+        events_stream(spark, sf)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 6))).alias("sv"),
+        )
+        .select(
+            F.col("win.start").alias("w"),
+            F.col("win.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+    out = run_available_now(stream, f"swa_{abs(hash(sf)) % 99999}")
+    import datetime as dt
+
+    return out.filter(
+        F.col("w_end") <= F.lit(cutoff - dt.timedelta(hours=2))
+    ).select("w", "event_type", "cnt", "sum_value")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -76,6 +76,46 @@ def cube_aggregate(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -
     return df.cube(*keys).agg(*aggs)
 
 
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-resistant aggregation: stage 1 aggregates on
+    (keys, salt) with a random salt in [0, salt_buckets), stage 2 re-combines
+    per key.  ``aggs`` maps output name -> (input col/expr, fn) with fn in
+    {sum, count, min, max}; fns are chosen for exact two-stage
+    decomposability (count recombines via sum).
+
+    This is the engine-level twin of the reference's partition-order
+    scrambling + worker-group spreading for hot partitions
+    (RandomSortPartition.java:34-91, Ors2ShuffleManager.scala:330-364): a
+    single hot key's rows land on salt_buckets reducers instead of one.
+    Spark's AQE handles skewed *joins* automatically but not skewed
+    aggregation keys — partial aggregation usually absorbs them, except when
+    the map-side hash table overflows distinct keys; salting is the explicit
+    fix.  Result is hash-identical to the unsalted aggregate (contract
+    ``salted_agg_invariance``)."""
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    stage1_exprs = []
+    stage2_exprs = []
+    for out, (col, fn) in aggs.items():
+        c = F.col(col) if isinstance(col, str) else col
+        if fn == "count":
+            stage1_exprs.append(F.count(c).alias(f"__p_{out}"))
+            stage2_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn in ("sum", "min", "max"):
+            stage1_exprs.append(getattr(F, fn)(c).alias(f"__p_{out}"))
+            stage2_exprs.append(getattr(F, fn)(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-decomposable agg fn {fn!r}")
+    stage1 = salted.groupBy(*keys, "__salt").agg(*stage1_exprs)
+    return stage1.groupBy(*keys).agg(*stage2_exprs)
+
+
 def pivot_aggregate(
     df: DataFrame,
     key: str,
