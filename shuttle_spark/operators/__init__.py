@@ -9,6 +9,8 @@ the modules here define the semantics above it.
 from shuttle_spark.operators import (  # noqa: F401
     dedup,
     integrity,
+    multimodal,
+    neardup,
     relational,
     similarity,
 )
