@@ -1340,6 +1340,136 @@ def q_stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     ).select("w", "event_type", "cnt", "sum_value")
 
 
+# ===========================================================================
+# Explode / lateral + IVF ANN + more streaming
+# ===========================================================================
+
+@contract(
+    "word_count_topk",
+    "SELECT w, COUNT(*) AS cnt FROM ("
+    " SELECT UNNEST(STRING_SPLIT(TRIM(" + _NORM_SQL.format(col="text") + "), ' ')) AS w"
+    " FROM documents)"
+    " GROUP BY w ORDER BY cnt DESC, w LIMIT 20",
+    "B21",
+)
+def q_word_count(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical shuffle workload — word count via explode (lateral) +
+    hash agg + top-k.  Explode is the 1->N Generate shape; the count is
+    map-side-combined before the exchange exactly like the reference's
+    A2/A3 path."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(TX.tokens(F.col("text")).alias("__toks"))
+    return (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(20)
+    )
+
+
+@contract(
+    "ivf_full_probe_topk",
+    "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
+    " (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)), 6)"
+    " AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10",
+    "B29",
+)
+def q_ivf_full_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index probed with n_probe == n_cells must equal brute force
+    exactly (partition pruning with zero cells pruned) — so the ANN index
+    machinery itself is oracle-verified; the recall/speed trade lives in
+    ivf_partial_probe_recall_ok."""
+    emb = load_table(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()[1]]
+    indexed, cents = S.ivf_build(emb, dim=64, n_cells=8)
+    out = S.ivf_topk(indexed, cents, qv, k=10, n_probe=8)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@contract("ivf_partial_probe_recall_ok", "SELECT TRUE AS ok", "B29")
+def q_ivf_partial_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Property: probing 4 of 8 IVF cells recovers >= 7 of the true top-10
+    (averaged over 5 query vectors) — the recall/cost dial of the 100 TB
+    path, where `cell` is a parquet partition column and probing is
+    partition pruning."""
+    emb = load_table(spark, sf, "embeddings")
+    indexed, cents = S.ivf_build(emb, dim=64, n_cells=8)
+    indexed = indexed.persist()
+    hits = 0
+    for qid in (1, 11, 21, 31, 41):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()[1]]
+        truth = {r.vec_id for r in S.brute_force_topk(emb, qv, 10).collect()}
+        approx = {
+            r.vec_id
+            for r in S.ivf_topk(indexed, cents, qv, k=10, n_probe=4).collect()
+        }
+        hits += len(truth & approx)
+    indexed.unpersist()
+    return spark.createDataFrame([(bool(hits >= 35),)], "ok boolean")
+
+
+@contract(
+    "stream_keep_latest",
+    "SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type"
+    " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+    "   ORDER BY ts DESC, event_id DESC) AS rn FROM events)"
+    " WHERE rn = 1 AND ts::TIMESTAMP <"
+    "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 2 HOUR FROM events)",
+    "B8",
+)
+def q_stream_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """The custom STATEFUL streaming operator (applyInPandasWithState):
+    latest event per user, emitted when the 2 h watermark passes the user's
+    quiet period — hash-matched against the batch keep-latest oracle
+    restricted to quiesced users.  This is the reference's stale-attempt
+    filter (PartitionPipeReader.java:150-170) as a live streaming op."""
+    from shuttle_spark.streaming import events_stream, run_available_now, stream_keep_latest
+
+    out = run_available_now(
+        stream_keep_latest(events_stream(spark, sf)),
+        f"skl_{abs(hash(sf)) % 99999}",
+    )
+    return out.select("user_id", "ts_us", "event_id", "event_type")
+
+
+@contract(
+    "stream_sessionize",
+    "WITH marked AS (SELECT user_id, ts::TIMESTAMP AS ts,"
+    "  CASE WHEN ts::TIMESTAMP - LAG(ts::TIMESTAMP, 1, TIMESTAMP '1970-01-01')"
+    "   OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE"
+    "  THEN 1 ELSE 0 END AS new_s FROM events),"
+    " sess AS (SELECT user_id, ts,"
+    "  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS UNBOUNDED PRECEDING) AS sid FROM marked)"
+    " SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,"
+    "  CAST(COUNT(*) AS BIGINT) AS n_events FROM sess GROUP BY user_id, sid"
+    " HAVING MAX(ts) + INTERVAL 30 MINUTE <="
+    "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 2 HOUR FROM events)",
+    "B25",
+)
+def q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows computed by an ACTUAL streaming replay
+    (session_window + watermark), hash-matched against a lag/cumsum
+    sessionization oracle on sessions the watermark has closed
+    (session end + gap <= watermark)."""
+    import datetime as dt
+
+    from shuttle_spark.streaming import events_stream, run_available_now, session_agg_stream
+
+    ev = load_table(spark, sf, "events")
+    cutoff = ev.agg(F.max("ts")).collect()[0][0] - dt.timedelta(hours=2)
+    out = run_available_now(
+        session_agg_stream(events_stream(spark, sf), "30 minutes", "2 hours"),
+        f"sss_{abs(hash(sf)) % 99999}",
+    )
+    return out.filter(F.col("session_end") <= F.lit(cutoff)).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
