@@ -1470,6 +1470,187 @@ def q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Scalar-function breadth (B19), conditional/multi-distinct aggregation,
+# window-function breadth (B17-B18), and the raw SQL surface
+# ===========================================================================
+
+@contract(
+    "date_functions",
+    "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate)::INT AS yr,"
+    " EXTRACT(MONTH FROM o_orderdate)::INT AS mo,"
+    " EXTRACT(DOW FROM o_orderdate)::INT AS dow,"
+    " CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due,"
+    " CAST(LAST_DAY(o_orderdate) AS DATE) AS eom"
+    " FROM orders ORDER BY o_orderkey LIMIT 200",
+    "B19",
+)
+def q_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time scalar breadth.  DOW conventions align (Sunday=0 in DuckDB
+    EXTRACT(DOW); Spark dayofweek is 1-based Sunday=1, so shift by one)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due"),
+            F.last_day("o_orderdate").alias("eom"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@contract(
+    "string_functions",
+    "SELECT c_custkey, LPAD(c_name, 25, '*') AS padded,"
+    " REGEXP_EXTRACT(c_name, '([0-9]+)$', 1) AS num_suffix,"
+    " REPLACE(TRANSLATE(c_name, '#', '@'), 'Customer', 'Cust') AS xlated,"
+    " LENGTH(c_name)::BIGINT AS name_len,"
+    " (c_name LIKE '%1%') AS has_one"
+    " FROM customer ORDER BY c_custkey LIMIT 200",
+    "B19",
+)
+def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """String scalar breadth: pad, regex extraction, translate/replace,
+    length, LIKE."""
+    c = load_table(spark, sf, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.lpad("c_name", 25, "*").alias("padded"),
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("num_suffix"),
+            F.replace(
+                F.translate("c_name", "#", "@"), F.lit("Customer"), F.lit("Cust")
+            ).alias("xlated"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.col("c_name").like("%1%").alias("has_one"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@contract(
+    "conditional_agg",
+    "SELECT l_returnflag,"
+    " COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty,"
+    " COUNT(*) FILTER (WHERE l_discount = 0) AS no_disc,"
+    + _osum("CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END", "taxed_rev")
+    + " FROM lineitem GROUP BY l_returnflag",
+    "B6",
+)
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (FILTER / CASE inside agg) — one pass, no
+    self-joins."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("big_qty"),
+        F.count_if(F.col("l_discount") == 0).alias("no_disc"),
+        dsum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0),
+            "taxed_rev",
+        ),
+    )
+
+
+@contract(
+    "multi_distinct_agg",
+    "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,"
+    " COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS cnt"
+    " FROM lineitem GROUP BY l_returnflag",
+    "B7",
+)
+def q_multi_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one query — Spark plans an Expand
+    (data duplication per distinct set) + two-phase agg; the canonical
+    hard-to-shuffle shape."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@contract(
+    "window_lag_lead",
+    "SELECT o_custkey, o_orderkey,"
+    " ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev,"
+    " LEAD(o_orderkey, 1) OVER w AS next_order"
+    " FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    " ORDER BY o_custkey, o_orderkey LIMIT 300",
+    "B17",
+)
+def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead over a per-customer order timeline."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+            ).alias("delta_prev"),
+            F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(300)
+    )
+
+
+@contract(
+    "window_ntile_pctrank",
+    "SELECT p_partkey, NTILE(4) OVER w AS quartile,"
+    " ROUND(PERCENT_RANK() OVER w, 6) AS pr,"
+    " ROUND(CUME_DIST() OVER w, 6) AS cd"
+    " FROM part WINDOW w AS (ORDER BY p_retailprice, p_partkey)"
+    " ORDER BY p_partkey LIMIT 300",
+    "B18",
+)
+def q_window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) over a
+    global order — the single-partition window every engine must special-case
+    (at scale: pre-aggregate or bucketize instead; contracted here for
+    semantics)."""
+    p = load_table(spark, sf, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return (
+        p.select(
+            "p_partkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+@contract(
+    "sql_correlated_subquery",
+    "SELECT o_orderkey, o_totalprice FROM orders o"
+    " WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2"
+    "  WHERE o2.o_orderpriority = o.o_orderpriority)"
+    " ORDER BY o_orderkey",
+    "B12",
+)
+def q_sql_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """The raw SQL surface: a correlated scalar subquery submitted as text
+    via spark.sql over registered views — Catalyst decorrelates it into the
+    same agg+join plan the DataFrame API would build."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders o"
+        " WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2"
+        "  WHERE o2.o_orderpriority = o.o_orderpriority)"
+        " ORDER BY o_orderkey"
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
