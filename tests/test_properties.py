@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): engine operators vs pure-Python
+reference implementations on adversarial small inputs.
+
+The reference's test strategy is golden-constant E2E checks (SURVEY §5);
+property tests go further — they search the input space for semantic edges
+(ties, empties, single groups, all-duplicates) that fixed fixtures miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shuttle_spark.operators import dedup as D
+from shuttle_spark.operators import neardup as N
+from shuttle_spark.operators import relational as R
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(0, 10),  # ts
+        st.integers(0, 1000),  # payload/id source
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_keep_latest_matches_reference(spark, rows):
+    data = [(k, t, i) for i, (k, t, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, ts int, uid int")
+    got = {
+        (r.k, r.ts, r.uid)
+        for r in D.keep_latest(df, ["k"], [F.desc("ts"), F.desc("uid")]).collect()
+    }
+    want = {}
+    for k, t, uid in data:
+        if k not in want or (t, uid) > (want[k][1], want[k][2]):
+            want[k] = (k, t, uid)
+    assert got == set(want.values())
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_salted_agg_matches_plain(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ts int, v int")
+    salted = {
+        (r.k, r.cnt, r.total, r.mx)
+        for r in R.salted_aggregate(
+            df,
+            ["k"],
+            {"cnt": ("v", "count"), "total": ("v", "sum"), "mx": ("v", "max")},
+            salt_buckets=4,
+        ).collect()
+    }
+    plain = {
+        (r.k, r.cnt, r.total, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny alphabet -> many collisions
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _py_ngrams(text: str, n: int = 2) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(texts=texts_strategy)
+@SLOW
+def test_exact_jaccard_pairs_match_reference(spark, texts):
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in N.near_dup_pairs_exact(df, tau=0.3, n=2).collect()
+    }
+    want = {}
+    for i, ta in data:
+        for j, tb in data:
+            if i >= j:
+                continue
+            ga, gb = _py_ngrams(ta), _py_ngrams(tb)
+            if not ga or not gb:
+                continue
+            jac = len(ga & gb) / len(ga | gb)
+            if jac >= 0.3:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15),
+)
+@SLOW
+def test_as_of_join_matches_reference(spark, left, right):
+    # unique event ids keep ordering total; right side deduped on (k, ts) —
+    # with duplicate right timestamps the winning payload is tie-ambiguous
+    # by design (the reference's attemptId tiebreak exists for the same
+    # reason), so the property is stated on unique-ts inputs.
+    l_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    r_uniq = {(k, t): 100 + i for i, (k, t) in enumerate(right)}
+    r_rows = [(k, t, v) for (k, t), v in r_uniq.items()]
+    ldf = spark.createDataFrame(l_rows, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(r_rows, "k int, ts int, val int")
+    out = R.as_of_join(ldf, rdf, ["k"], "ts", "ts", ["val"])
+    got = {(r.lid): r.val_asof for r in out.collect()}
+    for k, t, lid in l_rows:
+        cands = [(rt, v) for (rk, rt, v) in r_rows if rk == k and rt <= t]
+        # engine tiebreak: the right row latest in (ts, insertion) order wins
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, t, cands)
