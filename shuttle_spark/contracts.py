@@ -1656,6 +1656,142 @@ def q_sql_correlated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Merge/upsert, full-outer join + null handling, gap filling, map/array ops
+# ===========================================================================
+
+@contract(
+    "upsert_merge",
+    "SELECT COUNT(*) AS cnt, "
+    + _osum("price", "total")
+    + " FROM (SELECT COALESCE(u.p2, b.o_totalprice) AS price FROM orders b"
+    " LEFT JOIN (SELECT o_orderkey, o_totalprice * 2 AS p2 FROM orders"
+    "  WHERE o_orderkey % 10 = 0) u ON b.o_orderkey = u.o_orderkey)",
+    "B8",
+)
+def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style upsert: updated rows (every 10th order, price doubled)
+    replace base rows by key — one union + keep-latest window, no join
+    (the oracle states the same result as a left join).  The engine twin of
+    the reference's latest-attempt-wins block replacement."""
+    o = load_table(spark, sf, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = D.upsert(o, updates, ["o_orderkey"])
+    return merged.agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "total")
+    )
+
+
+@contract(
+    "full_outer_nulls",
+    "SELECT COUNT(*) AS cnt,"
+    " COUNT(*) FILTER (WHERE c_custkey IS NULL) AS orphan_orders,"
+    " COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS orderless_custs,"
+    " SUM(CASE WHEN o_totalprice IS NULL THEN -1::BIGINT"
+    "  ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END) AS total_with_sentinel"
+    " FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey",
+    "B14",
+)
+def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join with explicit null-handling aggregates (COALESCE
+    sentinel arithmetic)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    j = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+    return j.agg(
+        F.count("*").alias("cnt"),
+        F.count_if(F.col("c_custkey").isNull()).alias("orphan_orders"),
+        F.count_if(F.col("o_orderkey").isNull()).alias("orderless_custs"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), F.lit(-1).cast("long")).otherwise(
+                F.floor("o_totalprice").cast("long")
+            )
+        ).alias("total_with_sentinel"),
+    )
+
+
+@contract(
+    "gap_fill_hours",
+    "WITH sparse AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
+    "  COUNT(*) AS cnt FROM events GROUP BY 1, 2),"
+    " span AS (SELECT event_type, MIN(bucket) lo, MAX(bucket) hi FROM sparse GROUP BY 1),"
+    " dense AS (SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span)"
+    " SELECT d.event_type, COUNT(*) AS n_buckets,"
+    "  SUM(COALESCE(s.cnt, 0)) AS n_events,"
+    "  COUNT(*) FILTER (WHERE s.cnt IS NULL) AS empty_buckets"
+    " FROM dense d LEFT JOIN sparse s USING (event_type, bucket) GROUP BY 1",
+    "ext",
+)
+def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization: dense hourly grid per event type with
+    zero-filled gaps, summarized (bucket count / event total / empty-bucket
+    count) so the contract pins both the densification and the fill."""
+    ev = load_table(spark, sf, "events")
+    dense = R.gap_fill_time_series(
+        ev, ["event_type"], "ts", {"cnt": F.count("*")}, step="1 hour", fill=0
+    )
+    return dense.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("cnt").alias("n_events"),
+        F.count_if(F.col("cnt") == 0).alias("empty_buckets"),
+    )
+
+
+@contract(
+    "map_keys_agg",
+    "SELECT k, COUNT(*) AS cnt FROM"
+    " (SELECT UNNEST(json_keys(props)) AS k FROM events)"
+    " GROUP BY k ORDER BY k",
+    "B20",
+)
+def q_map_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON -> typed map column (declared schema, never inferred) ->
+    explode(map_keys) -> agg: the props-bag access pattern (B20)."""
+    ev = load_table(spark, sf, "events")
+    m = ev.select(
+        F.from_json("props", T.MapType(T.StringType(), T.StringType())).alias("m")
+    )
+    return (
+        m.select(F.explode(F.map_keys("m")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("k")
+    )
+
+
+@contract(
+    "array_elem_stats",
+    "SELECT vec_id,"
+    " ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS mx,"
+    " ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS mn,"
+    " ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS total,"
+    " LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))::INT AS n_pos"
+    " FROM embeddings ORDER BY vec_id LIMIT 300",
+    "B21",
+)
+def q_array_elem_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row array computation breadth: max/min/sequential-sum/filter-count
+    over the embedding arrays (all JVM higher-order functions; both engines
+    reduce in array order so the rounded sums agree)."""
+    emb = load_table(spark, sf, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.array_max(arr), 6).alias("mx"),
+            F.round(F.array_min(arr), 6).alias("mn"),
+            F.round(
+                F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias("total"),
+            F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        )
+        .orderBy("vec_id")
+        .limit(300)
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -56,6 +56,28 @@ def keep_latest(
     )
 
 
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column] = (),
+) -> DataFrame:
+    """Merge/upsert: rows from ``updates`` replace same-key rows in ``base``
+    (within ``updates``, ties broken by ``order`` then update-wins).  This is
+    the engine-level twin of the reference's attempt-lineage rule — the
+    latest attempt's blocks replace earlier ones wholesale
+    (PartitionPipeReader.java:150-170) — generalized to keyed tables.
+
+    One union + one keep-latest window: a single shuffle on the key, no
+    join.  At 100 TB this is the standard CDC-compaction shape; pair with a
+    partitioned write to produce the compacted snapshot."""
+    b = base.withColumn("__src", F.lit(0))
+    u = updates.withColumn("__src", F.lit(1))
+    return keep_latest(
+        b.unionByName(u), keys, [F.desc("__src"), *order]
+    ).drop("__src")
+
+
 def normalized_text_key(text: Column) -> Column:
     """Canonical content key: lowercase, collapse whitespace, md5 (B27).
     Identical expression exists in the DuckDB oracle."""

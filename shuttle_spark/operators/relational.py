@@ -275,6 +275,47 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
 # Windows (B17-B18).
 # ---------------------------------------------------------------------------
 
+def gap_fill_time_series(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    step: str = "1 hour",
+    fill: float | int = 0,
+) -> DataFrame:
+    """Regularize an event stream into a dense per-key time grid: every
+    ``step`` bucket between each key's min and max event time exists in the
+    output, ``fill``-filled when empty.
+
+    Plan shape: aggregate to the sparse grid (one shuffle), derive each
+    key's [min, max] span from the sparse grid itself, densify with
+    sequence+explode (a Generate — no calendar-table join), then left-join
+    sparse onto dense on (key, bucket).  The dense side is |keys| x
+    |buckets| — tiny relative to the input at scale — and the final join is
+    an equi-join AQE will usually broadcast."""
+    sparse = df.groupBy(*keys, F.window(ts_col, step).alias("__w")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    sparse = sparse.select(
+        *keys, F.col("__w.start").alias("bucket"), *list(aggs)
+    )
+    span = sparse.groupBy(*keys).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    dense = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    out = dense.join(sparse, [*keys, "bucket"], "left")
+    return out.select(
+        *keys,
+        "bucket",
+        *[F.coalesce(F.col(n), F.lit(fill)).alias(n) for n in aggs],
+    )
+
+
 def running_agg(
     df: DataFrame,
     partition_keys: Sequence[str],
