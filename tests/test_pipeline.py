@@ -1,0 +1,82 @@
+"""End-to-end training-data pipeline: the composition the engine exists for.
+
+documents -> exact dedup (normalized-hash) -> near-dup dedup (MinHash-LSH
+verified) -> quality floor -> text features (lang, tokens, fingerprint) ->
+partitioned parquet, with a stage-checksum audit — i.e., the north-star LLM
+data pipeline, run as one lazy DataFrame composition (no intermediate
+materialization; Catalyst fuses the narrow stages)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from shuttle_spark import sources as IO
+from shuttle_spark.catalog import load_table
+from shuttle_spark.functions import text as TX
+from shuttle_spark.operators import dedup as D
+from shuttle_spark.operators import integrity as I
+from shuttle_spark.operators import neardup as N
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_document_pipeline_end_to_end(spark):
+    docs = load_table(spark, SF, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup on normalized content hash
+    stage1 = D.exact_text_dedup(docs)
+    n1 = stage1.count()
+    assert n1 <= n0
+
+    # 2. near-dup dedup, MinHash-LSH candidates + exact Jaccard verify
+    pairs = N.minhash_near_dup_pairs(stage1, tau=0.6)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    stage2 = stage1.join(losers, "doc_id", "left_anti")
+    n2 = stage2.count()
+    assert n2 < n1  # the corpus contains known near-dups
+
+    # 3. quality floor + feature columns
+    featured = (
+        stage2.withColumn("quality", TX.quality_score(F.col("text")))
+        .withColumn("lid", TX.lang_id(F.col("text")))
+        .withColumn("n_tokens", TX.token_count(F.col("text")))
+        .withColumn("fp", TX.fingerprint64(F.col("text")))
+        .filter(F.col("quality") >= 0.3)
+    )
+    n3 = featured.count()
+    assert 0 < n3 <= n2
+
+    # fingerprints must be unique post-dedup (exact dedup removed hash dups)
+    assert featured.select("fp").distinct().count() == n3
+
+    # 4. integrity checksum audit across the write boundary
+    chk = I.checksum(featured, F.col("fp")).collect()[0][0]
+
+    out = tempfile.mkdtemp(prefix="pipe_") + "/clean_docs"
+    IO.write_partitioned(featured, out, ["lid"])
+    back = IO.read(spark, out, "parquet")
+    assert back.count() == n3
+    assert I.verify(back, F.col("fp"), chk) == chk  # nothing lost or mutated
+
+    # partition pruning works on the output layout
+    en = back.filter(F.col("lid") == "en")
+    txt = en._sc._jvm.PythonSQLUtils.explainString(
+        en._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in txt
+
+
+def test_pipeline_is_lazy_single_plan(spark):
+    """The composed pipeline (before actions) is ONE plan: narrow stages
+    fuse; only the near-dup band join and dedups exchange."""
+    docs = load_table(spark, SF, "documents")
+    stage1 = D.exact_text_dedup(docs)
+    featured = stage1.withColumn("quality", TX.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.3
+    )
+    plan = featured._jdf.queryExecution().executedPlan().toString()
+    # exactly the dedup's one exchange; quality stage fused into scan side
+    assert plan.count("Exchange hashpartitioning") == 1
