@@ -1792,6 +1792,48 @@ def q_array_elem_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "sliding_window_agg",
+    "SELECT w, event_type, COUNT(*) AS cnt FROM ("
+    " SELECT event_type, UNNEST(["
+    "  date_trunc('hour', ts::TIMESTAMP),"
+    "  date_trunc('hour', ts::TIMESTAMP) - INTERVAL 1 HOUR]) AS w"
+    " FROM events) GROUP BY w, event_type",
+    "B24",
+)
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (overlapping) windows: 2 h length, 1 h slide — every event
+    lands in exactly two windows (Spark plans the expansion as a Generate;
+    the oracle unnests the same two window starts)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("w"), "event_type", "cnt")
+    )
+
+
+@contract(
+    "bpe_token_count_agg",
+    "SELECT source, SUM(n_sub) AS total_subtokens FROM ("
+    " SELECT source,"
+    "  LEN(LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', ' ', 'g'), ' '),"
+    "   w -> LENGTH(w) > 0))"
+    "  + LENGTH(REGEXP_REPLACE(LOWER(text), '[a-z0-9\\s]', '', 'g')) AS n_sub"
+    " FROM documents) GROUP BY source",
+    "B30",
+)
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-word-ish (BPE stand-in) token counting: alphanumeric runs count
+    one each, other non-space characters count one each — the cheap token
+    budgeter for corpus sizing; oracle recomputes the identical regex
+    arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.bpe_ish_token_count(F.col("text"))).alias("total_subtokens")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

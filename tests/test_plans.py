@@ -110,3 +110,42 @@ def test_topk_cosine_has_no_exchange(spark):
     df = REGISTRY["topk_cosine"].build(spark, SF)
     a = P.assert_plan(df, max_exchanges=0)
     assert a["top_k"]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling — the engine's answer to the reference's
+    worker-group spreading of hot partitions.  One key owns ~95% of the left
+    side; with thresholds lowered (runtime-settable AQE conf), the executed
+    plan must mark the sort-merge join skew-handled."""
+    import pyspark.sql.functions as SF
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        left = spark.range(0, 400_000).select(
+            SF.when(SF.col("id") % 20 != 0, SF.lit(7)).otherwise(SF.col("id")).alias("k"),
+            SF.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(SF.col("id").alias("k"))
+        j = left.join(right, "k")
+        # 380,000 hot-key (k=7) rows + 50 identity matches (id%20==0, id<1000)
+        # collect() executes THIS QueryExecution, so its AQE plan finalizes
+        # (count() would spawn a separate execution and leave j un-run)
+        assert len(j.collect()) == 380_050
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

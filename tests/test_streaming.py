@@ -109,3 +109,28 @@ def test_stream_keep_latest_equals_batch(spark):
     )
     assert want  # at 15 users over 30 days, some quiesce before the cutoff
     assert _rows(got) == want
+
+
+def test_stream_file_sink_roundtrip(spark):
+    """Streaming ETL to a parquet file sink (AvailableNow): the output of a
+    replayed windowed aggregation lands as parquet and reads back equal to
+    the memory-sink result."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="sink_")
+    stream = windowed_agg_stream(events_stream(spark, SF), "1 hour", "2 hours")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir + "/data")
+        .option("checkpointLocation", out_dir + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir + "/data")
+    mem = run_available_now(
+        windowed_agg_stream(events_stream(spark, SF), "1 hour", "2 hours"),
+        "sink_twin",
+    )
+    assert _rows(back) == _rows(mem)
