@@ -1834,6 +1834,57 @@ def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CTE_SQL = (
+    "WITH prio AS (SELECT o_orderpriority p, COUNT(*) cnt,"
+    " MAX(o_totalprice) mx FROM orders GROUP BY 1),"
+    " big AS (SELECT * FROM prio WHERE cnt > 10)"
+    " SELECT p, cnt, ROUND(mx, 2) AS mx FROM big ORDER BY p"
+)
+
+
+@contract("cte_sql", _CTE_SQL, "B12")
+def q_cte_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Common table expressions through the raw SQL surface (identical text
+    runs in both engines)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CTE_SQL)
+
+
+_RANGE_WIN_SQL = (
+    "SELECT o_custkey, o_orderkey, CAST(trailing_cnt AS BIGINT) AS trailing_cnt"
+    " FROM (SELECT o_custkey, o_orderkey, COUNT(*) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate"
+    "  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS trailing_cnt"
+    " FROM orders) ORDER BY o_custkey, o_orderkey LIMIT 300"
+)
+
+
+@contract("window_range_interval", _RANGE_WIN_SQL, "B17")
+def q_window_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame with a time interval (trailing 30-day order count per
+    customer) — the value-based frame, distinct from ROWS frames (B17's
+    cumsum): peers are chosen by timestamp distance, not position."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RANGE_WIN_SQL)
+
+
+@contract("sample_fraction_ok", "SELECT TRUE AS ok, TRUE AS deterministic", "B3")
+def q_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Bernoulli sampling property: fraction 0.1 lands within 3 sigma of the
+    binomial expectation, and the same seed reproduces the same rows (the
+    engines sample differently, so equality is property-not-hash)."""
+    li = load_table(spark, sf, "lineitem")
+    n = li.count()
+    s1 = li.sample(fraction=0.1, seed=42)
+    k = s1.count()
+    sigma = (n * 0.1 * 0.9) ** 0.5
+    ok = abs(k - 0.1 * n) <= 3 * sigma
+    same = s1.select("l_orderkey", "l_linenumber").exceptAll(
+        li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    ).count() == 0
+    return spark.createDataFrame([(bool(ok), bool(same))], "ok boolean, deterministic boolean")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
