@@ -1475,6 +1475,56 @@ def q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "stream_stream_join",
+    "SELECT a.user_id AS user_id, a.event_id AS l_id, b.event_id AS r_id"
+    " FROM events a JOIN events b ON a.user_id = b.user_id"
+    "  AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP"
+    "  AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 1 HOUR"
+    " WHERE a.event_type = 'click' AND b.event_type = 'purchase'",
+    "B24",
+)
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks -> purchases within 1 h
+    per user) computed by an ACTUAL streaming replay, hash-matched against
+    the batch time-bounded self-join.  Inner matches are emitted as they
+    arrive, so the replay equals batch with no cutoff filter; the watermark
+    + two-sided time bound exist to bound join state at scale."""
+    from shuttle_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    ev = events_stream(spark, sf)
+    joined = stream_stream_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id",
+        within="1 hour",
+        watermark="2 hours",
+    )
+    out = run_available_now(joined, f"ssj_{abs(hash(sf)) % 99999}")
+    return out.select("user_id", "l_id", "r_id")
+
+
+@contract(
+    "global_rank_distributed",
+    "SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_retailprice, p_partkey)"
+    " AS rn FROM part",
+    "B18",
+)
+def q_global_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ROW_NUMBER over the whole table WITHOUT a single-partition
+    window: range-bucket on approx quantiles, per-bucket row_number (one
+    even hash shuffle) plus broadcast prefix-sum offsets — the 100 TB-safe
+    form of B18's global ranking (R.global_rank)."""
+    p = load_table(spark, sf, "part")
+    return R.global_rank(
+        p, "p_retailprice", [F.col("p_retailprice"), F.col("p_partkey")]
+    ).select("p_partkey", "rn")
+
+
 # ===========================================================================
 # Scalar-function breadth (B19), conditional/multi-distinct aggregation,
 # window-function breadth (B17-B18), and the raw SQL surface

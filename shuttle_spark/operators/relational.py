@@ -343,3 +343,51 @@ def ranked(
     fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}
     w = Window.partitionBy(*partition_keys).orderBy(*order)
     return df.withColumn(alias, fns[method]().over(w))
+
+
+def global_rank(
+    df: DataFrame,
+    range_col: str,
+    order: Sequence[Column | str],
+    alias: str = "rn",
+    buckets: int = 32,
+) -> DataFrame:
+    """Distributed global ROW_NUMBER — the scale path for B18's global
+    window, which Spark otherwise executes as a SINGLE-partition WindowExec
+    (all 100 TB through one task).
+
+    Classic two-pass range ranking, all data movement one even hash shuffle:
+
+    1. bucket each row by approx quantiles of ``range_col`` (driver fetches
+       ≤ ``buckets`` boundary values — metadata, not data);
+    2. per-bucket counts → exclusive prefix sums = each bucket's global rank
+       offset (an agg of ``buckets`` rows, broadcast back);
+    3. ``row_number`` within each bucket (hash-partitioned window) + offset.
+
+    Exact for any data distribution: rows with equal ``range_col`` land in
+    the same bucket, and buckets are value-disjoint, so bucket order extends
+    the global order; tie-breaking inside a bucket uses the full ``order``
+    spec.  ``range_col`` must be the leading, ascending sort key; quantile
+    skew only unbalances bucket sizes, never correctness.
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
+    bucket = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        bucket = F.when(F.col(range_col) <= F.lit(bounds[i]), i).otherwise(bucket)
+    with_b = df.withColumn("__bucket", bucket)
+    # offsets: exclusive running sum over <= `buckets` rows — the one
+    # deliberately tiny single-partition window in the engine.
+    counts = with_b.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "__bucket", (F.sum("__cnt").over(w_off) - F.col("__cnt")).alias("__off")
+    )
+    w_local = Window.partitionBy("__bucket").orderBy(*order)
+    return (
+        with_b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(alias, (F.row_number().over(w_local) + F.col("__off")).cast("long"))
+        .drop("__bucket", "__off")
+    )

@@ -4,6 +4,7 @@ from shuttle_spark.streaming.core import (
     session_agg_stream,
     stream_dedup,
     stream_keep_latest,
+    stream_stream_join,
     windowed_agg_stream,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "session_agg_stream",
     "stream_dedup",
     "stream_keep_latest",
+    "stream_stream_join",
     "windowed_agg_stream",
 ]

@@ -224,6 +224,46 @@ def stream_keep_latest(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events that follow a left
+    event on the same key within ``within``.
+
+    Both sides carry a watermark and the join condition bounds BOTH event
+    times, so Spark can evict buffered rows once the watermark passes —
+    without the time bound, each side's join state grows without limit (the
+    streaming analog of the reference's stage-TTL cleanup,
+    ShuffleDataExecutor.java:279-313).  Inner-join matches are emitted as
+    they arrive; the watermark governs state size only, so a full replay
+    equals the batch join exactly.
+
+    Output: key, l_id/l_ts from the left event, r_id/r_ts from the right.
+    """
+    lw = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    rw = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    return lw.join(
+        rw,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(F.col("l_key").alias(key), "l_id", "l_ts", "r_id", "r_ts")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
     """Replay a stream to completion (Trigger.AvailableNow) into a memory
     sink and return the result as a batch DataFrame — the harness that lets
