@@ -1337,7 +1337,9 @@ def q_stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.col("sv").cast("double").alias("sum_value"),
         )
     )
-    out = run_available_now(stream, f"swa_{abs(hash(sf)) % 99999}")
+    out = run_available_now(
+        stream, f"swa_{abs(hash(sf)) % 99999}", shuffle_partitions=4
+    )
     import datetime as dt
 
     return out.filter(
@@ -1434,6 +1436,7 @@ def q_stream_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     out = run_available_now(
         stream_keep_latest(events_stream(spark, sf)),
         f"skl_{abs(hash(sf)) % 99999}",
+        shuffle_partitions=4,
     )
     return out.select("user_id", "ts_us", "event_id", "event_type")
 
@@ -1467,6 +1470,7 @@ def q_stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     out = run_available_now(
         session_agg_stream(events_stream(spark, sf), "30 minutes", "2 hours"),
         f"sss_{abs(hash(sf)) % 99999}",
+        shuffle_partitions=4,
     )
     return out.filter(F.col("session_end") <= F.lit(cutoff)).select(
         "user_id",
@@ -1504,7 +1508,9 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         within="1 hour",
         watermark="2 hours",
     )
-    out = run_available_now(joined, f"ssj_{abs(hash(sf)) % 99999}")
+    out = run_available_now(
+        joined, f"ssj_{abs(hash(sf)) % 99999}", shuffle_partitions=4
+    )
     return out.select("user_id", "l_id", "r_id")
 
 

