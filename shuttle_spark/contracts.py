@@ -1295,6 +1295,85 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "tpch_q5_shape",
+    "SELECT n_name, "
+    + _osum("l_extendedprice * (1 - l_discount)", "revenue")
+    + " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    " AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+    " GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "B12",
+    "B13",
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-table join where the
+    region->nation->supplier dim chain broadcasts, so the only shuffles at
+    any scale are the two fact-fact exchanges (lineitem-orders-customer) and
+    the final agg — the plan a 1000-executor cluster wants.  The extra
+    c_nationkey = s_nationkey equality rides the same join, no new shuffle."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    s = load_table(spark, sf, "supplier")
+    dims = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@contract(
+    "unpivot_measures",
+    "SELECT measure, " + _osum("val", "total", 6) + ", COUNT(*) AS cnt FROM ("
+    "  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem"
+    "  UNION ALL SELECT 'l_discount', l_discount FROM lineitem"
+    "  UNION ALL SELECT 'l_tax', l_tax FROM lineitem"
+    ") GROUP BY measure ORDER BY measure",
+    "B2",
+    "B5",
+)
+def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide -> long) then aggregate per measure.  Spark's
+    native `unpivot` expands rows inside the scan stage (no shuffle until
+    the agg), unlike the oracle's 3-scan UNION ALL — at 100 TB that is one
+    pass over lineitem instead of three."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.unpivot(
+            ids=[],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("measure")
+        .agg(dsum("val", "total", 6), F.count("*").alias("cnt"))
+        .orderBy("measure")
+    )
+
+
 # ===========================================================================
 # B24 as TRUE streaming: replayed Structured Streaming vs batch oracle
 # ===========================================================================
