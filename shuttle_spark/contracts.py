@@ -1346,6 +1346,46 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "tpch_q18_shape",
+    "SELECT c_custkey, o_orderkey, "
+    + _osum("l_quantity", "total_qty")
+    + " FROM orders JOIN customer ON o_custkey = c_custkey"
+    " JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE o_orderkey IN ("
+    "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey"
+    "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)"
+    " GROUP BY c_custkey, o_orderkey"
+    " ORDER BY total_qty DESC, o_orderkey LIMIT 100",
+    "B12",
+    "B14",
+)
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem, filter
+    with HAVING, then semi-join the surviving keys back into the fact join.
+    The HAVING output is tiny (top fraction of orders), so it broadcasts as
+    a left-semi filter onto lineitem BEFORE the expensive joins — at 100 TB
+    this prunes the fact scan-side instead of joining everything first."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@contract(
     "unpivot_measures",
     "SELECT measure, " + _osum("val", "total", 6) + ", COUNT(*) AS cnt FROM ("
     "  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem"
