@@ -654,6 +654,24 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract("approx_percentile_ok", "SELECT TRUE AS ok", "B22")
+def q_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch, single aggregation pass,
+    mergeable across partitions — the 100 TB path where exact percentile
+    needs a global sort) within 1% relative error of the exact p50/p95.
+    Like approx_count_distinct, the sketch value is engine-specific, so the
+    contract is the tolerance predicate."""
+    li = load_table(spark, sf, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ex"),
+    )
+    tol = (
+        F.abs(F.col("ap")[0] - F.col("ex")[0]) / F.col("ex")[0] < F.lit(0.01)
+    ) & (F.abs(F.col("ap")[1] - F.col("ex")[1]) / F.col("ex")[1] < F.lit(0.01))
+    return row.select(tol.alias("ok"))
+
+
 _CHECKSUM_ORACLE = (
     "SELECT CAST(SUM(CAST('0x' || SUBSTR(md5(CAST({col} AS VARCHAR)), 1, 10)"
     " AS BIGINT)) AS BIGINT) AS checksum FROM {table}"
