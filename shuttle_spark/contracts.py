@@ -674,7 +674,7 @@ def q_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
 
 _CHECKSUM_ORACLE = (
     "SELECT CAST(SUM(CAST('0x' || SUBSTR(md5(CAST({col} AS VARCHAR)), 1, 10)"
-    " AS BIGINT)) AS BIGINT) AS checksum FROM {table}"
+    " AS BIGINT)) AS DECIMAL(38,0)) AS checksum FROM {table}"
 )
 
 
@@ -689,11 +689,11 @@ def q_checksum_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     verified read-side ShufflePartitionReader.java:217-249).  DuckDB 1.0 has
     no crc32(), so the portable form is an md5-prefix sum; order-independent
     like the reference's summed block CRCs."""
-    from shuttle_spark.operators.integrity import md5_prefix40
+    from shuttle_spark.operators.integrity import checksum
 
     li = load_table(spark, sf, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
-    return li.agg(F.sum(md5_prefix40(key)).cast("long").alias("checksum"))
+    return checksum(li, key)
 
 
 # ===========================================================================
@@ -728,7 +728,7 @@ def q_time_window(spark: SparkSession, sf: str) -> DataFrame:
     "   SELECT user_id, ts, event_id, CASE WHEN"
     "    LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP,"
     "    event_id) IS NULL OR ts::TIMESTAMP - LAG(ts::TIMESTAMP)"
-    "    OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) >="
+    "    OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) >"
     "    INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM events)"
     " ) GROUP BY user_id",
     "B25",
@@ -736,7 +736,10 @@ def q_time_window(spark: SparkSession, sf: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (B25): 30-minute inactivity closes a session.
     Uses Spark's native session_window; the oracle rebuilds the identical
-    gap semantics (new session iff gap >= 30 min) with lag+cumsum."""
+    gap semantics with lag+cumsum.  Boundary rule (pinned by
+    tests/test_operators.py::test_session_gap_boundary_exact_30min): session
+    windows merge when the next event is <= previous end, so a new session
+    starts iff gap is STRICTLY greater than 30 min."""
     ev = load_table(spark, sf, "events")
     per_session = ev.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("sw")
@@ -922,10 +925,36 @@ def q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract("simhash_pairs", None, "B28")
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash(63-bit) near-dups within hamming distance 8, blocked on
-    16-bit chunks.  Deterministic; xxhash64-based, so rows-only."""
+    """SimHash(63-bit) near-dups within hamming distance 8, blocked on 9
+    7-bit chunks (pigeonhole-complete for h<=8).  Deterministic;
+    xxhash64-based, so rows-only — recall completeness is the companion
+    property contract `simhash_recall_ok`."""
     docs = load_table(spark, sf, "documents")
     return N.simhash_near_dup_pairs(docs, max_hamming=8)
+
+
+@contract("simhash_recall_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B28")
+def q_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Property contract: chunk-blocked SimHash pairs EQUAL the brute-force
+    hamming<=8 self-join on a bounded 2000-doc sample (recall is exactly 1.0
+    by pigeonhole — h+1 chunks cannot all differ at hamming <= h), so the
+    check is equality, not a recall floor."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    sh = docs.select(
+        F.col("doc_id").alias("id"), N.simhash(F.col("text")).alias("sh")
+    ).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    exact_n = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= 8)
+        .count()
+    )
+    got_n = N.simhash_near_dup_pairs(docs, max_hamming=8).count()
+    sh.unpersist()
+    return spark.createDataFrame(
+        [(bool(got_n == exact_n), bool(exact_n > 0))],
+        "ok boolean, nonempty boolean",
+    )
 
 
 @contract(
@@ -1557,7 +1586,7 @@ def q_ivf_partial_recall(spark: SparkSession, sf: str) -> DataFrame:
     "stream_keep_latest",
     "SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type"
     " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
-    "   ORDER BY ts DESC, event_id DESC) AS rn FROM events)"
+    "   ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn FROM events)"
     " WHERE rn = 1 AND ts::TIMESTAMP <"
     "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 2 HOUR FROM events)",
     "B8",

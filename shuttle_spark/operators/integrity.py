@@ -9,16 +9,20 @@ expose *query-level* checksums so a pipeline can assert that two stages (or
 two engines) saw the same data.
 
 Cross-engine contract note: DuckDB 1.0 has no crc32(), so the portable
-checksum is a 40-bit prefix of md5 summed over rows — exact, order-
-independent, overflow-safe (sum of 2^40-bit values needs > 2^23 rows to
-overflow int64; guard raises first).  Spark-native crc32/xxhash64 variants are
-also exposed for intra-engine use (they ARE the reference's semantics).
+checksum is a 40-bit prefix of md5 summed over rows.  The sum accumulates in
+DECIMAL(38,0) on BOTH engines (Spark decimal sum / DuckDB HUGEINT cast to
+DECIMAL(38,0)): an int64 accumulator would wrap silently past ~2^23 rows in
+Spark's non-ANSI mode while DuckDB widens to HUGEINT — exactly the scale
+divergence this module exists to catch.  DECIMAL(38,0) holds sums of 2^40-bit
+row hashes exactly up to ~10^26 rows.  Spark-native crc32/xxhash64 variants
+are also exposed for intra-engine use (they ARE the reference's semantics).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class ChecksumMismatch(Exception):
@@ -33,8 +37,12 @@ def md5_prefix40(col: Column) -> Column:
 
 
 def checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:
-    """Order-independent content checksum: sum of md5_prefix40 over rows."""
-    return df.agg(F.sum(md5_prefix40(col)).alias(alias))
+    """Order-independent content checksum: sum of md5_prefix40 over rows,
+    accumulated exactly in DECIMAL(38,0) (no int64 wrap at any row count a
+    38-digit decimal can express — ~10^26 rows)."""
+    return df.agg(
+        F.sum(md5_prefix40(col).cast(T.DecimalType(38, 0))).alias(alias)
+    )
 
 
 def crc32_checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:

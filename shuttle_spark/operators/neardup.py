@@ -53,8 +53,32 @@ def word_ngram_set(text: Column, n: int = 3) -> Column:
 # the engine does too: first caller persists (MEMORY_AND_DISK — spills at
 # 100 TB instead of OOM), later callers reuse.  Keyed by the source
 # DataFrame identity (the catalog returns one object per table), with a
-# strong ref held so id() cannot be recycled.
+# strong ref held so id() cannot be recycled.  LRU-bounded: callers that
+# pass many derived DataFrames (each .filter() is a new identity) evict the
+# oldest entry, which is unpersisted — the cache cannot grow without bound.
 _gram_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_GRAM_CACHE_MAX = 8
+
+
+def clear_gram_cache() -> None:
+    """Unpersist and drop every cached gram-set relation."""
+    for _, (_, cached) in _gram_cache.items():
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _gram_cache.clear()
+
+
+def _gram_cache_put(key: tuple, src: DataFrame, cached: DataFrame) -> None:
+    while len(_gram_cache) >= _GRAM_CACHE_MAX:
+        old_key = next(iter(_gram_cache))
+        _, old = _gram_cache.pop(old_key)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _gram_cache[key] = (src, cached)
 
 
 def gram_sets(
@@ -84,6 +108,8 @@ def gram_sets(
     if reuse:
         hit = _gram_cache.get(key)
         if hit is not None:
+            # LRU touch: move to the back so fan-out reuse keeps it live.
+            _gram_cache[key] = _gram_cache.pop(key)
             return hit[1]
 
     @F.pandas_udf("array<string>")
@@ -110,7 +136,7 @@ def gram_sets(
         from pyspark import StorageLevel
 
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        _gram_cache[key] = (df, out)
+        _gram_cache_put(key, df, out)
     return out
 
 
@@ -334,27 +360,47 @@ def simhash(text: Column) -> Column:
     return _simhash(hashes)
 
 
+def _chunk_exprs(col: Column, n_chunks: int, total_bits: int = 63) -> list[Column]:
+    """Split the low ``total_bits`` of a bigint into ``n_chunks`` contiguous
+    bit ranges (widths differ by at most 1)."""
+    base, extra = divmod(total_bits, n_chunks)
+    out, off = [], 0
+    for j in range(n_chunks):
+        w = base + (1 if j < extra else 0)
+        out.append(F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    return out
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dups: block on the four 16-bit chunks (two fingerprints
-    within hamming distance 3 of each other agree on >= 1 chunk), then exact
-    hamming via bit_count(xor) join-local."""
+    """SimHash near-dups, blocked on ``max_hamming + 1`` bit chunks.
+
+    Pigeonhole guarantee: two 63-bit fingerprints within hamming distance h
+    differ in <= h chunks, so with h+1 chunks at least one chunk is
+    bit-identical — the (chunk_idx, chunk) equi-join therefore has **recall
+    1.0** for any ``max_hamming`` (h=3 -> 4x ~16-bit chunks, h=8 -> 9x 7-bit
+    chunks).  Exact hamming via bit_count(xor) is verified join-local.
+    Recall completeness is contracted (`simhash_recall_ok`) against a
+    brute-force hamming self-join on a bounded sample.
+
+    Scale dial: chunk width is ~63/(h+1) bits and random-collision candidate
+    volume grows as N²/2^width per chunk, so at large N keep h small (h<=3
+    keeps ~16-bit chunks) or compose with a coarser pre-block (length
+    bucket / language / shard) the way `cosine_near_dup_pairs` uses
+    ``block_col``; h=8 at 100 TB needs Manku-style combination blocking."""
+    n_chunks = max_hamming + 1
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     chunked = sh.select(
         "id",
         "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-                    for j in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*_chunk_exprs(F.col("sh"), n_chunks))).alias(
+            "chunk_idx", "chunk"
+        ),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
     return (

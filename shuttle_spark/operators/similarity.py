@@ -188,12 +188,20 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("sim") >= threshold)
 
 
+#: Hard cap on rows `_exact_all_pairs` will pull to the driver for the
+#: broadcast matrix.  250k x 64-dim float64 ≈ 128 MB — comfortably
+#: broadcastable; anything bigger must go through the LSH / IVF /
+#: ``block_col`` paths, which never materialize the corpus on the driver.
+EXACT_ALL_PAIRS_MAX_ROWS = 250_000
+
+
 def _exact_all_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str,
     vec_col: str,
     block_col: str | None = None,
+    max_rows: int = EXACT_ALL_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine via broadcast-matrix block matmul.
 
@@ -202,9 +210,10 @@ def _exact_all_pairs(
     matrix (one numpy matmul) and emits only pairs (id_a < id_b) above the
     threshold.  O(n²) similarities at O(n·d) shuffle cost — zero joins, zero
     exchanges, perfectly parallel over the scan.  This is the *test-scale
-    oracle path* (corpus matrix must fit in executor memory, ~5 GB per 10 M
-    x 128-dim floats); the LSH/IVF paths are the 100 TB story, with this
-    same kernel reused per block when ``block_col`` partitions the corpus.
+    oracle path*: it is SIZE-GUARDED (raises beyond ``max_rows`` instead of
+    silently OOMing the driver); the LSH/IVF paths are the 100 TB story,
+    with this same kernel reused per block when ``block_col`` partitions the
+    corpus.
     """
     import numpy as np
     import pandas as pd
@@ -213,7 +222,12 @@ def _exact_all_pairs(
     sel = [F.col(id_col), F.col(vec_col)]
     if block_col:
         sel.append(F.col(block_col))
-    local = df.select(*sel).toPandas()
+    local = df.select(*sel).limit(max_rows + 1).toPandas()
+    if len(local) > max_rows:
+        raise ValueError(
+            f"exact all-pairs corpus exceeds max_rows={max_rows}; use the "
+            "LSH path (exact=False), IVF, or block_col partitioned scoring"
+        )
     ids_np = local[id_col].to_numpy(dtype=np.int64)
     mat = np.stack(local[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -265,19 +279,26 @@ def ivf_build(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 100_000,
 ) -> tuple[DataFrame, np.ndarray]:
     """Assign every vector to its nearest coarse centroid (one scan).
 
-    Centroids come from a deterministic sample + a few Lloyd iterations run
+    Centroids come from a size-capped sample + a few Lloyd iterations run
     driver-side on the (small) sample — the classic IVF recipe: the *index*
-    is tiny; the *assignment* is the distributed part.  Returns (df +
-    ``cell`` column, centroids array).
+    is tiny; the *assignment* is the distributed part.  The training
+    collect is bounded by ``max_train_rows`` (and optionally thinned first
+    by ``sample_fraction``), so the driver never materializes the full
+    corpus: centroid quality only moves the recall dial, never correctness
+    (`ivf_full_probe_topk` equals brute force for ANY centroids).  Returns
+    (df + ``cell`` column, centroids array).
     """
     sample = df.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=_SEED)
-    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    mat = np.stack(
+        sample.limit(max_train_rows).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
     rng = np.random.RandomState(_SEED)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(5):  # Lloyd iterations on the sample (driver-side, tiny)

@@ -10,6 +10,8 @@ from shuttle_spark.operators import dedup as D
 from shuttle_spark.operators import integrity as I
 from shuttle_spark.operators import relational as R
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_reference_golden_smoke(spark):
     """The reference's canonical E2E test: 1..10000, repartition(10),
@@ -94,3 +96,83 @@ def test_setops(spark):
     assert sorted(r.v for r in R.intersect(a, b).collect()) == [2, 3]
     assert sorted(r.v for r in R.except_all(a, b).collect()) == [1, 2]
     assert R.union_all(a, b).count() == 7
+
+
+def test_session_gap_boundary_exact_30min(spark):
+    """Pin Spark's session_window boundary rule so both DuckDB oracles
+    (batch sessionize + stream_sessionize) encode the same semantics:
+    session windows MERGE an event at exactly t == last + gap (closed
+    boundary — measured, not assumed), so a new session starts iff the gap
+    is STRICTLY greater than the session gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),  # gap == 30min -> MERGES
+        (1, base + dt.timedelta(minutes=60, seconds=1)),  # 30:01 -> NEW
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(r.n for r in sess) == [1, 2]
+
+
+def test_simhash_chunk_blocking_complete(spark):
+    """Pigeonhole completeness of the generalized chunk blocking: for
+    max_hamming=8 (9 chunks) the blocked operator equals the brute-force
+    hamming self-join on a small corpus."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.operators import neardup as N
+
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet").filter(F.col("doc_id") < 600)
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"), N.simhash(F.col("text")).alias("sh")
+    ).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= 8)
+        .count()
+    )
+    got = N.simhash_near_dup_pairs(docs, max_hamming=8).count()
+    sh.unpersist()
+    assert got == exact
+
+
+def test_exact_all_pairs_size_guard(spark):
+    """The broadcast-matrix exact path refuses corpora beyond its cap
+    instead of collecting them to the driver."""
+    import pytest
+
+    from shuttle_spark.operators import similarity as S
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_rows"):
+        S._exact_all_pairs(
+            emb, 0.4, "vec_id", "embedding", max_rows=10
+        ).count()
+
+
+def test_gram_cache_bounded(spark):
+    """The gram-set cache evicts (and unpersists) beyond its LRU bound."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.operators import neardup as N
+
+    N.clear_gram_cache()
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(50)
+    for i in range(N._GRAM_CACHE_MAX + 3):
+        d = docs.filter(F.col("doc_id") >= i)  # new DataFrame identity
+        N.gram_sets(d).count()
+    assert len(N._gram_cache) <= N._GRAM_CACHE_MAX
+    N.clear_gram_cache()
+    assert not N._gram_cache
