@@ -45,14 +45,43 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    families: dict[str, float] = {}
+    for name, secs in timings.items():
+        fam = (REGISTRY[name].tags or ("other",))[0]
+        families[fam] = round(families.get(fam, 0.0) + secs, 2)
+
+    full = {
+        "metric": "contract_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "families": families,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # Full per-query record -> file (the driver's stdout capture keeps only a
+    # tail, which truncated round 1's single long line into unparseable JSON).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    # LAST line is compact (summary + slowest 15) so a tail capture always
+    # ends with one short, complete, spec-shaped JSON line.
+    slowest = dict(
+        sorted(((k, round(v, 2)) for k, v in timings.items()),
+               key=lambda kv: -kv[1])[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "contract_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
+                "n_queries": len(timings),
+                "families": families,
+                "full": "BENCH_FULL.json",
             }
         )
     )

@@ -1,0 +1,85 @@
+"""Fault-injection parity (SURVEY §5): the engine twin of the reference's
+canonical resilience tests — worker restart mid-job
+(/root/reference/src/test/scala/org/apache/spark/shuffle/
+Ors2ShuffleManagerTest.scala:114-126) and probabilistic injected read errors
+(Ors2Config.scala:272-276 mockErrorProbability).
+
+On our engine, the recovery machinery is Spark's task retry: a map-stage
+task that fails on its first attempt is re-run, and its re-run must not
+duplicate or lose rows (exactly-once results).  The test injects a
+deterministic first-attempt failure into the map stage of a shuffle
+aggregation via TaskContext.attemptNumber() and asserts the result is
+bit-identical to the clean run.
+
+Runs in a subprocess because task retries need a `local[N, maxFailures]`
+master, and the suite's shared session is already up with local[*].
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+_SCRIPT = textwrap.dedent(
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8, 2]")  # 2 task attempts
+        .appName("fault-injection")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    fail_state = {"done": False}
+
+    def passthrough_fail_first(it):
+        tc = TaskContext.get()
+        if tc.attemptNumber() == 0 and tc.partitionId() == 0:
+            raise RuntimeError("injected first-attempt failure")
+        for pdf in it:
+            yield pdf
+
+    def agg(df):
+        return (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+                F.sum(
+                    F.xxhash64("l_orderkey", "l_linenumber").cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    clean = [tuple(r) for r in agg(li).collect()]
+    injected = [
+        tuple(r)
+        for r in agg(li.mapInPandas(passthrough_fail_first, li.schema)).collect()
+    ]
+    assert clean == injected, ("retry changed results", clean, injected)
+    assert clean, "empty result"
+    print("FAULT_PARITY_OK")
+    spark.stop()
+    """
+)
+
+
+def test_injected_task_failure_is_exactly_once():
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "FAULT_PARITY_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])

@@ -176,3 +176,37 @@ def test_gram_cache_bounded(spark):
     assert len(N._gram_cache) <= N._GRAM_CACHE_MAX
     N.clear_gram_cache()
     assert not N._gram_cache
+
+
+def test_connected_components_known_graph(spark):
+    """large-star/small-star fixpoint on a constructed graph: a 4-chain, a
+    triangle sharing no nodes, and an isolated pair."""
+    from shuttle_spark.operators import components as CC
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {(r.node, r.comp) for r in CC.connected_components(pairs).collect()}
+    want = (
+        {(n, 1) for n in (1, 2, 3, 4)}
+        | {(n, 10) for n in (10, 11, 12)}
+        | {(n, 20) for n in (20, 21)}
+    )
+    assert got == want
+
+
+def test_cluster_dedup_transitive(spark):
+    """a~b and b~c collapse to ONE survivor even though a!~c pairwise."""
+    from shuttle_spark.operators import components as CC
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in CC.cluster_dedup(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4]
