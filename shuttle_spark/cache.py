@@ -1,0 +1,58 @@
+"""Session-scoped persisted-DataFrame caches.
+
+Several contract families fan out from one expensive staged relation (the
+(id, grams) shingle sets; the exact near-dup pair list; the IVF-indexed
+corpus).  A real pipeline materializes such a relation once and reuses it;
+the engine mirrors that with small LRU caches of persisted DataFrames.
+
+Keys include the source DataFrame's identity — ``id(df)`` with a strong
+reference held to the source so the id cannot be recycled — plus every
+parameter that changes the result.  Bounded: inserting beyond ``max_size``
+unpersists and drops the least-recently-used entry, so derived-DataFrame
+callers (each ``.filter()`` is a new identity) cannot grow the cache without
+bound.  MEMORY_AND_DISK: at 100 TB a hot staged relation spills instead of
+OOMing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class DFCache:
+    """LRU cache of persisted DataFrames keyed by (source identity, params)."""
+
+    def __init__(self, max_size: int = 8) -> None:
+        self.max_size = max_size
+        self._entries: dict[tuple, tuple[object, DataFrame]] = {}
+
+    def get(self, key: tuple) -> DataFrame | None:
+        hit = self._entries.get(key)
+        if hit is None:
+            return None
+        self._entries[key] = self._entries.pop(key)  # LRU touch
+        return hit[1]
+
+    def put(self, key: tuple, source: object, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        while len(self._entries) >= self.max_size:
+            _, old = self._entries.pop(next(iter(self._entries)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._entries[key] = (source, df)
+        return df
+
+    def clear(self) -> None:
+        for _, df in self._entries.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._entries.clear()
+
+    def __len__(self) -> int:
+        return len(self._entries)

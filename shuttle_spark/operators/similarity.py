@@ -273,6 +273,23 @@ def _exact_all_pairs(
 # centroids partition the corpus; queries probe only the nearest cells.
 # ---------------------------------------------------------------------------
 
+# Session cache of built indexes: (source df identity, params) ->
+# (source ref, persisted indexed df, centroids).  An IVF index exists to be
+# probed many times; rebuilding it per query would repeat the training
+# collect and the assignment scan.  LRU-bounded, evicted entries unpersist.
+_ivf_cache: dict[tuple, tuple[DataFrame, DataFrame, np.ndarray]] = {}
+_IVF_CACHE_MAX = 4
+
+
+def clear_ivf_cache() -> None:
+    for _, cached, _ in _ivf_cache.values():
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    _ivf_cache.clear()
+
+
 def ivf_build(
     df: DataFrame,
     dim: int,
@@ -281,6 +298,7 @@ def ivf_build(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     max_train_rows: int = 100_000,
+    reuse: bool = True,
 ) -> tuple[DataFrame, np.ndarray]:
     """Assign every vector to its nearest coarse centroid (one scan).
 
@@ -293,6 +311,14 @@ def ivf_build(
     (`ivf_full_probe_topk` equals brute force for ANY centroids).  Returns
     (df + ``cell`` column, centroids array).
     """
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        id(df), id_col, vec_col, n_cells, sample_fraction, max_train_rows,
+    )
+    if reuse and key in _ivf_cache:
+        _ivf_cache[key] = _ivf_cache.pop(key)  # LRU touch
+        _, indexed, cents = _ivf_cache[key]
+        return indexed, cents.copy()
     sample = df.select(vec_col)
     if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=_SEED)
@@ -316,7 +342,19 @@ def ivf_build(
         d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         return pd.Series(d.argmin(1).astype(np.int32))
 
-    return df.withColumn("cell", nearest_cell(F.col(vec_col))), centroids
+    indexed = df.withColumn("cell", nearest_cell(F.col(vec_col)))
+    if reuse:
+        from pyspark import StorageLevel
+
+        while len(_ivf_cache) >= _IVF_CACHE_MAX:
+            _, old, _ = _ivf_cache.pop(next(iter(_ivf_cache)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        indexed = indexed.persist(StorageLevel.MEMORY_AND_DISK)
+        _ivf_cache[key] = (df, indexed, centroids.copy())
+    return indexed, centroids
 
 
 def ivf_topk(
