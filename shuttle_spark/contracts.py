@@ -744,6 +744,137 @@ def q_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "compact_roundtrip_checksum",
+    "SELECT COUNT(*) AS cnt,"
+    " CAST(SUM(CAST('0x' || SUBSTR(md5("
+    "  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)"
+    " ), 1, 10) AS BIGINT)) AS DECIMAL(38,0)) AS checksum,"
+    " TRUE AS compacted FROM lineitem",
+    "B23",
+    "sink",
+)
+def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction under the oracle gate — the reference's
+    founding problem (convert M*R small random IO into few sequential
+    streams, README.md:7, ShufflePartitionUnsafeWriter's one-file-per-
+    partition merge) restated at the storage layer: a 64-file landing zone
+    is rewritten to ~one sequential file, and the compacted copy must
+    checksum identical to the source table.  `compacted` asserts the file
+    count actually dropped."""
+    import glob
+    import os
+    import tempfile
+
+    from shuttle_spark.operators.integrity import md5_prefix40
+    from shuttle_spark.sources import io as IO
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"shuttle_compact_{os.path.basename(sf.rstrip('/'))}",
+    )
+    src, dst = base + "/landing", base + "/compacted"
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    n_src = len(glob.glob(src + "/*.parquet"))
+    written = IO.compact(spark, src, dst, target_file_bytes=1 << 30)
+    back = IO.read(spark, dst)
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_suppkey").cast("string")
+    )
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum(md5_prefix40(key).cast(T.DecimalType(38, 0))).alias("checksum"),
+        F.lit(bool(written < n_src)).alias("compacted"),
+    )
+
+
+@contract("freq_items_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B22")
+def q_freq_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate frequent-items sketch (Karp-Papadimitriou-Shenker via
+    DataFrame.stat.freqItems): guaranteed to CONTAIN every item with
+    frequency above the support threshold (false positives allowed, no
+    false negatives).  Property: the exact heavy hitters of
+    o_orderpriority at support 0.1 are all present in the sketch result."""
+    orders = load_table(spark, sf, "orders")
+    n = orders.count()
+    exact = {
+        r.o_orderpriority
+        for r in orders.groupBy("o_orderpriority")
+        .count()
+        .filter(F.col("count") > 0.1 * n)
+        .collect()
+    }
+    sketch = set(
+        orders.stat.freqItems(["o_orderpriority"], support=0.1).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(bool(exact <= sketch), bool(exact))],
+        "ok boolean, nonempty boolean",
+    )
+
+
+@contract(
+    "stratified_sample_ok",
+    "SELECT TRUE AS ok, TRUE AS deterministic",
+    "ext",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions, seeded.
+    Property: each stratum's sampled count is within 4 sigma of its
+    binomial expectation, and the same seed reproduces the identical row
+    set (determinism is what makes seeded samples safe to join against)."""
+    li = load_table(spark, sf, "lineitem")
+    fracs = {"A": 0.2, "N": 0.05, "R": 0.1}
+    s1 = li.sampleBy("l_returnflag", fractions=fracs, seed=7)
+    got = {
+        r.l_returnflag: r.cnt
+        for r in s1.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    totals = {
+        r.l_returnflag: r.cnt
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    ok = True
+    for k, f in fracs.items():
+        n = totals[k]
+        mu, sigma = n * f, (n * f * (1 - f)) ** 0.5
+        ok = ok and abs(got.get(k, 0) - mu) <= 4 * sigma
+    same = (
+        s1.select("l_orderkey", "l_linenumber")
+        .exceptAll(
+            li.sampleBy("l_returnflag", fractions=fracs, seed=7).select(
+                "l_orderkey", "l_linenumber"
+            )
+        )
+        .count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [(bool(ok), bool(same))], "ok boolean, deterministic boolean"
+    )
+
+
+@contract("multimodal_featurize_topk", None, "B29", "multimodal")
+def q_multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal pipeline end-to-end under the driver gate (rows-only:
+    the featurizer is the documented deterministic stub — no media libs in
+    this container — but every Spark-side stage is production-shaped):
+    synthesize binary payloads + metadata structs, decode+featurize via
+    Arrow `mapInPandas` (no shuffle of payloads), then bridge into the ANN
+    operator for a cosine top-10 over the feature embeddings."""
+    from shuttle_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    media = M.synthesize_media(docs, width=16, height=16)
+    feats = M.extract_features(media, dim=16)
+    q = feats.filter(F.col("media_id") == 0).head()
+    out = S.brute_force_topk(
+        feats, [float(x) for x in q[1]], 10, id_col="media_id"
+    )
+    return out.select("media_id", F.round("sim", 6).alias("sim"))
+
+
 # ===========================================================================
 # B24-B25: time windows + sessionization (batch equivalents; streaming twins
 # live in shuttle_spark/streaming and must equal these — tests enforce it)
@@ -1830,6 +1961,65 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         joined, f"ssj_{abs(hash(sf)) % 99999}", shuffle_partitions=4
     )
     return out.select("user_id", "l_id", "r_id")
+
+
+@contract(
+    "global_pctrank_distributed",
+    "SELECT p_partkey, ROUND(PERCENT_RANK() OVER"
+    " (ORDER BY p_retailprice, p_partkey), 9) AS pct_rank FROM part",
+    "B18",
+)
+def q_global_pctrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PERCENT_RANK (B18 scale path): range-bucket two-pass
+    ranking + (rank-1)/(N-1) — no single-partition window anywhere (the
+    deliberate single-partition form is window_ntile_pctrank; this is the
+    100 TB plan).  Total order via (value, key) so rank == row_number and
+    the result equals SQL PERCENT_RANK bit-for-bit."""
+    part = load_table(spark, sf, "part")
+    out = R.global_percent_rank(
+        part, "p_retailprice", [F.col("p_retailprice"), F.col("p_partkey")]
+    )
+    return out.select("p_partkey", F.round("pct_rank", 9).alias("pct_rank"))
+
+
+@contract("stream_dedup_dup_count", "SELECT COUNT(*) AS cnt FROM events", "B7")
+def q_stream_dedup_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup under the oracle gate: the events file is staged
+    TWICE into the stream source (every event arrives as a duplicate), and
+    `dropDuplicatesWithinWatermark` on event_id must emit each event
+    exactly once — the live twin of the reference's duplicate-block
+    seen-set (ShufflePartitionReader.java:378-393, replayed map attempts
+    dropped on read).  Exact because a duplicate pair shares its event
+    time, so it is always inside the watermark window."""
+    import os
+    import tempfile
+
+    from shuttle_spark.catalog import table_path
+    from shuttle_spark.streaming import run_available_now
+    from shuttle_spark.streaming.core import EVENTS_RAW_SCHEMA
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"events_dup_{os.path.basename(sf.rstrip('/'))}",
+    )
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        for i in range(2):
+            os.symlink(
+                table_path(sf, "events"), os.path.join(d, f"events-{i}.parquet")
+            )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_available_now(
+        stream, f"sdd_{abs(hash(sf)) % 99999}", shuffle_partitions=4
+    )
+    return out.agg(F.count("*").alias("cnt"))
 
 
 @contract(

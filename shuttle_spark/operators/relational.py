@@ -391,3 +391,29 @@ def global_rank(
         .withColumn(alias, (F.row_number().over(w_local) + F.col("__off")).cast("long"))
         .drop("__bucket", "__off")
     )
+
+
+def global_percent_rank(
+    df: DataFrame,
+    range_col: str,
+    order: Sequence[Column | str],
+    alias: str = "pct_rank",
+    buckets: int = 32,
+) -> DataFrame:
+    """Distributed PERCENT_RANK — same two-pass range ranking as
+    `global_rank` (no single-partition window), normalized to
+    (rank - 1) / (N - 1).
+
+    Requires a total order (``order`` must be unique, e.g. value + key
+    tiebreak) so rank == row_number and the result matches SQL
+    PERCENT_RANK exactly; N comes from one extra metadata-cheap count.
+    This is the scale path for B18's percent_rank, whose naive form is a
+    global single-partition window (window_ntile_pctrank documents that
+    deliberately; this operator is what you run at 100 TB).
+    """
+    n = df.count()
+    ranked_df = global_rank(df, range_col, order, alias="__rn", buckets=buckets)
+    denom = max(n - 1, 1)
+    return ranked_df.withColumn(
+        alias, (F.col("__rn") - 1).cast("double") / F.lit(float(denom))
+    ).drop("__rn")

@@ -158,3 +158,58 @@ def read_stream(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] | None = None,
+    sort_within_by: Sequence[str] | None = None,
+    schema: T.StructType | str | None = None,
+) -> int:
+    """Compact a directory of many small files into few sequential ones.
+
+    This IS the reference's founding problem restated at the storage layer:
+    shuttle exists to convert M*R small random shuffle reads into large
+    sequential ones by merging per-partition streams into one file per
+    partition (README.md:7, docs/server-high-level-design.md:48-55;
+    ShufflePartitionUnsafeWriter appends blocks to a single partition file).
+    A landing zone written by many tasks/micro-batches has the same disease
+    — thousands of KB-sized files whose open/seek cost dominates — and the
+    same cure: rewrite into ~``target_file_bytes`` sequential files.
+
+    Scale mechanics: file count is derived from the source's actual byte
+    size (cheap FS listing, no data pass).  The rewrite is one
+    ``repartition(n)`` round-robin exchange — no key skew possible — and
+    optional ``sort_within_by`` clusters rows inside each output file so
+    parquet row-group min/max stats prune later scans (data skipping
+    without any index).  With ``partition_by`` the layout stays Hive-
+    partitioned.  Returns the number of files written.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, int(total // target_file_bytes) + (1 if total % target_file_bytes else 0))
+
+    df = read(spark, src_path, fmt, schema=schema)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    writer = out.write.format(fmt.lower()).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(dst_path)
+
+    dpath = jvm.org.apache.hadoop.fs.Path(dst_path)
+    it = fs.listFiles(dpath, True)
+    written = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            written += 1
+    return written

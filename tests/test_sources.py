@@ -164,3 +164,51 @@ def test_python_datasource_stream_equals_batch(spark):
     # and it feeds the engine's aggregation operators directly
     agg = got.groupBy("event_type").agg(F.count("*").alias("cnt"))
     assert agg.count() == 5
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny files -> few sequential files, content-identical (the
+    reference's small-random-IO -> sequential-IO merge at the storage
+    layer), with optional sort-on-write clustering for data skipping."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.sources import io as IO
+
+    src = str(tmp_path / "landing")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 20_000).withColumn("k", F.col("id") % 64)
+    # simulate a landing zone: 64 tiny files
+    df.repartition(64).write.parquet(src)
+    import glob
+
+    n_src = len(glob.glob(src + "/*.parquet"))
+    assert n_src >= 32
+
+    written = IO.compact(
+        spark, src, dst, target_file_bytes=1 << 30, sort_within_by=["id"]
+    )
+    assert written == 1  # tiny data -> one sequential file
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert (
+        back.agg(F.sum("id")).collect()[0][0]
+        == df.agg(F.sum("id")).collect()[0][0]
+    )
+
+    # sort-on-write clustering: row-group min/max of `id` are tight, so a
+    # point-range filter could skip row groups (data skipping w/o an index)
+    import pyarrow.parquet as pq
+
+    f = glob.glob(dst + "/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    ranges = []
+    for rg in range(md.num_row_groups):
+        col = next(
+            md.row_group(rg).column(i)
+            for i in range(md.row_group(rg).num_columns)
+            if md.row_group(rg).column(i).path_in_schema == "id"
+        )
+        ranges.append((col.statistics.min, col.statistics.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint -> skippable
