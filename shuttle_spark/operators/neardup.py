@@ -166,9 +166,20 @@ def near_dup_pairs_exact(
         "id", F.size("grams").alias("ng"), F.explode("grams").alias("g")
     )
     if max_df is not None:
+        # NO static broadcast: the keep set is the distinct gram vocabulary,
+        # which grows with the corpus (measured 29.6 GiB at a 100x stress —
+        # a forced broadcast is a driver OOM at scale).  Under the merge
+        # hint AQE still converts to broadcast at runtime when the built
+        # side is actually small.
         keep = inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
-        inv = inv.join(F.broadcast(keep), "g")
-    a, b = inv.alias("a"), inv.alias("b")
+        inv = inv.join(keep.hint("merge"), "g")
+    # Candidate self-joins must never be planned as static broadcasts:
+    # Catalyst's size estimate under union/explode/UDF chains is unreliable
+    # (the same 100x stress saw the banded relation estimated broadcastable
+    # while materializing to tens of GiB).  hint("merge") pins sort-merge —
+    # AQE still skew-splits hot keys and can runtime-convert truly small
+    # sides.
+    a, b = inv.alias("a").hint("merge"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
@@ -288,7 +299,9 @@ def minhash_candidates(
         *carry,
         F.posexplode(lsh_band_keys(F.col("sig"), bands, r)).alias("band_idx", "band_key"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # merge hint: see near_dup_pairs_exact — a banded self-join side
+    # (candidates × carried gram arrays) must never be a static broadcast.
+    a, b = banded.alias("a").hint("merge"), banded.alias("b")
     return (
         a.join(
             b,
@@ -401,7 +414,9 @@ def simhash_near_dup_pairs(
             "chunk_idx", "chunk"
         ),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
+    # merge hint: see near_dup_pairs_exact — no static broadcast of a
+    # corpus-sized self-join side.
+    a, b = chunked.alias("a").hint("merge"), chunked.alias("b")
     return (
         a.join(
             b,

@@ -139,7 +139,10 @@ def lsh_candidate_pairs(
     banded = add_lsh_bands(df, dim, vec_col, n_planes, bands).select(
         F.col(id_col), F.col(vec_col), F.posexplode("bands").alias("band_idx", "band_key")
     )
-    a = banded.alias("a")
+    # merge hint: a banded self-join side (vectors ride the shuffle) must
+    # never be a static broadcast — Catalyst size estimates under
+    # UDF+explode chains are unreliable (see neardup.near_dup_pairs_exact).
+    a = banded.alias("a").hint("merge")
     b = banded.alias("b")
     pairs = (
         a.join(

@@ -28,6 +28,14 @@ from pyspark.sql import SparkSession
 # is what makes these settings scale-portable (at 100 TB you raise
 # initialPartitionNum, not rewrite queries).
 _DEFAULTS = {
+    # local[N] is a single JVM: driver heap IS executor memory.  Spark's
+    # 1g default OOMs the first serious broadcast/state at stress scale on
+    # this 128 GiB box; size like an executor, leave room for Python
+    # workers (Arrow UDFs) and the OS page cache.  SPARK_GRAFT_DRIVER_MEM
+    # overrides; ignored (with the rest of first-session conf) if a
+    # session already exists.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "8g",
     # AQE: runtime re-planning replaces the reference's static
     # worker-count/group heuristics (Ors2ShuffleManager.scala:372-413).
     "spark.sql.adaptive.enabled": "true",

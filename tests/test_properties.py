@@ -136,3 +136,45 @@ def test_as_of_join_matches_reference(spark, left, right):
         # engine tiebreak: the right row latest in (ts, insertion) order wins
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, k, t, cands)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_connected_components_match_union_find(spark, edges):
+    """large-star/small-star fixpoint == a reference union-find on random
+    graphs (self-loops and duplicate/reversed edges included on purpose)."""
+    from shuttle_spark.operators import components as CC
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        (r.node, r.comp)
+        for r in CC.connected_components(pairs, max_iter=40).collect()
+    }
+
+    # reference union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
