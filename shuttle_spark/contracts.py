@@ -855,6 +855,40 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "chunk_text_stats",
+    "WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "  FROM documents),"
+    " toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),"
+    " chunks AS (SELECT doc_id,"
+    "   array_to_string(w[i.s::BIGINT + 1 : i.s::BIGINT + 32], ' ') AS chunk"
+    "  FROM toks, LATERAL (SELECT UNNEST(RANGE(0, GREATEST(LEN(w), 1), 16))"
+    "   AS s) i)"
+    " SELECT COUNT(*) AS n_chunks,"
+    "  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,"
+    "  CAST(SUM(LEN(STRING_SPLIT(chunk, ' '))) AS BIGINT) AS sum_tokens"
+    " FROM chunks",
+    "B30",
+)
+def q_chunk_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (LLM training-data prep): 32-token windows
+    every 16 tokens per document, exploded and aggregated — chunk count,
+    docs covered, and total tokens emitted.  Oracle rebuilds the identical
+    windowing with RANGE + list slicing."""
+    docs = load_table(spark, sf, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(TX.token_chunks(F.col("text"), 32, 16)).alias("chunk"),
+    )
+    return chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("chunk"), " "))).cast("long").alias(
+            "sum_tokens"
+        ),
+    )
+
+
 @contract("multimodal_featurize_topk", None, "B29", "multimodal")
 def q_multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
     """The multimodal pipeline end-to-end under the driver gate (rows-only:

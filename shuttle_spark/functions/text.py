@@ -155,3 +155,23 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     convenience form — inside operators prefer the two-step
     tokenize-project + ``ngrams_from_tokens`` (see that docstring)."""
     return ngrams_from_tokens(tokens(text), n)
+
+
+def token_chunks(text: Column, size: int = 32, stride: int = 16) -> Column:
+    """Overlapping token-window chunks — the canonical LLM training-data
+    chunker: windows of ``size`` tokens starting every ``stride`` tokens
+    (one chunk per start offset < n_tokens; trailing windows truncate).
+
+    array<string>, each element a space-joined window.  Pure JVM expression
+    tree (sequence/slice/array_join) with a DuckDB twin
+    (RANGE + list slice + array_to_string), so it sits under an oracle
+    contract.  At 100 TB the same windowing belongs in an Arrow
+    `mapInPandas` stage like `neardup.gram_sets` (Catalyst interprets
+    higher-order lambdas per element); the semantics here are the contract
+    either implementation must meet.
+    """
+    toks = tokens(text)
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, size), " ")
+    )

@@ -178,3 +178,69 @@ def test_connected_components_match_union_find(spark, edges):
                 parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in nodes}
     assert got == want
+
+
+vals_strategy = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],  # unique uid -> total order well-defined
+)
+
+
+@given(rows=vals_strategy)
+@SLOW
+def test_global_rank_matches_sorted_reference(spark, rows):
+    """Range-bucket distributed rank == rank in a plain Python sort, for
+    arbitrary (skewed, duplicate-heavy) value distributions."""
+    df = spark.createDataFrame(rows, "v int, uid int")
+    out = {
+        r.uid: r.rn
+        for r in R.global_rank(
+            df, "v", [F.col("v"), F.col("uid")], buckets=5
+        ).collect()
+    }
+    want = {
+        uid: i + 1
+        for i, (v, uid) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert out == want
+
+
+@given(rows=vals_strategy)
+@SLOW
+def test_global_pctrank_matches_reference(spark, rows):
+    df = spark.createDataFrame(rows, "v int, uid int")
+    out = {
+        r.uid: r.pct_rank
+        for r in R.global_percent_rank(
+            df, "v", [F.col("v"), F.col("uid")], buckets=5
+        ).collect()
+    }
+    n = len(rows)
+    want = {
+        uid: (i / (n - 1) if n > 1 else 0.0)
+        for i, (v, uid) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    for uid, pct in want.items():
+        assert abs(out[uid] - pct) < 1e-12
+
+
+@given(
+    words=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=40),
+    size=st.integers(1, 8),
+    stride=st.integers(1, 8),
+)
+@SLOW
+def test_token_chunks_match_reference(spark, words, size, stride):
+    """JVM chunking expression == the obvious Python windowing."""
+    from shuttle_spark.functions import text as TX
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(TX.token_chunks(F.col("text"), size, stride).alias("c")).collect()[0].c
+    toks = text.split(" ") if text else [""]
+    want = [
+        " ".join(toks[s : s + size]) for s in range(0, len(toks), stride)
+    ]
+    assert got == want
