@@ -1210,6 +1210,29 @@ def q_cluster_dedup_count(spark: SparkSession, sf: str) -> DataFrame:
     return CC.cluster_dedup(docs, pairs).agg(F.count("*").alias("cnt"))
 
 
+@contract(
+    "incremental_near_dup",
+    _NGRAM_ORACLE_BODY.replace(
+        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter FROM grams a\n"
+        "           JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)",
+        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter FROM grams a"
+        " JOIN grams b ON a.g = b.g AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"
+        " GROUP BY 1, 2)",
+    )
+    + "SELECT id_a AS id_new, id_b AS id_corpus, jac FROM jac WHERE jac >= 0.6",
+    "B28",
+)
+def q_incremental_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup join (B28, daily-ingest shape): near-dup pairs
+    between a NEW batch (odd doc_ids) and the EXISTING corpus (even
+    doc_ids) only — no corpus x corpus candidate work; the corpus inverted
+    index is the staged relation a pipeline keeps warm between batches."""
+    docs = load_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return N.near_dup_pairs_between(new, corpus, 0.6, n=3)
+
+
 @contract("minhash_lsh_pairs", None, "B28")
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(128)+LSH(32x4) near-dup pairs verified join-local with exact

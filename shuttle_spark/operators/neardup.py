@@ -203,6 +203,71 @@ def near_dup_pairs_exact(
     return out
 
 
+def near_dup_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup join: exact Jaccard pairs between a NEW batch
+    and an EXISTING corpus only (no corpus x corpus work) — the daily-
+    ingest shape of a training-data pipeline, where the corpus side's
+    inverted index is a staged relation (gram_sets session cache /
+    persisted table) and each new batch pays only new x corpus candidate
+    cost.  Output: (id_new, id_corpus, jac >= tau)."""
+    ga = gram_sets(new_df, id_col, text_col, n)
+    gb = gram_sets(corpus_df, id_col, text_col, n)
+    inv_a = ga.select("id", F.size("grams").alias("na"), F.explode("grams").alias("g"))
+    inv_b = gb.select("id", F.size("grams").alias("nb"), F.explode("grams").alias("g"))
+    if max_df is not None:
+        keep = (
+            inv_b.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
+        )
+        inv_a = inv_a.join(keep.hint("merge"), "g")
+        inv_b = inv_b.join(keep.hint("merge"), "g")
+    shared = (
+        inv_a.alias("a")
+        .hint("merge")  # corpus-derived sides: never a static broadcast
+        .join(inv_b.alias("b"), F.col("a.g") == F.col("b.g"))
+        .groupBy(
+            F.col("a.id").alias("id_new"),
+            F.col("b.id").alias("id_corpus"),
+            F.col("a.na").alias("na"),
+            F.col("b.nb").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.withColumn(
+            "jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .filter(F.col("jac") >= tau)
+        .select("id_new", "id_corpus", F.round("jac", 6).alias("jac"))
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Admit only the new docs that near-duplicate nothing in the corpus —
+    the incremental admission filter (corpus stays authoritative; new-batch
+    internal dups are a separate `near_dup_dedup` pass)."""
+    hits = near_dup_pairs_between(
+        new_df, corpus_df, tau, id_col, text_col, n, max_df
+    )
+    losers = hits.select(F.col("id_new").alias(id_col)).distinct()
+    return new_df.join(losers, id_col, "left_anti")
+
+
 def near_dup_dedup(
     df: DataFrame,
     tau: float,

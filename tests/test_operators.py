@@ -210,3 +210,25 @@ def test_cluster_dedup_transitive(spark):
         r.doc_id for r in CC.cluster_dedup(docs, pairs).collect()
     )
     assert kept == [0, 3, 4]
+
+
+def test_dedup_against_corpus(spark):
+    """Incremental admission: a new doc duplicating the corpus is dropped;
+    a novel one passes; corpus is never modified."""
+    from shuttle_spark.operators import neardup as N
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),  # dup
+            (3, "completely different content about spark shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in N.dedup_against_corpus(new, corpus, 0.6).collect()
+    )
+    assert kept == [3]
