@@ -37,6 +37,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-timezone TIMESTAMP at microsecond grain.
+
+    The driver has shipped two physical encodings across rounds:
+    epoch-nanos int64 (parquet TIMESTAMP(NANOS) under nanosAsLong) and
+    plain parquet timestamp[us] (read by Spark as TIMESTAMP_NTZ).  Both map
+    to the same instant DuckDB sees via ``ts::TIMESTAMP`` — nanos floor to
+    micros; NTZ wall-clock is interpreted in the UTC session timezone.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -50,12 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as epoch-nanos long (see session.py nanosAsLong);
-        # floor-truncate to microseconds = DuckDB's timestamp_ns->timestamp
-        # cast, so both engines see the identical instant.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     _df_cache[key] = df
     return df
 

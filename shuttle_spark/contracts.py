@@ -17,10 +17,12 @@ cross-engine agreement*:
 * **Total order** — every LIMIT query orders by a unique key prefix so both
   engines pick the identical row set; non-LIMIT queries need no order (the
   driver's hash is order-insensitive).
-* **Timestamps** — ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it
-  as epoch-nanos and the catalog floors to microseconds
-  (catalog.load_table); oracles use ``ts::TIMESTAMP`` which floors
-  identically in DuckDB.
+* **Timestamps** — ``events.ts`` has shipped as parquet TIMESTAMP(NANOS)
+  (epoch-nanos long under nanosAsLong) and as timestamp[us] (TIMESTAMP_NTZ)
+  in different testdata rounds; ``catalog.normalize_events_ts`` adapts by
+  schema so Spark always sees microsecond-grain session-TZ timestamps, and
+  oracles use ``ts::TIMESTAMP`` which lands on the identical instant in
+  DuckDB for both encodings.
 
 The operator surface mirrors what the reference's shuffle service exists to
 serve (SURVEY §2.A→§2.B): every contract below induces the exchange /
@@ -2053,7 +2055,7 @@ def q_stream_dedup_dup(spark: SparkSession, sf: str) -> DataFrame:
 
     from shuttle_spark.catalog import table_path
     from shuttle_spark.streaming import run_available_now
-    from shuttle_spark.streaming.core import EVENTS_RAW_SCHEMA
+    from shuttle_spark.streaming.core import events_raw_schema
 
     d = os.path.join(
         tempfile.gettempdir(),
@@ -2065,13 +2067,14 @@ def q_stream_dedup_dup(spark: SparkSession, sf: str) -> DataFrame:
             os.symlink(
                 table_path(sf, "events"), os.path.join(d, f"events-{i}.parquet")
             )
+    from shuttle_spark.catalog import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_raw_schema(sf)).parquet(d)
+    )
+    stream = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
     out = run_available_now(
         stream, f"sdd_{abs(hash(sf)) % 99999}", shuffle_partitions=4

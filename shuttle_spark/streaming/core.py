@@ -39,20 +39,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from shuttle_spark.catalog import table_path
+from shuttle_spark.catalog import normalize_events_ts, table_path
 
-# events.ts is parquet TIMESTAMP(NANOS) read as epoch-nanos long
-# (session.py nanosAsLong); the stream schema must match the physical read.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_raw_schema(sf_dir: str) -> T.StructType:
+    """Stream-source schema matching the physical events parquet.
+
+    The driver has shipped events.ts as parquet TIMESTAMP(NANOS) (read as
+    epoch-nanos long under nanosAsLong) and as timestamp[us] (read as
+    TIMESTAMP_NTZ) in different rounds; probe the footer so the declared
+    stream schema always matches the file.  Parquet file streams match
+    columns by name, so field order is immaterial.
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    spark_ts: T.DataType
+    if str(ts_type) == "int64" or str(ts_type).startswith("timestamp[ns"):
+        spark_ts = T.LongType()
+    else:
+        spark_ts = T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", spark_ts),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 _staged: dict[str, str] = {}
@@ -82,12 +98,12 @@ def events_stream(
     # to).  The testdata table is a single file, so stage it into a temp dir
     # by symlink — zero-copy, and the same code path production would use.
     stream_dir = _staged_events_dir(sf_dir)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(events_raw_schema(sf_dir))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stream_dir)
-    # Same ns->us floor as catalog.load_table so stream == batch bit-for-bit.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Same ts normalization as catalog.load_table so stream == batch.
+    return normalize_events_ts(df)
 
 
 def windowed_agg_stream(
