@@ -675,9 +675,13 @@ def q_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     return row.select(tol.alias("ok"))
 
 
+# Checksums accumulate in DECIMAL(38,0) (no int64 wrap) but the CONTRACT
+# emits the digits as VARCHAR/string: DuckDB DECIMAL/HUGEINT become lossy
+# float64 in the driver's pandas compare (>2^53 sums literally lose bits),
+# while strings hash identically on both engines.
 _CHECKSUM_ORACLE = (
-    "SELECT CAST(SUM(CAST('0x' || SUBSTR(md5(CAST({col} AS VARCHAR)), 1, 10)"
-    " AS BIGINT)) AS DECIMAL(38,0)) AS checksum FROM {table}"
+    "SELECT CAST(CAST(SUM(CAST('0x' || SUBSTR(md5(CAST({col} AS VARCHAR)), 1, 10)"
+    " AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum FROM {table}"
 )
 
 
@@ -696,15 +700,15 @@ def q_checksum_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, sf, "lineitem")
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
-    return checksum(li, key)
+    return checksum(li, key).select(F.col("checksum").cast("string"))
 
 
 @contract(
     "write_roundtrip_checksum",
     "SELECT COUNT(*) AS cnt,"
-    " CAST(SUM(CAST('0x' || SUBSTR(md5("
+    " CAST(CAST(SUM(CAST('0x' || SUBSTR(md5("
     "  CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '|' || l_returnflag"
-    " ), 1, 10) AS BIGINT)) AS DECIMAL(38,0)) AS checksum FROM lineitem",
+    " ), 1, 10) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum FROM lineitem",
     "B23",
     "sink",
 )
@@ -742,16 +746,18 @@ def q_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     return back.agg(
         F.count("*").alias("cnt"),
-        F.sum(md5_prefix40(key).cast(T.DecimalType(38, 0))).alias("checksum"),
+        F.sum(md5_prefix40(key).cast(T.DecimalType(38, 0)))
+        .cast("string")
+        .alias("checksum"),
     )
 
 
 @contract(
     "compact_roundtrip_checksum",
     "SELECT COUNT(*) AS cnt,"
-    " CAST(SUM(CAST('0x' || SUBSTR(md5("
+    " CAST(CAST(SUM(CAST('0x' || SUBSTR(md5("
     "  CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)"
-    " ), 1, 10) AS BIGINT)) AS DECIMAL(38,0)) AS checksum,"
+    " ), 1, 10) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,"
     " TRUE AS compacted FROM lineitem",
     "B23",
     "sink",
@@ -786,7 +792,9 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     return back.agg(
         F.count("*").alias("cnt"),
-        F.sum(md5_prefix40(key).cast(T.DecimalType(38, 0))).alias("checksum"),
+        F.sum(md5_prefix40(key).cast(T.DecimalType(38, 0)))
+        .cast("string")
+        .alias("checksum"),
         F.lit(bool(written < n_src)).alias("compacted"),
     )
 
@@ -2313,8 +2321,8 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     "SELECT COUNT(*) AS cnt,"
     " COUNT(*) FILTER (WHERE c_custkey IS NULL) AS orphan_orders,"
     " COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS orderless_custs,"
-    " SUM(CASE WHEN o_totalprice IS NULL THEN -1::BIGINT"
-    "  ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END) AS total_with_sentinel"
+    " CAST(SUM(CASE WHEN o_totalprice IS NULL THEN -1::BIGINT"
+    "  ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END) AS BIGINT) AS total_with_sentinel"
     " FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey",
     "B14",
 )
@@ -2343,7 +2351,7 @@ def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     " span AS (SELECT event_type, MIN(bucket) lo, MAX(bucket) hi FROM sparse GROUP BY 1),"
     " dense AS (SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span)"
     " SELECT d.event_type, COUNT(*) AS n_buckets,"
-    "  SUM(COALESCE(s.cnt, 0)) AS n_events,"
+    "  CAST(SUM(COALESCE(s.cnt, 0)) AS BIGINT) AS n_events,"
     "  COUNT(*) FILTER (WHERE s.cnt IS NULL) AS empty_buckets"
     " FROM dense d LEFT JOIN sparse s USING (event_type, bucket) GROUP BY 1",
     "ext",
@@ -2439,7 +2447,7 @@ def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "bpe_token_count_agg",
-    "SELECT source, SUM(n_sub) AS total_subtokens FROM ("
+    "SELECT source, CAST(SUM(n_sub) AS BIGINT) AS total_subtokens FROM ("
     " SELECT source,"
     "  LEN(LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', ' ', 'g'), ' '),"
     "   w -> LENGTH(w) > 0))"
