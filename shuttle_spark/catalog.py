@@ -64,9 +64,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # The driver may hand us a session without this conf; it is
-        # runtime-settable, so set it defensively before the read.
+        # The driver may hand us a session without these confs; both are
+        # runtime-settable, so set them defensively before the read.  The
+        # timezone matters because the NTZ->TIMESTAMP cast in
+        # normalize_events_ts resolves the session zone at analysis time and
+        # the result is memoized in _df_cache for the app's lifetime.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)

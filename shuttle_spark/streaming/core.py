@@ -57,6 +57,10 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
     spark_ts: T.DataType
     if str(ts_type) == "int64" or str(ts_type).startswith("timestamp[ns"):
         spark_ts = T.LongType()
+    elif getattr(ts_type, "tz", None):
+        # tz-annotated (isAdjustedToUTC) micros/millis: Spark's parquet
+        # reader refuses to read these as TIMESTAMP_NTZ; declare TIMESTAMP.
+        spark_ts = T.TimestampType()
     else:
         spark_ts = T.TimestampNTZType()
     return T.StructType(
