@@ -2587,9 +2587,9 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     training-data prep, delimiter-free.  Row-local expression tree; the
     only shuffle is the per-source aggregate."""
     docs = load_table(spark, sf, "documents")
-    return docs.groupBy("source").agg(
-        davg(P.repetition_score(F.col("text"), n=5), "avg_repetition",
-             scale=6, nd=6)
+    rep = P.repetition_scores(docs, n=5, keep=("source",))
+    return rep.groupBy("source").agg(
+        davg(F.col("repetition"), "avg_repetition", scale=6, nd=6)
     )
 
 
