@@ -2786,6 +2786,143 @@ def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return o.groupBy(bucket).agg(
         F.count("*").alias("cnt"), dsum("o_totalprice", "total", scale=2)
     )
+
+
+_BUCKETED_WRITTEN: set[tuple[str, str]] = set()
+
+
+@contract(
+    "bucketed_join_agg",
+    "SELECT o_orderpriority, COUNT(*) AS cnt, " + _osum("o_totalprice", "total")
+    + ", TRUE AS no_exchange"
+    " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
+    "B12",
+    "sink",
+)
+def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed-table join under the oracle gate: both sides persisted
+    bucketed on the join key (sources/io.write_bucketed_table — the
+    amortize-the-shuffle-once posture that matters most at 100 TB, the
+    durable twin of the reference's per-partition worker files,
+    ShuffleFileUtils.java:33-45), then sort-merge-joined WITHOUT a shuffle
+    exchange.  ``no_exchange`` is measured from the executed join plan, so
+    the contract gates both the result AND the shuffle elision."""
+    import os
+
+    from shuttle_spark.sources import io as IO
+
+    suffix = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    o_tbl, c_tbl = f"orders_bkt_{suffix}", f"customer_bkt_{suffix}"
+    # Bucket ONCE per session per sf (the whole point of bucketing is that
+    # the write-time shuffle amortizes across every subsequent query).
+    memo_key = (spark.sparkContext.applicationId, sf)
+    if memo_key not in _BUCKETED_WRITTEN:
+        IO.write_bucketed_table(
+            load_table(spark, sf, "orders"), o_tbl, ["o_custkey"], 8
+        )
+        IO.write_bucketed_table(
+            load_table(spark, sf, "customer"), c_tbl, ["c_custkey"], 8
+        )
+        _BUCKETED_WRITTEN.add(memo_key)
+    j = (
+        spark.table(o_tbl)
+        .hint("merge")  # force SMJ so broadcast doesn't mask the bucketing
+        .join(spark.table(c_tbl), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    no_exchange = "Exchange hashpartitioning" not in plan
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
+        .withColumn("no_exchange", F.lit(bool(no_exchange)))
+    )
+
+
+@contract(
+    "window_distinct_count",
+    "SELECT user_id, event_id,"
+    " CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id"
+    "  ORDER BY ts::TIMESTAMP, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    "  AS n_types_so_far"
+    " FROM events WHERE user_id % 50 = 0",
+    "B17",
+)
+def q_window_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running DISTINCT count over a window — an operator Spark lacks
+    natively (no DISTINCT in window aggregates); expressed as
+    size(collect_set() OVER w), which keeps the per-partition state bounded
+    by the distinct-value cardinality, not the row count.  DuckDB states it
+    directly, so the oracle is the literal windowed COUNT(DISTINCT)."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.filter(F.col("user_id") % 50 == 0).select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "n_types_so_far"
+        ),
+    )
+
+
+@contract(
+    "variant_json_agg",
+    "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,"
+    " COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k"
+    " FROM events GROUP BY 1",
+    "B20",
+)
+def q_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once, then typed variant_get extraction — the
+    shred-on-read path for schema-on-read event bags (vs the string
+    get_json_object twin in json_extract_agg)."""
+    ev = load_table(spark, sf, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return v.select((k % 10).alias("k_bucket"), k.alias("k")).groupBy(
+        "k_bucket"
+    ).agg(F.count("*").alias("cnt"), F.sum("k").alias("sum_k"))
+
+
+@contract(
+    "udtf_chunk_stats",
+    "WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "  FROM documents),"
+    " toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),"
+    " chunks AS (SELECT doc_id,"
+    "   array_to_string(w[i.s::BIGINT + 1 : i.s::BIGINT + 32], ' ') AS chunk"
+    "  FROM toks, LATERAL (SELECT UNNEST(RANGE(0, GREATEST(LEN(w), 1), 16))"
+    "   AS s) i)"
+    " SELECT COUNT(*) AS n_chunks,"
+    "  CAST(SUM(LEN(STRING_SPLIT(chunk, ' '))) AS BIGINT) AS sum_tokens"
+    " FROM chunks",
+    "B26",
+)
+def q_udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) under the oracle gate: the
+    token-window chunker as an arrow-evaluated lateral fan-out, asserted
+    equal to the JVM expression-tree twin's oracle (chunk_text_stats).
+    UDTFs are the escape hatch for per-row fan-out that needs real Python;
+    this contract pins that the escape hatch produces identical chunks."""
+    from shuttle_spark.functions import udtfs
+
+    udtfs.register(spark)
+    load_table(spark, sf, "documents").createOrReplaceTempView("docs_for_udtf")
+    chunks = spark.sql(
+        "SELECT c.chunk FROM docs_for_udtf, LATERAL chunk_udtf(text) c"
+    )
+    return chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.size(F.split(F.col("chunk"), " "))).cast("bigint").alias(
+            "sum_tokens"
+        ),
+    )
 # in insertion order and (observed round 1) records only the first 50 entries,
 # so the first 50 are curated to cover every SURVEY §2.B family at least once
 # plus this round's additions (streaming replays, global rank, salted agg,
@@ -2808,10 +2945,10 @@ _DRIVER_PRIORITY = [
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
     "broadcast_join_agg", "tpch_q3_shape", "tpch_q7_shape", "tpch_q18_shape",
     "anti_join_count", "full_outer_nulls",
-    "intersect_count", "union_all_count", "rollup_agg",
+    "intersect_count", "rollup_agg", "bucketed_join_agg",
     "window_cumsum", "window_rank", "global_rank_distributed",
-    "scalar_functions", "json_extract_agg",
-    "array_ops_agg", "approx_distinct_ok",
+    "window_distinct_count", "scalar_functions", "json_extract_agg",
+    "array_ops_agg",
     "approx_percentile_ok", "checksum_lineitem", "write_roundtrip_checksum",
     "time_window_agg", "sessionize", "stream_window_agg",
     "stream_keep_latest", "stream_stream_join",
