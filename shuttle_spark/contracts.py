@@ -2812,7 +2812,16 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     from shuttle_spark.sources import io as IO
 
     suffix = os.path.basename(sf.rstrip("/")).replace(".", "_")
-    o_tbl, c_tbl = f"orders_bkt_{suffix}", f"customer_bkt_{suffix}"
+    # An explicit-location database so the physical files land in /tmp even
+    # on a driver-created session whose static warehouse dir defaults to
+    # <cwd>/spark-warehouse (spark.sql.warehouse.dir is not settable after
+    # session start).
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS shuttle_bkt"
+        " LOCATION '/tmp/shuttle_spark_bkt_db'"
+    )
+    o_tbl = f"shuttle_bkt.orders_bkt_{suffix}"
+    c_tbl = f"shuttle_bkt.customer_bkt_{suffix}"
     # Bucket ONCE per session per sf (the whole point of bucketing is that
     # the write-time shuffle amortizes across every subsequent query).
     memo_key = (spark.sparkContext.applicationId, sf)

@@ -129,9 +129,13 @@ def write_bucketed_table(
         # API (works for any warehouse URI, not just file://).
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         jvm = spark._jvm
-        loc = jvm.org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table
-        )
+        if "." in table:
+            db, base = table.rsplit(".", 1)
+            root = spark.catalog.getDatabase(db).locationUri
+        else:
+            base = table
+            root = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + base)
         loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
     writer = df.write.format(fmt.lower()).mode(mode).bucketBy(
         n_buckets, *bucket_cols
