@@ -2900,6 +2900,41 @@ def q_variant_json(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "stream_upsert_sink",
+    "SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type"
+    " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+    "   ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn FROM events)"
+    " WHERE rn = 1",
+    "B8",
+    "sink",
+)
+def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Durable streaming upsert sink: a 4-micro-batch replay of events
+    merges per-batch into a parquet keep-latest state via foreachBatch
+    (versioned write + rename pointer swap, idempotent per batch — see
+    streaming/core.run_upsert_sink).  The final materialized state must
+    hash-match the batch keep-latest oracle over ALL events: unlike the
+    watermarked in-flight operator (stream_keep_latest), the durable state
+    holds every key."""
+    import tempfile
+
+    from shuttle_spark.streaming import events_stream_multi, run_upsert_sink
+
+    out = tempfile.mkdtemp(prefix="upsert_sink_")
+    state = run_upsert_sink(
+        events_stream_multi(spark, sf, n_files=4),
+        out,
+        shuffle_partitions=4,
+    )
+    return state.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+
+@contract(
     "udtf_chunk_stats",
     "WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
     "  FROM documents),"
@@ -2959,8 +2994,8 @@ _DRIVER_PRIORITY = [
     "window_distinct_count", "scalar_functions", "json_extract_agg",
     "array_ops_agg",
     "approx_percentile_ok", "checksum_lineitem", "write_roundtrip_checksum",
-    "time_window_agg", "sessionize", "stream_window_agg",
-    "stream_keep_latest", "stream_stream_join",
+    "sessionize", "stream_window_agg",
+    "stream_keep_latest", "stream_stream_join", "stream_upsert_sink",
     "grouped_agg_trimmed_mean", "pandas_udf_bucket", "exact_dedup_docs",
     "ngram_jaccard_pairs", "near_dup_clusters", "cluster_dedup_count",
     "minhash_recall_ok", "simhash_recall_ok",

@@ -1,6 +1,9 @@
 from shuttle_spark.streaming.core import (
     events_stream,
+    events_stream_multi,
     run_available_now,
+    run_upsert_sink,
+    staged_events_files,
     session_agg_stream,
     stream_dedup,
     stream_keep_latest,
@@ -10,7 +13,10 @@ from shuttle_spark.streaming.core import (
 
 __all__ = [
     "events_stream",
+    "events_stream_multi",
     "run_available_now",
+    "run_upsert_sink",
+    "staged_events_files",
     "session_agg_stream",
     "stream_dedup",
     "stream_keep_latest",

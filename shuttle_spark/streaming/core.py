@@ -284,6 +284,122 @@ def stream_stream_join(
     ).select(F.col("l_key").alias(key), "l_id", "l_ts", "r_id", "r_ts")
 
 
+_staged_multi: dict[tuple[str, int], str] = {}
+
+
+def staged_events_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """The events table staged as ``n_files`` time-range-ordered parquet
+    files in a temp dir — a realistic landing zone whose replay under
+    ``maxFilesPerTrigger=1`` yields ``n_files`` real micro-batches (the
+    single-file symlink staging gives exactly one)."""
+    key = (sf_dir, n_files)
+    cached = _staged_multi.get(key)
+    if cached is not None:
+        return cached
+    from shuttle_spark.catalog import load_table
+
+    d = tempfile.mkdtemp(prefix="events_multi_")
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        n_files, "ts"
+    ).write.mode("overwrite").parquet(d)
+    _staged_multi[key] = d
+    return d
+
+
+def events_stream_multi(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events as a multi-batch stream: n_files staged files, one per
+    micro-batch."""
+    d = staged_events_files(spark, sf_dir, n_files)
+    df = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return df
+
+
+def run_upsert_sink(
+    events: DataFrame,
+    path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("event_id", "event_type"),
+    query_name: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Durable keep-latest state via ``foreachBatch``: every micro-batch
+    merges into a parquet state directory (read current -> union batch ->
+    keep latest per key -> write a versioned dir -> pointer swap by
+    rename).  The micro-batch merge is idempotent — re-running an
+    uncommitted batch after a crash rebuilds the identical state version —
+    so checkpoint recovery gives exactly-once state, the durable twin of
+    the reference's latest-attempt-wins block replacement
+    (PartitionPipeReader.java:150-170) and its rename-commit finalize
+    (ShuffleDataExecutor.java:119-138).
+
+    Cost per batch is bounded by STATE size (distinct keys), not stream
+    length.  On a transactional table format (Delta/Iceberg) the same
+    operator is a MERGE INTO; this is the format-free portable form.
+
+    Returns the final state as a batch DataFrame.
+    """
+    from pyspark.sql import Window
+
+    spark = events.sparkSession
+    cur_dir = f"{path}/current"
+    sel_cols = [key_col, ts_col, *payload_cols]
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in payload_cols]
+
+    def _fs(jvm_path):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(jvm_path)
+        return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        new_dir = f"{path}/v{batch_id}"
+        incoming = batch_df.select(*sel_cols)
+        cur_p, fs = _fs(cur_dir)
+        if fs.exists(cur_p):
+            incoming = spark.read.parquet(cur_dir).unionByName(incoming)
+        w = Window.partitionBy(key_col).orderBy(*order)
+        merged = (
+            incoming.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(new_dir)
+        # pointer swap: delete old state, rename the new version in.  A
+        # crash between the two reruns this (uncommitted) batch, which
+        # rebuilds v{batch_id} and redoes the swap — same final state.
+        new_p, _ = _fs(new_dir)
+        fs.delete(cur_p, True)
+        fs.rename(new_p, cur_p)
+
+    name = query_name or f"upsert_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            events.writeStream.foreachBatch(merge)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(cur_dir)
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str | None = None,

@@ -134,3 +134,40 @@ def test_stream_file_sink_roundtrip(spark):
         "sink_twin",
     )
     assert _rows(back) == _rows(mem)
+
+
+def test_upsert_sink_is_idempotent_and_matches_batch(spark):
+    """Replaying the whole stream into the SAME state path (fresh
+    checkpoint — every batch re-runs) must rebuild the identical state:
+    the per-batch merge is idempotent, which is what makes checkpoint
+    recovery exactly-once."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import dedup as D
+    from shuttle_spark.streaming import events_stream_multi, run_upsert_sink
+
+    sf = "/root/testdata/sf0.001"
+    path = tempfile.mkdtemp(prefix="upsert_idem_")
+    s1 = run_upsert_sink(
+        events_stream_multi(spark, sf, n_files=4), path, shuffle_partitions=4
+    )
+    rows1 = sorted(tuple(r) for r in s1.collect())
+
+    # batch twin: keep-latest over the full table
+    batch = D.keep_latest(
+        load_table(spark, sf, "events"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "ts", "event_id", "event_type")
+    rows_b = sorted(tuple(r) for r in batch.collect())
+    assert rows1 == rows_b
+
+    # full re-replay into the same path (fresh checkpoint): same state
+    s2 = run_upsert_sink(
+        events_stream_multi(spark, sf, n_files=4), path, shuffle_partitions=4
+    )
+    rows2 = sorted(tuple(r) for r in s2.collect())
+    assert rows2 == rows1
