@@ -2935,6 +2935,107 @@ def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "mixture_weights",
+    "WITH norm AS (SELECT source, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "  FROM documents),"
+    " tok AS (SELECT source, CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0"
+    "   ELSE LEN(STRING_SPLIT(TRIM(t), ' ')) END AS tk FROM norm),"
+    " per AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS tokens FROM tok GROUP BY 1),"
+    " n AS (SELECT COUNT(*) AS n FROM per)"
+    " SELECT source, tokens,"
+    "  ROUND(LEAST(1.0, (10000.0 / n) / tokens), 6) AS weight,"
+    "  CAST(FLOOR(ROUND(LEAST(1.0, (10000.0 / n) / tokens), 6) * tokens + 0.5)"
+    "   AS BIGINT) AS expected_tokens"
+    " FROM per CROSS JOIN n",
+    "ext",
+    "llm",
+)
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture balancing: per-source Bernoulli keep-probabilities
+    that equalize each source's token contribution under a fixed total
+    budget — the planning step before a sampleBy pass
+    (operators/pipeline.mixture_weights)."""
+    docs = load_table(spark, sf, "documents")
+    return P.mixture_weights(docs, target_tokens=10_000, group_col="source")
+
+
+@contract(
+    "stream_decontaminate_count",
+    _GRAM5_BODY
+    + ", bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0)"
+    ", bad AS (SELECT DISTINCT doc_id FROM g5"
+    "   WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench))"
+    " SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 97 <> 0)"
+    "  - (SELECT COUNT(*) FROM bad) AS n_clean",
+    "ext",
+    "llm",
+)
+def q_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest decontamination as a STREAM: the corpus arrives in 4
+    micro-batches, each batch decontaminated against the fixed benchmark
+    set and appended exactly-once (per-batch versioned dirs); the
+    accumulated clean corpus must count-match the all-at-once batch
+    oracle.  Decontamination against a static benchmark is per-document,
+    so incremental == batch exactly (streaming/core.run_stream_decontaminate)."""
+    import tempfile
+
+    from shuttle_spark.streaming.core import (
+        run_stream_decontaminate,
+        staged_documents_files,
+    )
+
+    bench = load_table(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
+    d = staged_documents_files(spark, sf, 4)
+    docs_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("doc_id") % 97 != 0)
+    )
+    out = tempfile.mkdtemp(prefix="decon_sink_")
+    clean = run_stream_decontaminate(
+        docs_stream, bench, out, n=5, shuffle_partitions=4
+    )
+    return clean.agg(F.count("*").alias("n_clean"))
+
+
+@contract(
+    "observe_metrics_ok",
+    "SELECT TRUE AS ok, TRUE AS hash_consistent",
+    "ext",
+    "property",
+)
+def q_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """In-query observability (engine twin of the reference's worker
+    health/throughput surface, ShuffleWorker.java:116-144): df.observe
+    metrics ride the job for free; this property pins that the observed
+    row count equals the delivered result and that the observed
+    order-free content hash is reproducible on a recompute."""
+    from shuttle_spark.observability import observed
+
+    li = load_table(spark, sf, "lineitem")
+    agg = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt")
+    )
+    obs_df, obs = observed(agg, "m1")
+    delivered = obs_df.collect()
+    m = obs.get
+    obs_df2, obs2 = observed(agg, "m2")
+    obs_df2.collect()
+    return spark.createDataFrame(
+        [
+            (
+                bool(m["rows"] == len(delivered)),
+                bool(obs2.get["content_hash"] == m["content_hash"]),
+            )
+        ],
+        "ok boolean, hash_consistent boolean",
+    )
+
+
+@contract(
     "udtf_chunk_stats",
     "WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
     "  FROM documents),"

@@ -124,6 +124,41 @@ def repetition_scores(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    target_tokens: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Training-mixture balancing: per-group downsampling weights that hit
+    a uniform token budget.  Each group's share of ``target_tokens`` is
+    equal (uniform mixture); ``weight`` = min(1, share/actual_tokens) is
+    the Bernoulli keep-probability a sampler applies per document, and
+    ``expected_tokens`` the resulting budget.  One scan + one tiny agg —
+    the planning step before a ``sampleBy`` pass at any scale."""
+    tok = TX.token_count(F.col("text"))
+    per = docs.groupBy(group_col).agg(F.sum(tok).alias("tokens"))
+    n_groups = per.agg(F.count("*").alias("n"))
+    share = F.col("target").cast("double") / F.col("n")
+    weight = F.round(
+        F.least(F.lit(1.0), share / F.col("tokens")), 6
+    ).alias("weight")
+    return (
+        per.crossJoin(F.broadcast(n_groups))
+        .withColumn("target", F.lit(int(target_tokens)))
+        .select(
+            group_col,
+            "tokens",
+            weight,
+        )
+        # round-half-up via floor(x + 0.5): identical in both engines
+        # (ROUND ties differ between them on exact halves).
+        .withColumn(
+            "expected_tokens",
+            F.floor(F.col("weight") * F.col("tokens") + 0.5).cast("long"),
+        )
+    )
+
+
 def cleanse(
     docs: DataFrame,
     lang: str = "en",

@@ -2,7 +2,9 @@ from shuttle_spark.streaming.core import (
     events_stream,
     events_stream_multi,
     run_available_now,
+    run_stream_decontaminate,
     run_upsert_sink,
+    staged_documents_files,
     staged_events_files,
     session_agg_stream,
     stream_dedup,
@@ -15,7 +17,9 @@ __all__ = [
     "events_stream",
     "events_stream_multi",
     "run_available_now",
+    "run_stream_decontaminate",
     "run_upsert_sink",
+    "staged_documents_files",
     "staged_events_files",
     "session_agg_stream",
     "stream_dedup",

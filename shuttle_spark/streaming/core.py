@@ -400,6 +400,74 @@ def run_upsert_sink(
     return spark.read.parquet(cur_dir)
 
 
+def staged_documents_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """The documents table staged as ``n_files`` parquet files — the
+    landing zone of a daily-ingest corpus pipeline."""
+    key = (sf_dir + "#docs", n_files)
+    cached = _staged_multi.get(key)
+    if cached is not None:
+        return cached
+    from shuttle_spark.catalog import load_table
+
+    d = tempfile.mkdtemp(prefix="docs_multi_")
+    load_table(spark, sf_dir, "documents").repartitionByRange(
+        n_files, "doc_id"
+    ).write.mode("overwrite").parquet(d)
+    _staged_multi[key] = d
+    return d
+
+
+def run_stream_decontaminate(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    n: int = 5,
+    query_name: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming corpus decontamination — the daily-ingest shape: documents
+    arrive in micro-batches, each batch is n-gram-decontaminated against
+    the FIXED benchmark set (operators/pipeline.decontaminate — the
+    benchmark gram broadcast is per-plan, amortized by Spark's broadcast
+    reuse), and the clean survivors are appended durably.  Per-doc
+    decontamination against a static benchmark is batch-local, so the
+    incremental result equals the all-at-once batch result exactly.
+
+    Exactly-once append: each batch writes its own ``b{batch_id}``
+    directory with overwrite, so a replayed batch overwrites rather than
+    duplicates (same versioned-commit idea as run_upsert_sink and the
+    reference's rename finalize, ShuffleDataExecutor.java:119-138).
+
+    Returns the clean corpus as a batch DataFrame.
+    """
+    from shuttle_spark.operators import pipeline as P
+
+    spark = docs_stream.sparkSession
+
+    def clean_batch(batch_df: DataFrame, batch_id: int) -> None:
+        clean = P.decontaminate(batch_df, benchmark, n=n)
+        clean.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
+
+    name = query_name or f"decon_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            docs_stream.writeStream.foreachBatch(clean_batch)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{out_path}/b*")
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str | None = None,

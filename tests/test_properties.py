@@ -244,3 +244,91 @@ def test_token_chunks_match_reference(spark, words, size, stride):
         " ".join(toks[s : s + size]) for s in range(0, len(toks), stride)
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pipeline operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _pygrams(text: str, n: int) -> set[str]:
+    toks = [w for w in text.lower().split() if w]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(corpus=words_strategy, bench=words_strategy)
+@SLOW
+def test_decontaminate_matches_bruteforce(spark, corpus, bench):
+    from shuttle_spark.operators import pipeline as P
+
+    n = 2
+    cdf = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(corpus)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, t, "en", "s") for i, t in enumerate(bench)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {r.doc_id for r in P.contaminated_ids(cdf, bdf, n=n).collect()}
+    bench_grams = set().union(*(_pygrams(t, n) for t in bench)) if bench else set()
+    want = {
+        i for i, t in enumerate(corpus) if _pygrams(t, n) & bench_grams
+    }
+    assert got == want
+
+
+@given(texts=words_strategy)
+@SLOW
+def test_repetition_matches_bruteforce(spark, texts):
+    from shuttle_spark.operators import pipeline as P
+
+    n = 2
+    df = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {
+        r.doc_id: r.repetition
+        for r in P.repetition_scores(df, n=n, keep=("doc_id",)).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        want = round(1 - len(set(grams)) / len(grams), 6) if grams else 0.0
+        assert abs(got[i] - want) < 1e-9, (i, t, got[i], want)
+
+
+@given(
+    tokens=st.lists(st.integers(1, 10_000), min_size=1, max_size=8),
+    target=st.integers(1, 50_000),
+)
+@SLOW
+def test_mixture_weights_matches_reference(spark, tokens, target):
+    from shuttle_spark.operators import pipeline as P
+
+    # one doc per source whose text has exactly `tokens[i]` tokens
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * tk), "en", f"s{i}") for i, tk in enumerate(tokens)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {
+        r.source: (r.tokens, r.weight, r.expected_tokens)
+        for r in P.mixture_weights(df, target_tokens=target).collect()
+    }
+    share = target / len(tokens)
+    for i, tk in enumerate(tokens):
+        w = round(min(1.0, share / tk), 6)
+        exp = int(w * tk + 0.5)
+        gt, gw, ge = got[f"s{i}"]
+        assert gt == tk
+        assert abs(gw - w) < 1e-9
+        assert ge == exp
