@@ -43,6 +43,18 @@ def main() -> None:
     # Warm-up: JVM, parquet footer caches, Arrow lanes.
     REGISTRY["agg_tpch_q1"].build(spark, sf_dir).collect()
 
+    # Measured per-query floor: the wall cost of a trivial job (plan +
+    # schedule + collect of one row) on this warm session.  Every contract
+    # pays roughly this much regardless of data volume; it amortizes away
+    # at real scale, so the marginal-cost view of any ratio below is
+    # (spark_sec - floor_sec) / duckdb_sec.
+    floor_samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        floor_samples.append(time.perf_counter() - t0)
+    floor_sec = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
+
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, c in REGISTRY.items():
@@ -69,6 +81,7 @@ def main() -> None:
         "families": families,
         "sf": sf,
         "n_queries": len(timings),
+        "floor_sec": floor_sec,
         "timing": "warm (2nd run); first-run times in queries_cold",
         "cold_total": round(sum(cold.values()), 4),
         "queries_cold": cold,
@@ -94,6 +107,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(timings),
+                "floor_sec": floor_sec,
                 "cold_total": round(sum(cold.values()), 4),
                 "families": families,
                 "full": "BENCH_FULL.json",
