@@ -244,6 +244,89 @@ def stream_keep_latest(
     )
 
 
+def stream_keep_latest_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("event_id", "event_type"),
+) -> DataFrame:
+    """Keep-latest on Spark 4's ``transformWithStateInPandas`` — the
+    successor API to ``applyInPandasWithState`` (typed ValueState handles,
+    RocksDB-backed).  Each micro-batch emits the key's current winner
+    (update mode); the winner sequence per key is monotone in
+    (ts_us, event_id), so the LAST update per key is the stream's final
+    answer — the contract reduces the update log with the batch
+    keep-latest and matches the all-events oracle.
+
+    Same semantics as stream_keep_latest (the reference's stale-attempt
+    filter, PartitionPipeReader.java:150-170); kept separate so both
+    stateful APIs stay covered.
+
+    ENVIRONMENT NOTE: the transformWithState Python runner requires the
+    ``google.protobuf`` package (its state-server protocol) and the
+    RocksDB state store provider; containers without protobuf crash the
+    runner at query start (verified here), so the equality test for this
+    operator is gated on ``pytest.importorskip("google.protobuf.descriptor")``
+    and the contracted keep-latest surface stays on
+    ``applyInPandasWithState`` (stream_keep_latest) and the foreachBatch
+    sink (run_upsert_sink), which carry the oracle gates.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    class KeepLatest(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._winner = handle.getValueState("winner", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = tuple(self._winner.get()) if self._winner.exists() else None
+            for pdf in rows:
+                for ts_us, event_id, event_type in zip(
+                    pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+                ):
+                    cand = (int(ts_us), int(event_id), str(event_type))
+                    if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                        best = cand
+            self._winner.update(best)
+            yield pd.DataFrame(
+                [(key[0], *best)],
+                columns=[key_col, "ts_us", "event_id", "event_type"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        *[F.col(c) for c in payload_cols],
+    )
+    return prepared.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=KeepLatest(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
@@ -472,11 +555,16 @@ def run_available_now(
     stream_df: DataFrame,
     query_name: str | None = None,
     shuffle_partitions: int | None = None,
+    output_mode: str = "append",
+    session_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """Replay a stream to completion (Trigger.AvailableNow) into a memory
     sink and return the result as a batch DataFrame — the harness that lets
     tests assert stream == batch.  Complete/append mode is chosen by Spark
-    from the plan; we use append for watermarked aggs (final results only).
+    from the plan; we use append for watermarked aggs (final results only)
+    and update for transformWithState operators.  ``session_conf`` entries
+    are set for the query and restored afterwards (e.g. the RocksDB state
+    store provider transformWithState requires).
 
     ``shuffle_partitions`` sizes the stateful-operator partition count for
     THIS query only (pinned into its checkpoint at first start; the session
@@ -489,20 +577,25 @@ def run_available_now(
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    overrides = dict(session_conf or {})
     if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    saved: dict[str, str | None] = {}
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, old in saved.items():
+            if old is not None:
+                spark.conf.set(k, old)
     return spark.table(name)

@@ -171,3 +171,44 @@ def test_upsert_sink_is_idempotent_and_matches_batch(spark):
     )
     rows2 = sorted(tuple(r) for r in s2.collect())
     assert rows2 == rows1
+
+
+def test_stream_keep_latest_tws_matches_batch(spark):
+    """transformWithState (Spark 4 successor stateful API) twin of
+    stream_keep_latest: the last update per key equals the batch
+    keep-latest.  Requires google.protobuf (the TWS python runner's
+    state-server protocol) — skipped where it is absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import dedup as D
+    from shuttle_spark.streaming.core import (
+        events_stream_multi,
+        run_available_now,
+        stream_keep_latest_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = run_available_now(
+        stream_keep_latest_tws(events_stream_multi(spark, sf, n_files=4)),
+        output_mode="update",
+        shuffle_partitions=4,
+        session_conf={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+        },
+    )
+    final = D.keep_latest(
+        out, ["user_id"], [F.col("ts_us").desc(), F.col("event_id").desc()]
+    )
+    want = D.keep_latest(
+        load_table(spark, sf, "events"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type")
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
