@@ -67,13 +67,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The driver may hand us a session without these confs; both are
         # runtime-settable, so set them defensively before the read.  The
         # timezone matters because the NTZ->TIMESTAMP cast in
-        # normalize_events_ts resolves the session zone at analysis time and
-        # the result is memoized in _df_cache for the app's lifetime.
+        # normalize_events_ts resolves the session zone at ANALYSIS time
+        # (i.e. here, eagerly) and the result is memoized in _df_cache for
+        # the app's lifetime — so UTC is scoped to this build and the
+        # caller's own session timezone is restored afterwards (contract
+        # comparisons separately pin UTC via contracts.ensure_conf).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = normalize_events_ts(df)
+        try:
+            df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+        finally:
+            if prev_tz is None:
+                spark.conf.unset("spark.sql.session.timeZone")
+            else:
+                spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     _df_cache[key] = df
     return df
 

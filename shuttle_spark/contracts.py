@@ -2560,12 +2560,20 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    bad = P.contaminated_ids(corpus, bench, n=5)
-    n_bad = bad.agg(F.count("*").alias("n_contaminated"))
-    n_clean = P.decontaminate(corpus, bench, n=5).agg(
-        F.count("*").alias("n_clean")
+    # One contamination pipeline; n_clean derived as corpus - contaminated
+    # (running decontaminate() too would repeat the corpus-wide gram
+    # explode + join — the dominant cost).
+    n_bad = P.contaminated_ids(corpus, bench, n=5).agg(
+        F.count("*").alias("n_contaminated")
     )
-    return n_bad.crossJoin(n_clean)
+    n_corpus = corpus.agg(F.count("*").alias("n_corpus"))
+    return (
+        n_bad.crossJoin(n_corpus)
+        .select(
+            "n_contaminated",
+            (F.col("n_corpus") - F.col("n_contaminated")).alias("n_clean"),
+        )
+    )
 
 
 @contract(
@@ -2815,10 +2823,13 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     # An explicit-location database so the physical files land in /tmp even
     # on a driver-created session whose static warehouse dir defaults to
     # <cwd>/spark-warehouse (spark.sql.warehouse.dir is not settable after
-    # session start).
+    # session start).  Location is scoped by application id so concurrent
+    # harness processes (pytest + bench on one machine) cannot clobber each
+    # other's table directories mid-read.
+    app_id = spark.sparkContext.applicationId.replace("-", "_")
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS shuttle_bkt"
-        " LOCATION '/tmp/shuttle_spark_bkt_db'"
+        f" LOCATION '/tmp/shuttle_spark_bkt_{app_id}'"
     )
     o_tbl = f"shuttle_bkt.orders_bkt_{suffix}"
     c_tbl = f"shuttle_bkt.customer_bkt_{suffix}"

@@ -370,23 +370,29 @@ def stream_stream_join(
 _staged_multi: dict[tuple[str, int], str] = {}
 
 
-def staged_events_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
-    """The events table staged as ``n_files`` time-range-ordered parquet
-    files in a temp dir — a realistic landing zone whose replay under
+def _staged_table_files(
+    spark: SparkSession, sf_dir: str, table: str, range_col: str, n_files: int
+) -> str:
+    """A testdata table staged as ``n_files`` range-ordered parquet files
+    in a temp dir — a realistic landing zone whose replay under
     ``maxFilesPerTrigger=1`` yields ``n_files`` real micro-batches (the
     single-file symlink staging gives exactly one)."""
-    key = (sf_dir, n_files)
+    key = (sf_dir, table, n_files)
     cached = _staged_multi.get(key)
     if cached is not None:
         return cached
     from shuttle_spark.catalog import load_table
 
-    d = tempfile.mkdtemp(prefix="events_multi_")
-    load_table(spark, sf_dir, "events").repartitionByRange(
-        n_files, "ts"
+    d = tempfile.mkdtemp(prefix=f"{table}_multi_")
+    load_table(spark, sf_dir, table).repartitionByRange(
+        n_files, range_col
     ).write.mode("overwrite").parquet(d)
     _staged_multi[key] = d
     return d
+
+
+def staged_events_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    return _staged_table_files(spark, sf_dir, "events", "ts", n_files)
 
 
 def events_stream_multi(
@@ -394,16 +400,63 @@ def events_stream_multi(
 ) -> DataFrame:
     """events as a multi-batch stream: n_files staged files, one per
     micro-batch."""
+    from shuttle_spark.sources.io import read_stream
+
     d = staged_events_files(spark, sf_dir, n_files)
-    df = (
-        spark.readStream.schema(
-            "event_id long, user_id long, event_type string,"
-            " ts timestamp, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+    return read_stream(
+        spark,
+        d,
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp, value double, props string",
+        max_files_per_trigger=1,
     )
-    return df
+
+
+def _scoped_conf(spark: SparkSession, overrides: dict[str, str]):
+    """Set session confs, returning a restore closure that puts back the
+    explicit prior value or UNSETS keys that had none (a bare
+    ``conf.get(k, None)``-then-``set`` restore would leak the override
+    into the shared session forever)."""
+    saved: dict[str, str | None] = {}
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+
+    def restore() -> None:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+    return restore
+
+
+def _run_foreach_batch(
+    stream_df: DataFrame,
+    fn,
+    query_name: str,
+    shuffle_partitions: int | None,
+) -> None:
+    """Run a foreachBatch query to completion (AvailableNow) with a
+    scoped shuffle-partition override."""
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    overrides = {}
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    restore = _scoped_conf(spark, overrides)
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(fn)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        restore()
 
 
 def run_upsert_sink(
@@ -416,14 +469,16 @@ def run_upsert_sink(
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Durable keep-latest state via ``foreachBatch``: every micro-batch
-    merges into a parquet state directory (read current -> union batch ->
-    keep latest per key -> write a versioned dir -> pointer swap by
-    rename).  The micro-batch merge is idempotent — re-running an
-    uncommitted batch after a crash rebuilds the identical state version —
-    so checkpoint recovery gives exactly-once state, the durable twin of
-    the reference's latest-attempt-wins block replacement
-    (PartitionPipeReader.java:150-170) and its rename-commit finalize
-    (ShuffleDataExecutor.java:119-138).
+    merges the previous state version with the batch and commits a NEW
+    versioned directory ``v{batch_id}`` (read newest v{k<batch_id} ->
+    union batch -> keep latest per key -> write v{batch_id} -> GC older
+    versions).  Prior versions are never deleted before the new one is
+    fully written, so there is no crash window that loses state: a batch
+    replayed after a crash re-reads the same predecessor version and
+    rewrites the same v{batch_id} — exactly-once under checkpoint
+    recovery, the durable twin of the reference's latest-attempt-wins
+    block replacement (PartitionPipeReader.java:150-170) and its
+    rename-commit finalize (ShuffleDataExecutor.java:119-138).
 
     Cost per batch is bounded by STATE size (distinct keys), not stream
     length.  On a transactional table format (Delta/Iceberg) the same
@@ -434,70 +489,70 @@ def run_upsert_sink(
     from pyspark.sql import Window
 
     spark = events.sparkSession
-    cur_dir = f"{path}/current"
     sel_cols = [key_col, ts_col, *payload_cols]
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in payload_cols]
 
-    def _fs(jvm_path):
+    def _fs():
         jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(jvm_path)
+        p = jvm.org.apache.hadoop.fs.Path(path)
         return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
+    def _versions(fs, root) -> list[int]:
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    last_batch: dict[str, int] = {}
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        new_dir = f"{path}/v{batch_id}"
+        last_batch["v"] = batch_id
+        root, fs = _fs()
         incoming = batch_df.select(*sel_cols)
-        cur_p, fs = _fs(cur_dir)
-        if fs.exists(cur_p):
-            incoming = spark.read.parquet(cur_dir).unionByName(incoming)
+        # newest committed predecessor (strictly older than this batch —
+        # a replayed batch must not read its own partial output)
+        preds = [v for v in _versions(fs, root) if v < batch_id]
+        if preds:
+            incoming = spark.read.parquet(f"{path}/v{preds[-1]}").unionByName(
+                incoming
+            )
         w = Window.partitionBy(key_col).orderBy(*order)
         merged = (
             incoming.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        merged.write.mode("overwrite").parquet(new_dir)
-        # pointer swap: delete old state, rename the new version in.  A
-        # crash between the two reruns this (uncommitted) batch, which
-        # rebuilds v{batch_id} and redoes the swap — same final state.
-        new_p, _ = _fs(new_dir)
-        fs.delete(cur_p, True)
-        fs.rename(new_p, cur_p)
+        merged.write.mode("overwrite").parquet(f"{path}/v{batch_id}")
+        # GC AFTER the new version is complete, and always RETAIN the
+        # newest predecessor: if the process dies after this GC but before
+        # the streaming checkpoint commits batch_id, the replayed batch
+        # still finds v{batch_id-1} to merge from.  Two generations on
+        # disk, zero crash windows; a crash mid-GC leaves extras, which is
+        # harmless (readers take the max).
+        jvm = spark._jvm
+        for v in preds[:-1]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v}"), True)
 
     name = query_name or f"upsert_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            events.writeStream.foreachBatch(merge)
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(cur_dir)
+    _run_foreach_batch(events, merge, name, shuffle_partitions)
+    # Read THIS run's final version (not the directory max: a previous
+    # differently-batched run may have left a stale higher version that
+    # this run's GC retained as its own batch ids never reached it).
+    if "v" in last_batch:
+        return spark.read.parquet(f"{path}/v{last_batch['v']}")
+    root, fs = _fs()
+    latest = _versions(fs, root)[-1]
+    return spark.read.parquet(f"{path}/v{latest}")
 
 
 def staged_documents_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """The documents table staged as ``n_files`` parquet files — the
     landing zone of a daily-ingest corpus pipeline."""
-    key = (sf_dir + "#docs", n_files)
-    cached = _staged_multi.get(key)
-    if cached is not None:
-        return cached
-    from shuttle_spark.catalog import load_table
-
-    d = tempfile.mkdtemp(prefix="docs_multi_")
-    load_table(spark, sf_dir, "documents").repartitionByRange(
-        n_files, "doc_id"
-    ).write.mode("overwrite").parquet(d)
-    _staged_multi[key] = d
-    return d
+    return _staged_table_files(spark, sf_dir, "documents", "doc_id", n_files)
 
 
 def run_stream_decontaminate(
@@ -532,22 +587,7 @@ def run_stream_decontaminate(
         clean.write.mode("overwrite").parquet(f"{out_path}/b{batch_id}")
 
     name = query_name or f"decon_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            docs_stream.writeStream.foreachBatch(clean_batch)
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _run_foreach_batch(docs_stream, clean_batch, name, shuffle_partitions)
     return spark.read.parquet(f"{out_path}/b*")
 
 
@@ -580,10 +620,7 @@ def run_available_now(
     overrides = dict(session_conf or {})
     if shuffle_partitions is not None:
         overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    saved: dict[str, str | None] = {}
-    for k, v in overrides.items():
-        saved[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
+    restore = _scoped_conf(spark, overrides)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -595,7 +632,5 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
-        for k, old in saved.items():
-            if old is not None:
-                spark.conf.set(k, old)
+        restore()
     return spark.table(name)
