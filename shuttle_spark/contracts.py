@@ -2501,6 +2501,26 @@ def q_window_range_interval(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_RANGE_WIN_SQL)
 
 
+_Q16_SQL = (
+    "SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)"
+    " AS supplier_cnt"
+    " FROM part JOIN lineitem ON p_partkey = l_partkey"
+    " WHERE p_brand <> 'Brand#1' AND l_suppkey NOT IN"
+    "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
+    " GROUP BY 1, 2"
+)
+
+
+@contract("tpch_q16_shape", _Q16_SQL, "B12")
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (planned as a NULL-AWARE anti
+    join — a distinct physical shape from left_anti, which B14 covers)
+    feeding a distinct-count aggregate over a fact-dim join."""
+    for t in ("part", "lineitem", "supplier"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q16_SQL)
+
+
 @contract("sample_fraction_ok", "SELECT TRUE AS ok, TRUE AS deterministic", "B3")
 def q_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Bernoulli sampling property: fraction 0.1 lands within 3 sigma of the
