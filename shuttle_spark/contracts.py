@@ -2501,6 +2501,50 @@ def q_window_range_interval(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_RANGE_WIN_SQL)
 
 
+@contract(
+    "grouped_map_normalize",
+    "SELECT o_orderpriority, COUNT(*) AS cnt,"
+    " CAST(SUM(CAST(COALESCE((o_totalprice - mn) / NULLIF(mx - mn, 0), 0)"
+    "  AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm"
+    " FROM (SELECT o_orderpriority, o_totalprice,"
+    "   MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,"
+    "   MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx"
+    "  FROM orders)"
+    " GROUP BY 1",
+    "B26",
+)
+def q_grouped_map_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas) — the remaining member of the
+    Python API matrix (scalar pandas_udf / GROUPED_AGG / UDTF / mapInPandas
+    are contracted elsewhere): per-group min-max normalization where the
+    whole group must be visible at once.  Arithmetic is IEEE-identical to
+    the oracle's window-function restatement, and the aggregate uses the
+    exact decimal-sum discipline, so the contract is hash-equal, not
+    tolerance-based.  At scale this is one group-keyed exchange; groups
+    stream through Arrow batches."""
+    import pandas as pd  # noqa: F811
+
+    o = load_table(spark, sf, "orders")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["o_totalprice"].min()
+        rng = pdf["o_totalprice"].max() - lo
+        vals = (pdf["o_totalprice"] - lo) / rng if rng > 0 else 0.0
+        return pd.DataFrame(
+            {"o_orderpriority": pdf["o_orderpriority"], "norm": vals}
+        )
+
+    out = o.groupBy("o_orderpriority").applyInPandas(
+        norm, "o_orderpriority string, norm double"
+    )
+    return out.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("norm").cast(T.DecimalType(18, 9)))
+        .cast("double")
+        .alias("sum_norm"),
+    )
+
+
 _Q16_SQL = (
     "SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)"
     " AS supplier_cnt"
