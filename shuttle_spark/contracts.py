@@ -3158,17 +3158,22 @@ def q_udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
 # left_join of B14, grouping_sets of B16) — every family keeps >=1 driver
 # row; the displaced contracts still run in tests/tools and ship in
 # CORRECTNESS_FULL_r{N}.json.
+#
+# Round-4 curation (VERDICT r3 item 2): B29's core searches get independent
+# driver-oracle rows — topk_cosine / knn_join / ivf_full_probe_topk replace
+# tpch_q7_shape (B12 keeps 4 other reps), price_histogram (B19 keeps
+# scalar_functions), window_distinct_count (B17 keeps window_cumsum).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1", "salted_agg_invariance",
     "agg_multi_fn", "distinct_partkeys", "keep_latest",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
-    "broadcast_join_agg", "tpch_q3_shape", "tpch_q7_shape", "tpch_q18_shape",
+    "broadcast_join_agg", "tpch_q3_shape", "tpch_q18_shape",
     "anti_join_count", "full_outer_nulls",
     "intersect_count", "rollup_agg", "bucketed_join_agg",
     "window_cumsum", "window_rank", "global_rank_distributed",
-    "window_distinct_count", "scalar_functions", "json_extract_agg",
-    "array_ops_agg",
+    "scalar_functions", "json_extract_agg",
+    "array_ops_agg", "topk_cosine", "knn_join", "ivf_full_probe_topk",
     "approx_percentile_ok", "checksum_lineitem", "write_roundtrip_checksum",
     "sessionize", "stream_window_agg",
     "stream_keep_latest", "stream_stream_join", "stream_upsert_sink",
@@ -3176,7 +3181,7 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_pairs", "near_dup_clusters", "cluster_dedup_count",
     "minhash_recall_ok", "simhash_recall_ok",
     "decontaminate_counts", "repetition_score_avg", "corpus_cleanse_counts",
-    "label_centroid_norm", "tfidf_top_terms", "price_histogram",
+    "label_centroid_norm", "tfidf_top_terms",
 ]
 
 

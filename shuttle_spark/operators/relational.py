@@ -351,6 +351,7 @@ def global_rank(
     order: Sequence[Column | str],
     alias: str = "rn",
     buckets: int = 32,
+    keep_total: bool = False,
 ) -> DataFrame:
     """Distributed global ROW_NUMBER — the scale path for B18's global
     window, which Spark otherwise executes as a SINGLE-partition WindowExec
@@ -382,15 +383,25 @@ def global_rank(
     w_off = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    offsets = counts.select(
-        "__bucket", (F.sum("__cnt").over(w_off) - F.col("__cnt")).alias("__off")
-    )
+    off_cols = [
+        F.col("__bucket"),
+        (F.sum("__cnt").over(w_off) - F.col("__cnt")).alias("__off"),
+    ]
+    if keep_total:
+        # total N rides the same <=`buckets`-row aggregate — callers that
+        # need it (global_percent_rank) avoid a second full-scan count().
+        w_all = Window.orderBy("__bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__cnt").over(w_all).alias("__n"))
+    offsets = counts.select(*off_cols)
     w_local = Window.partitionBy("__bucket").orderBy(*order)
-    return (
+    out = (
         with_b.join(F.broadcast(offsets), "__bucket")
         .withColumn(alias, (F.row_number().over(w_local) + F.col("__off")).cast("long"))
         .drop("__bucket", "__off")
     )
+    return out
 
 
 def global_percent_rank(
@@ -406,14 +417,18 @@ def global_percent_rank(
 
     Requires a total order (``order`` must be unique, e.g. value + key
     tiebreak) so rank == row_number and the result matches SQL
-    PERCENT_RANK exactly; N comes from one extra metadata-cheap count.
-    This is the scale path for B18's percent_rank, whose naive form is a
-    global single-partition window (window_ntile_pctrank documents that
-    deliberately; this operator is what you run at 100 TB).
+    PERCENT_RANK exactly; N rides the bucket-count aggregate that
+    `global_rank` already computes (``keep_total=True``), so there is no
+    second full-scan count() job.  This is the scale path for B18's
+    percent_rank, whose naive form is a global single-partition window
+    (window_ntile_pctrank documents that deliberately; this operator is
+    what you run at 100 TB).
     """
-    n = df.count()
-    ranked_df = global_rank(df, range_col, order, alias="__rn", buckets=buckets)
-    denom = max(n - 1, 1)
+    ranked_df = global_rank(
+        df, range_col, order, alias="__rn", buckets=buckets, keep_total=True
+    )
     return ranked_df.withColumn(
-        alias, (F.col("__rn") - 1).cast("double") / F.lit(float(denom))
-    ).drop("__rn")
+        alias,
+        (F.col("__rn") - 1).cast("double")
+        / F.greatest(F.col("__n") - 1, F.lit(1)).cast("double"),
+    ).drop("__rn", "__n")
