@@ -2891,9 +2891,11 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     # harness processes (pytest + bench on one machine) cannot clobber each
     # other's table directories mid-read.
     app_id = spark.sparkContext.applicationId.replace("-", "_")
+    from shuttle_spark.streaming.core import track_tmp_dir
+
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS shuttle_bkt"
-        f" LOCATION '/tmp/shuttle_spark_bkt_{app_id}'"
+        f" LOCATION '{track_tmp_dir(f'/tmp/shuttle_spark_bkt_{app_id}')}'"
     )
     o_tbl = f"shuttle_bkt.orders_bkt_{suffix}"
     c_tbl = f"shuttle_bkt.customer_bkt_{suffix}"
@@ -2991,11 +2993,10 @@ def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
     hash-match the batch keep-latest oracle over ALL events: unlike the
     watermarked in-flight operator (stream_keep_latest), the durable state
     holds every key."""
-    import tempfile
-
     from shuttle_spark.streaming import events_stream_multi, run_upsert_sink
+    from shuttle_spark.streaming.core import tracked_mkdtemp
 
-    out = tempfile.mkdtemp(prefix="upsert_sink_")
+    out = tracked_mkdtemp("upsert_sink_")
     state = run_upsert_sink(
         events_stream_multi(spark, sf, n_files=4),
         out,
@@ -3057,6 +3058,7 @@ def q_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     from shuttle_spark.streaming.core import (
         run_stream_decontaminate,
         staged_documents_files,
+        tracked_mkdtemp,
     )
 
     bench = load_table(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
@@ -3069,7 +3071,7 @@ def q_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(d)
         .filter(F.col("doc_id") % 97 != 0)
     )
-    out = tempfile.mkdtemp(prefix="decon_sink_")
+    out = tracked_mkdtemp("decon_sink_")
     clean = run_stream_decontaminate(
         docs_stream, bench, out, n=5, shuffle_partitions=4
     )

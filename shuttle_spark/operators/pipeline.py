@@ -33,19 +33,16 @@ from pyspark.sql import functions as F
 from shuttle_spark.functions import text as TX
 
 
-def _gram_hashes(docs: DataFrame, id_col: str, n: int) -> DataFrame:
-    """(id, gram_hash) pairs, distinct per document — two projections so
+def _doc_grams(docs: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, gram) pairs, distinct per document — two projections so
     tokenization is not re-evaluated inside the gram lambda (see
     functions/text.ngrams_from_tokens docstring)."""
     toks = docs.select(id_col, TX.tokens(F.col("text")).alias("toks"))
-    return (
-        toks.select(
-            id_col,
-            F.explode(
-                F.array_distinct(TX.ngrams_from_tokens(F.col("toks"), n))
-            ).alias("gram"),
-        )
-        .select(id_col, F.xxhash64("gram").alias("gh"))
+    return toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(TX.ngrams_from_tokens(F.col("toks"), n))
+        ).alias("gram"),
     )
 
 
@@ -56,14 +53,16 @@ def contaminated_ids(
     benchmark corpus — the standard eval-decontamination test (n-gram
     collision against held-out benchmarks before training).
 
-    The benchmark gram-hash set is distinct'd then broadcast: one corpus
-    scan, zero corpus shuffles before the id distinct."""
-    bench_grams = (
-        _gram_hashes(benchmark, id_col, n).select("gh").distinct()
-    )
-    corpus_grams = _gram_hashes(corpus, id_col, n)
+    The benchmark gram set is distinct'd then broadcast: one corpus scan,
+    zero corpus shuffles before the id distinct.  The join compares raw
+    gram STRINGS, not 64-bit hashes — the broadcast side is an eval suite
+    (thousands of docs), so the extra bytes are irrelevant, and a hash
+    collision can never falsely remove a clean document; Spark and oracle
+    semantics are identical by construction."""
+    bench_grams = _doc_grams(benchmark, id_col, n).select("gram").distinct()
+    corpus_grams = _doc_grams(corpus, id_col, n)
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
         .select(id_col)
         .distinct()
     )
@@ -87,7 +86,11 @@ def repetition_from_grams(grams: F.Column) -> F.Column:
     (1 - distinct/total); 0 when the document has no grams."""
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
+    # NULL text => NULL gram array => NULL size: the when-condition would be
+    # NULL and fall through to a NULL score, so test NULL explicitly to keep
+    # the documented "0 when the document has no grams" (matches the
+    # oracle's COALESCE(..., 0.0)).
+    return F.when(total.isNull() | (total <= 0), F.lit(0.0)).otherwise(
         F.round(1.0 - distinct / total.cast("double"), 6)
     )
 

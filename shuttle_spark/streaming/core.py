@@ -28,7 +28,9 @@ Scale notes (100 TB / real cluster):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Iterable, Sequence
@@ -56,6 +58,13 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
     ts_type = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
     spark_ts: T.DataType
     if str(ts_type) == "int64" or str(ts_type).startswith("timestamp[ns"):
+        # Deliberately BEFORE the tz branch: ns+tz ("timestamp[ns, tz=...]")
+        # must also be LongType.  Spark has no nanosecond timestamp type —
+        # declaring TimestampType over TIMESTAMP(NANOS) parquet throws
+        # SchemaColumnConvertNotSupportedException (verified on 4.1.2,
+        # adjusted and unadjusted alike); under nanosAsLong both read as
+        # epoch-nano bigint, which normalize_events_ts converts (nanos are
+        # UTC-anchored either way, so the conversion is tz-exact).
         spark_ts = T.LongType()
     elif getattr(ts_type, "tz", None):
         # tz-annotated (isAdjustedToUTC) micros/millis: Spark's parquet
@@ -75,6 +84,30 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
     )
 
 
+_TMP_DIRS: list[str] = []
+
+
+def tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp whose directory is removed at interpreter exit — staging
+    dirs, checkpoints, and sink scratch would otherwise leak disk across
+    repeated harness/bench runs (ADVICE r3)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+def track_tmp_dir(path: str) -> str:
+    """Register an externally-created scratch path for exit-time removal."""
+    _TMP_DIRS.append(path)
+    return path
+
+
+@atexit.register
+def _cleanup_tmp_dirs() -> None:
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _staged: dict[str, str] = {}
 
 
@@ -83,7 +116,7 @@ def _staged_events_dir(sf_dir: str) -> str:
     cached = _staged.get(sf_dir)
     if cached is not None:
         return cached
-    d = tempfile.mkdtemp(prefix="events_stream_")
+    d = tracked_mkdtemp("events_stream_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events-000.parquet"))
     _staged[sf_dir] = d
     return d
@@ -383,7 +416,7 @@ def _staged_table_files(
         return cached
     from shuttle_spark.catalog import load_table
 
-    d = tempfile.mkdtemp(prefix=f"{table}_multi_")
+    d = tracked_mkdtemp(f"{table}_multi_")
     load_table(spark, sf_dir, table).repartitionByRange(
         n_files, range_col
     ).write.mode("overwrite").parquet(d)
@@ -441,7 +474,7 @@ def _run_foreach_batch(
     """Run a foreachBatch query to completion (AvailableNow) with a
     scoped shuffle-partition override."""
     spark = stream_df.sparkSession
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    ckpt = tracked_mkdtemp(f"ckpt_{query_name}_")
     overrides = {}
     if shuffle_partitions is not None:
         overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
@@ -544,9 +577,23 @@ def run_upsert_sink(
     # this run's GC retained as its own batch ids never reached it).
     if "v" in last_batch:
         return spark.read.parquet(f"{path}/v{last_batch['v']}")
+    # merge() never ran (zero-batch stream / fully-caught-up checkpoint):
+    # fall back to the newest COMMITTED version — _SUCCESS is written last
+    # by the parquet committer, so a partially-written dir left by a crash
+    # mid-write is never picked.  A fresh path with no versions at all is
+    # legitimately empty state, not an error.
     root, fs = _fs()
-    latest = _versions(fs, root)[-1]
-    return spark.read.parquet(f"{path}/v{latest}")
+    jvm = spark._jvm
+    versions = _versions(fs, root)
+    committed = [
+        v
+        for v in versions
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v}/_SUCCESS"))
+    ]
+    pick = committed or versions
+    if not pick:
+        return spark.createDataFrame([], events.select(*sel_cols).schema)
+    return spark.read.parquet(f"{path}/v{pick[-1]}")
 
 
 def staged_documents_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
@@ -615,7 +662,7 @@ def run_available_now(
     (Ors2ShuffleManager.scala:372-398).
     """
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = tracked_mkdtemp(f"ckpt_{name}_")
     spark = stream_df.sparkSession
     overrides = dict(session_conf or {})
     if shuffle_partitions is not None:

@@ -134,6 +134,19 @@ def test_repetition_score_bounds(spark):
     assert abs(got[1] - round(1 - 5 / 11, 6)) < 1e-9
 
 
+def test_repetition_score_null_text_is_zero(spark):
+    # NULL text => NULL gram array; the score must still be 0, not NULL
+    # (ADVICE r3: the when-condition over size(NULL) was NULL-propagating).
+    from shuttle_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f")], "doc_id long, text string"
+    ).select("doc_id", P.repetition_score(F.col("text"), n=5).alias("r"))
+    got = {r.doc_id: r.r for r in df.collect()}
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
 def test_cleanse_filters_and_dedups(spark):
     from shuttle_spark.operators import pipeline as P
 

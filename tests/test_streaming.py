@@ -173,6 +173,28 @@ def test_upsert_sink_is_idempotent_and_matches_batch(spark):
     assert rows2 == rows1
 
 
+def test_upsert_sink_zero_batch_stream_is_empty_state(spark):
+    """A stream over an empty landing dir runs zero batches; the sink must
+    return empty state (not IndexError on a fresh versionless path —
+    ADVICE r3)."""
+    import tempfile
+
+    from shuttle_spark.sources.io import read_stream
+    from shuttle_spark.streaming import run_upsert_sink
+
+    landing = tempfile.mkdtemp(prefix="upsert_empty_landing_")
+    state_path = tempfile.mkdtemp(prefix="upsert_empty_state_")
+    stream = read_stream(
+        spark,
+        landing,
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp, value double, props string",
+    )
+    state = run_upsert_sink(stream, state_path, shuffle_partitions=2)
+    assert state.count() == 0
+    assert set(state.columns) == {"user_id", "ts", "event_id", "event_type"}
+
+
 def test_stream_keep_latest_tws_matches_batch(spark):
     """transformWithState (Spark 4 successor stateful API) twin of
     stream_keep_latest: the last update per key equals the batch
