@@ -1159,6 +1159,35 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "ngram_jaccard_maxdf",
+    _NGRAM_ORACLE_BODY.replace(
+        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter FROM grams a\n"
+        "           JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),",
+        "dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),\n"
+        "kept AS (SELECT doc_id, grams.g FROM grams JOIN dfreq USING (g)"
+        " WHERE df <= 3),\n"
+        "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter FROM kept a\n"
+        "           JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),",
+    )
+    + "SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.6",
+    "B28",
+)
+def q_ngram_jaccard_maxdf(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``max_df`` stop-gram path of near_dup_pairs_exact under the
+    oracle gate (VERDICT r3 item 9) — the switch a 100 TB user actually
+    runs with, since it bounds the O(f²) pair expansion of ubiquitous
+    grams.  Semantics pinned exactly: grams present in more than max_df
+    documents are dropped from the inverted index BEFORE pair counting,
+    while the Jaccard denominator keeps the FULL per-document gram-set
+    sizes (so the score is a lower bound of true Jaccard, never an
+    overestimate).  max_df=3 at contract SF genuinely drops grams (df
+    distribution tops out at 7 here), so the filtered result differs from
+    ngram_jaccard_pairs and the oracle reproduces the df-filter in SQL."""
+    docs = load_table(spark, sf, "documents")
+    return N.near_dup_pairs_exact(docs, 0.6, n=3, max_df=3)
+
+
+@contract(
     "near_dup_dedup_count",
     _NGRAM_ORACLE_BODY
     + "SELECT COUNT(*) AS cnt FROM documents WHERE doc_id NOT IN"
@@ -2922,6 +2951,85 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
         .withColumn("no_exchange", F.lit(bool(no_exchange)))
     )
+
+
+@contract(
+    "skew_join_agg",
+    "WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END"
+    "   AS uid, value FROM events CROSS JOIN range(0, 20)),"
+    " dim AS (SELECT range AS uid, range % 10 AS grp FROM range(0, 150))"
+    " SELECT grp, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value,"
+    "  TRUE AS skew_split"
+    " FROM ev JOIN dim USING (uid) GROUP BY 1",
+    "B12",
+    "property",
+)
+def q_skew_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewed sort-merge join under AQE skew-split (VERDICT r3 item 6):
+    events replicated x20 (a fixed constant both engines apply) with half
+    of all rows folded onto one hot key (uid=1 — the hot-user shape
+    SCALING.md argues about), joined to a small dim on the skewed key with
+    the broadcast path suppressed so the exchange actually materializes
+    the skew.  The contract gates BOTH the result values (vs the same
+    fold in SQL) AND the runtime plan: ``skew_split`` is True only if the
+    executed AQE plan split the hot partition (``skew=true`` in the SMJ
+    node).  Two test-scale accommodations, each a no-op at production
+    scale: the upstream repartition(8) gives the map side multiple
+    mappers (AQE splits a skewed reduce partition by mapper ranges, so a
+    single-mapper shuffle — one tiny parquet file — is unsplittable by
+    construction), and the skew thresholds are scoped down because
+    contract SF is MBs, not TBs (at production defaults the same rewrite
+    fires at 256 MB partitions).  Engine twin of the reference's
+    load-aware dispatch (WeightedRandomDispatcher.java:31-47): both route
+    a hot partition's bytes across more than one worker."""
+    from shuttle_spark.streaming.core import _scoped_conf
+
+    ev = (
+        load_table(spark, sf, "events")
+        .repartition(8)
+        .withColumn("__r", F.explode(F.array_repeat(F.lit(1), 20)))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("uid"),
+            "value",
+        )
+    )
+    dim = spark.range(0, 150).select(
+        F.col("id").alias("uid"), (F.col("id") % 10).alias("grp")
+    )
+    restore = _scoped_conf(
+        spark,
+        {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512b",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+            # disable broadcast + AQE's runtime SMJ->BHJ conversion: a
+            # broadcast join has no exchange to skew-split.
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        agg = (
+            ev.hint("merge")
+            .join(dim, "uid")
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        rows = agg.collect()  # finalize the adaptive plan
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skew_split = "skew=true" in plan
+        return spark.createDataFrame(rows, agg.schema).withColumn(
+            "skew_split", F.lit(bool(skew_split))
+        )
+    finally:
+        restore()
 
 
 @contract(
