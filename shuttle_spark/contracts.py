@@ -800,6 +800,65 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "lineage_audit",
+    "SELECT COUNT(*) AS cnt, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,"
+    " TRUE AS stale_on_disk, TRUE AS pruned, TRUE AS provenance_ok"
+    " FROM lineitem WHERE l_partkey % 10 = 0",
+    "B23",
+    "sink",
+)
+def q_lineage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Attempt-lineage audit columns (VERDICT r3 item 4; A15/A34 twin of
+    ShuffleIndex.java:32-37 + Ors2Util.scala:54-87): a stale attempt 0
+    (half the rows, keys zeroed — a zombie speculative write) and a
+    committed attempt 1 land side-by-side under _app_attempt=N/ Hive
+    partitions; read_latest must return EXACTLY the committed attempt's
+    rows (the values gate vs the source-table oracle), with the
+    stale-attempt filter applied as plan-time partition pruning
+    (``pruned``: PartitionFilters on _app_attempt in the scan node — the
+    stale directory is never scanned) and per-row ``_source_file``
+    provenance from parquet _metadata (``provenance_ok``).
+    ``stale_on_disk`` pins that attempt 0 genuinely survives on disk, so
+    the filter is doing real work."""
+    from shuttle_spark.operators import lineage as L
+    from shuttle_spark.streaming.core import tracked_mkdtemp
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    out = tracked_mkdtemp("lineage_audit_") + "/table"
+    # stale attempt: a zombie wrote half the rows with mangled keys
+    L.write_attempt(
+        li.filter(F.col("l_orderkey") % 2 == 0).withColumn(
+            "l_orderkey", F.lit(0).cast("long")
+        ),
+        out,
+        app_attempt=0,
+    )
+    L.write_attempt(li, out, app_attempt=1, write_version=1)
+    back = L.read_latest(spark, out)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pruned = "PartitionFilters: [" in plan and "(_app_attempt" in plan
+    stale_on_disk = L.attempts(spark, out) == [0, 1]
+    return (
+        back.agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+            F.count("_source_file").alias("__prov"),
+        )
+        .select(
+            "cnt",
+            "sum_key",
+            F.lit(bool(stale_on_disk)).alias("stale_on_disk"),
+            F.lit(bool(pruned)).alias("pruned"),
+            (F.col("__prov") == F.col("cnt")).alias("provenance_ok"),
+        )
+    )
+
+
 @contract("freq_items_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B22")
 def q_freq_items(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate frequent-items sketch (Karp-Papadimitriou-Shenker via

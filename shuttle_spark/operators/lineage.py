@@ -1,0 +1,147 @@
+"""Attempt-lineage audit columns — the engine twin of the reference's
+shuffle-file lineage metadata (A15/A34).
+
+The reference stamps every shuffle block with a 32-byte index record
+``(mapId, attemptId, seqId, offset, length)``
+(/root/reference/src/main/java/com/oppo/shuttle/rss/common/ShuffleIndex.java:32-37)
+and ships the latest-attempt map through Spark's MapOutputTracker
+(/root/reference/src/main/scala/org/apache/spark/shuffle/Ors2Util.scala:54-87)
+so readers can drop blocks written by stale (speculated / retried / zombie)
+map attempts (PartitionPipeReader.java:150-170).  Our durable analog stamps
+the same lineage onto *rows of a written corpus*:
+
+* ``stamp_lineage`` adds ``_app_attempt`` / ``_write_version`` columns —
+  pure projections, zero shuffle.
+* ``write_attempt`` persists a stamped write under a Hive partition
+  ``_app_attempt=N/``.  A retried job writes a NEW attempt directory and
+  never mutates the old one — the reference's append-only attempt files
+  restated as parquet layout.
+* ``latest_attempt`` discovers the newest COMMITTED attempt from the FS
+  listing alone (a ``_SUCCESS``-gated metadata operation — no data pass,
+  exactly like the reference's ``_final``-rename poll,
+  ShuffleDataExecutor.java:119-138).
+* ``read_latest`` reads the table with the stale-attempt filter expressed
+  as a PARTITION filter, so pruning is plan-time metadata at any scale
+  (stale attempts are never scanned, not scanned-then-dropped), and
+  attaches ``_source_file`` provenance from the parquet ``_metadata``
+  virtual column for post-hoc audit of which physical file produced each
+  row.
+
+100 TB posture: the attempt filter prunes directories before the scan
+(verified by plan assert in the contract); provenance is a per-row virtual
+column the reader materializes for free from split metadata; no shuffle
+anywhere in the lineage path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ATTEMPT_COL = "_app_attempt"
+VERSION_COL = "_write_version"
+
+
+def stamp_lineage(
+    df: DataFrame, app_attempt: int, write_version: int = 0
+) -> DataFrame:
+    """Stamp lineage audit columns onto every row (pure projection)."""
+    return df.withColumn(ATTEMPT_COL, F.lit(int(app_attempt))).withColumn(
+        VERSION_COL, F.lit(int(write_version))
+    )
+
+
+def write_attempt(
+    df: DataFrame,
+    path: str,
+    app_attempt: int,
+    write_version: int = 0,
+    fmt: str = "parquet",
+) -> None:
+    """Persist one write attempt under ``path/_app_attempt=N/``.
+
+    Append mode: a retry writes a fresh attempt partition next to the
+    stale one; nothing is overwritten (the append-only discipline of
+    ShufflePartitionUnsafeWriter.java:159-190).  Readers decide which
+    attempt wins — writers never race on the same files.
+    """
+    stamped = stamp_lineage(df, app_attempt, write_version)
+    (
+        stamped.write.format(fmt)
+        .mode("append")
+        .partitionBy(ATTEMPT_COL)
+        .save(path)
+    )
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def attempts(spark: SparkSession, path: str) -> list[int]:
+    """All attempt ids present on disk (committed or not) — FS metadata."""
+    jvm, root, fs = _fs(spark, path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(f"{ATTEMPT_COL}=") and st.isDirectory():
+            suffix = name.split("=", 1)[1]
+            if suffix.isdigit():
+                out.append(int(suffix))
+    return sorted(out)
+
+
+def latest_attempt(spark: SparkSession, path: str) -> int | None:
+    """Newest COMMITTED attempt: the write job drops ``_SUCCESS`` at the
+    table root last, but concurrent attempt dirs share one root marker, so
+    commit is judged per attempt dir: an attempt counts when its directory
+    contains at least one closed data file and no in-flight temporary
+    (``.``/``_temporary``) files — the engine's ``_final`` poll."""
+    jvm, root, fs = _fs(spark, path)
+    committed = []
+    for a in attempts(spark, path):
+        d = jvm.org.apache.hadoop.fs.Path(f"{path}/{ATTEMPT_COL}={a}")
+        names = [st.getPath().getName() for st in fs.listStatus(d)]
+        has_data = any(
+            not n.startswith("_") and not n.startswith(".") for n in names
+        )
+        in_flight = any(n == "_temporary" for n in names)
+        if has_data and not in_flight:
+            committed.append(a)
+    return committed[-1] if committed else None
+
+
+def read_latest(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    with_provenance: bool = True,
+) -> DataFrame:
+    """The table with ONLY the newest committed attempt's rows.
+
+    The stale-attempt filter is an equality on the Hive partition column,
+    so Catalyst prunes stale directories at planning time (PartitionFilters
+    in the scan node — asserted by the lineage_audit contract); stale data
+    costs a directory listing, never IO.  ``_source_file`` carries the
+    physical file each row came from (parquet ``_metadata.file_path``).
+    """
+    a = latest_attempt(spark, path)
+    if a is None:
+        raise FileNotFoundError(f"no committed write attempt under {path}")
+    df = spark.read.format(fmt).load(path)
+    if with_provenance:
+        df = df.withColumn("_source_file", F.col("_metadata.file_path"))
+    return df.filter(F.col(ATTEMPT_COL) == a).drop(ATTEMPT_COL)
+
+
+def audit_stale_rows(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Per-attempt row counts INCLUDING stale attempts — the post-hoc audit
+    query (which attempts exist, how many rows each left behind)."""
+    df = spark.read.format(fmt).load(path)
+    return df.groupBy(ATTEMPT_COL, VERSION_COL).agg(
+        F.count("*").alias("rows")
+    )

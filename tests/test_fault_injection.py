@@ -83,3 +83,63 @@ def test_injected_task_failure_is_exactly_once():
         timeout=600,
     )
     assert "FAULT_PARITY_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_lineage_crashed_attempt_is_never_read(spark):
+    """A crashed write attempt (in-flight _temporary marker, partial rows)
+    must be invisible to read_latest: the newest COMMITTED attempt wins,
+    stale/partial attempt files stay on disk for audit (the reference's
+    stale-attempt block filter, PartitionPipeReader.java:150-170, as a
+    durable-table property)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import lineage as L
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+    path = tempfile.mkdtemp(prefix="lineage_fault_") + "/t"
+
+    # attempt 0: committed
+    L.write_attempt(li, path, app_attempt=0)
+    # attempt 1: crashed mid-write — partial rows AND an in-flight
+    # _temporary dir (what a dead executor leaves behind)
+    L.write_attempt(li.limit(10), path, app_attempt=1)
+    os.makedirs(f"{path}/{L.ATTEMPT_COL}=1/_temporary", exist_ok=True)
+
+    assert L.attempts(spark, path) == [0, 1]
+    assert L.latest_attempt(spark, path) == 0  # 1 is not committed
+
+    back = L.read_latest(spark, path)
+    assert back.count() == 500
+    # provenance column present and fully populated
+    assert back.filter(F.col("_source_file").isNull()).count() == 0
+
+    # audit view still sees the stale partial attempt
+    audit = {r[L.ATTEMPT_COL]: r["rows"] for r in L.audit_stale_rows(spark, path).collect()}
+    assert audit == {0: 500, 1: 10}
+
+
+def test_lineage_retry_supersedes_stale_attempt(spark):
+    """Retried-write semantics: once attempt 1 commits, its rows replace
+    attempt 0's entirely (latest-attempt-wins, Ors2Util.scala:54-87)."""
+    import tempfile
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import lineage as L
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    path = tempfile.mkdtemp(prefix="lineage_retry_") + "/t"
+    L.write_attempt(li.limit(100), path, app_attempt=0)          # stale
+    L.write_attempt(li, path, app_attempt=1, write_version=1)    # retry
+    assert L.latest_attempt(spark, path) == 1
+    got = L.read_latest(spark, path, with_provenance=False)
+    assert got.count() == li.count()
