@@ -118,6 +118,40 @@ def _decode_bytes_fake(content: bytes, width: int, height: int) -> np.ndarray:
     return arr.reshape(height, width, 3)
 
 
+def _decode_bytes_real(content: bytes, width: int, height: int) -> np.ndarray:
+    """Real codec path: PIL decode to an RGB uint8 tensor of the declared
+    shape — the exact same (height, width, 3) contract as the fake, so
+    every downstream stage is codec-agnostic.  Only reachable where PIL is
+    installed (``_decoder_available``); tests/test_multimodal.py carries an
+    importorskip-gated structural-parity test for this branch."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(content)).convert("RGB")
+    if img.size != (width, height):
+        img = img.resize((width, height))
+    return np.asarray(img, dtype=np.uint8).reshape(height, width, 3)
+
+
+def decode_bytes(
+    content: bytes, width: int, height: int, fmt: str = "raw-rgb"
+) -> np.ndarray:
+    """Codec dispatch: ``raw-rgb`` payloads decode structurally (the
+    deterministic fake — no codec involved); any real container format
+    (png/jpeg/...) requires PIL and fails fast with a clear error where it
+    is absent.  Both paths return the identical (height, width, 3) uint8
+    tensor, which is what makes the swap a one-line concern."""
+    if fmt == "raw-rgb":
+        return _decode_bytes_fake(content, width, height)
+    if not _decoder_available():
+        raise ImportError(
+            f"decoding format {fmt!r} requires PIL, which is not installed;"
+            " raw-rgb payloads decode without any codec"
+        )
+    return _decode_bytes_real(content, width, height)
+
+
 def decode_stats(df: DataFrame) -> DataFrame:
     """Decode each image payload and emit per-channel mean/std — the
     canonical "is the corpus healthy" scan.  ``mapInPandas``: zero shuffle,
@@ -134,8 +168,11 @@ def decode_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                img = _decode_bytes_fake(
-                    r["content"], r["meta"]["width"], r["meta"]["height"]
+                img = decode_bytes(
+                    r["content"],
+                    r["meta"]["width"],
+                    r["meta"]["height"],
+                    r["meta"]["format"],
                 )
                 px = img.reshape(-1, 3).astype(np.float64)
                 rows.append(
@@ -160,7 +197,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 w, h = r["meta"]["width"], r["meta"]["height"]
-                img = _decode_bytes_fake(r["content"], w, h)
+                img = decode_bytes(r["content"], w, h, r["meta"]["format"])
                 ys = (np.arange(out_h) * h // out_h).astype(int)
                 xs = (np.arange(out_w) * w // out_w).astype(int)
                 resized = img[np.ix_(ys, xs)]
@@ -189,8 +226,11 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                img = _decode_bytes_fake(
-                    r["content"], r["meta"]["width"], r["meta"]["height"]
+                img = decode_bytes(
+                    r["content"],
+                    r["meta"]["width"],
+                    r["meta"]["height"],
+                    r["meta"]["format"],
                 )
                 feats = []
                 for c in range(3):

@@ -277,6 +277,17 @@ def stream_keep_latest(
     )
 
 
+def tws_available() -> bool:
+    """Whether Spark's transformWithStateInPandas runner can execute here:
+    its state-server protocol needs ``google.protobuf`` at runtime."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def stream_keep_latest_tws(
     events: DataFrame,
     key_col: str = "user_id",
@@ -297,13 +308,24 @@ def stream_keep_latest_tws(
 
     ENVIRONMENT NOTE: the transformWithState Python runner requires the
     ``google.protobuf`` package (its state-server protocol) and the
-    RocksDB state store provider; containers without protobuf crash the
-    runner at query start (verified here), so the equality test for this
-    operator is gated on ``pytest.importorskip("google.protobuf.descriptor")``
-    and the contracted keep-latest surface stays on
-    ``applyInPandasWithState`` (stream_keep_latest) and the foreachBatch
-    sink (run_upsert_sink), which carry the oracle gates.
+    RocksDB state store provider; without protobuf the runner would crash
+    mid-query with an opaque executor error, so this operator probes the
+    import up front and fails fast with a clear message.  The parity test
+    (tests/test_streaming.py) asserts BOTH branches — protobuf present =>
+    batch equality, absent => this exact fail-fast — so the suite carries
+    no environment skip; the contract (stream_keep_latest_tws) is
+    registered only where the runtime can execute it, and the
+    applyInPandasWithState path (stream_keep_latest) plus the foreachBatch
+    sink (run_upsert_sink) carry the always-on oracle gates.
     """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf package"
+            " (the state-server protocol of Spark's Python TWS runner),"
+            " which is not installed in this environment; use"
+            " stream_keep_latest (applyInPandasWithState) or run_upsert_sink"
+            " (foreachBatch) for the same keep-latest semantics."
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -106,3 +106,52 @@ def test_no_shuffle_in_decode_plan(spark):
         M.decode_stats(media)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_unknown_codec_without_pil_fails_fast():
+    """Real container formats need PIL; where it is absent the dispatcher
+    must raise a clear ImportError, never crash inside an executor."""
+    import pytest
+
+    if M._decoder_available():
+        pytest.skip("PIL installed: the no-codec branch is unreachable")
+    with pytest.raises(ImportError, match="requires PIL"):
+        M.decode_bytes(b"\x89PNG...", 4, 4, "png")
+
+
+def test_real_decoder_swap_is_structurally_identical(spark):
+    """PIL-gated (VERDICT r3 item 10): encoding the SAME pixels as PNG and
+    decoding through the real-codec branch must produce byte-identical
+    decode_stats to the raw-rgb fake path — proving the fake->PIL swap
+    changes nothing structurally (schema, batch shape, values)."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    w, h = 16, 12
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20)
+    raw = M.synthesize_media(docs, width=w, height=h)
+
+    # re-encode each deterministic raw-rgb payload as real PNG bytes
+    import pandas as pd
+
+    def to_png(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = M._decode_bytes_fake(r["content"], w, h)
+                buf = io.BytesIO()
+                PIL_Image.fromarray(img, "RGB").save(buf, format="PNG")
+                meta = dict(r["meta"])
+                png = buf.getvalue()
+                meta.update(format="png", n_bytes=len(png))
+                rows.append((int(r["media_id"]), png, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "content", "meta"])
+
+    png_media = raw.mapInPandas(to_png, raw.schema)
+
+    got_fake = sorted(map(tuple, M.decode_stats(raw).collect()))
+    got_real = sorted(map(tuple, M.decode_stats(png_media).collect()))
+    assert got_fake == got_real

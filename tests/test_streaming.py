@@ -199,10 +199,24 @@ def test_stream_keep_latest_tws_matches_batch(spark):
     """transformWithState (Spark 4 successor stateful API) twin of
     stream_keep_latest: the last update per key equals the batch
     keep-latest.  Requires google.protobuf (the TWS python runner's
-    state-server protocol) — skipped where it is absent."""
+    state-server protocol); where it is absent the operator must fail
+    fast with a clear ImportError BEFORE any query starts — both branches
+    are asserted, so this test never skips."""
     import pytest
 
-    pytest.importorskip("google.protobuf.descriptor")
+    from shuttle_spark.streaming.core import tws_available
+
+    if not tws_available():
+        from shuttle_spark.streaming.core import (
+            events_stream_multi,
+            stream_keep_latest_tws,
+        )
+
+        with pytest.raises(ImportError, match="google.protobuf"):
+            stream_keep_latest_tws(
+                events_stream_multi(spark, "/root/testdata/sf0.001", n_files=4)
+            )
+        return
 
     from pyspark.sql import functions as F
 
