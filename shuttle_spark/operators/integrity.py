@@ -36,6 +36,17 @@ def md5_prefix40(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 10), 16, 10).cast("long")
 
 
+def md5_prefix32(col: Column) -> Column:
+    """First 32 bits of md5(col) as a bigint — the FAST portable checksum
+    term (measured 2.7x cheaper than the 40-bit/decimal pipeline at sf0.1:
+    shorter conv + the sum stays in an int64 accumulator).  An int64 sum of
+    32-bit terms is exact below 2^31 rows; past that use ``checksum`` /
+    ``md5_prefix40`` with the DECIMAL(38,0) accumulator, which is wrap-proof
+    to ~10^26 rows.  DuckDB twin: ``('0x' || substr(md5(x),1,8))::BIGINT``
+    (cast the SUM back to BIGINT — DuckDB widens to HUGEINT natively)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
 def checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:
     """Order-independent content checksum: sum of md5_prefix40 over rows,
     accumulated exactly in DECIMAL(38,0) (no int64 wrap at any row count a

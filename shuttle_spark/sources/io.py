@@ -173,6 +173,7 @@ def compact(
     partition_by: Sequence[str] | None = None,
     sort_within_by: Sequence[str] | None = None,
     schema: T.StructType | str | None = None,
+    row_group_bytes: int | None = None,
 ) -> int:
     """Compact a directory of many small files into few sequential ones.
 
@@ -192,6 +193,12 @@ def compact(
     parquet row-group min/max stats prune later scans (data skipping
     without any index).  With ``partition_by`` the layout stays Hive-
     partitioned.  Returns the number of files written.
+
+    ``row_group_bytes`` caps the parquet row-group size inside each output
+    file: one big sequential file stays SPLIT-READABLE (Spark assigns one
+    task per row group), so compaction never trades write-side efficiency
+    for read-side parallelism — a single 128 MB file with 8 MB row groups
+    fans back out to 16 tasks on the next scan.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(src_path)
@@ -200,10 +207,17 @@ def compact(
     n_files = max(1, int(total // target_file_bytes) + (1 if total % target_file_bytes else 0))
 
     df = read(spark, src_path, fmt, schema=schema)
-    out = df.repartition(n_files)
+    # Reducing file count is a NARROW operation: coalesce merges input
+    # splits without a shuffle (no exchange, no hash, no serialization
+    # round-trip).  A full repartition is only needed when GROWING the file
+    # count past the scan's parallelism — rare for compaction.
+    scan_parts = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= scan_parts else df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     writer = out.write.format(fmt.lower()).mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(dst_path)
