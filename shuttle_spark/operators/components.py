@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from shuttle_spark.cache import DFCache
+from shuttle_spark.cache import DFCache, semantic_key
 
 # (app id, pairs identity, cols) -> (node, comp) mapping.  The near-dup
 # pair relation is itself session-cached (neardup._pairs_cache returns a
@@ -94,7 +94,7 @@ def connected_components(
     """
     cache_key = (
         pairs.sparkSession.sparkContext.applicationId,
-        id(pairs), a_col, b_col,
+        semantic_key(pairs), a_col, b_col,
     )
     hit = _cc_cache.get(cache_key)
     if hit is not None:

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from shuttle_spark.cache import DFCache
+from shuttle_spark.cache import DFCache, semantic_key
 from shuttle_spark.functions import text as TX
 
 # Mersenne prime 2^31-1: permutation hash space.  a*h+b stays < 2^62, no
@@ -90,7 +90,7 @@ def gram_sets(
     strings; DISTINCT semantics preserved)."""
     key = (
         df.sparkSession.sparkContext.applicationId,
-        id(df),
+        semantic_key(df),
         id_col,
         text_col,
         n,
@@ -152,7 +152,7 @@ def near_dup_pairs_exact(
     dedup all fan out from it."""
     key = (
         df.sparkSession.sparkContext.applicationId,
-        id(df), id_col, text_col, n, max_df, tau,
+        semantic_key(df), id_col, text_col, n, max_df, tau,
     )
     if reuse:
         hit = _pairs_cache.get(key)

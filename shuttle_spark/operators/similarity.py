@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from shuttle_spark.cache import semantic_key
 from shuttle_spark.functions.vectors import (
     cosine,
     cosine_pairs_vectorized,
@@ -316,7 +317,7 @@ def ivf_build(
     """
     key = (
         df.sparkSession.sparkContext.applicationId,
-        id(df), id_col, vec_col, n_cells, sample_fraction, max_train_rows,
+        semantic_key(df), id_col, vec_col, n_cells, sample_fraction, max_train_rows,
     )
     if reuse and key in _ivf_cache:
         _ivf_cache[key] = _ivf_cache.pop(key)  # LRU touch

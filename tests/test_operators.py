@@ -232,3 +232,30 @@ def test_dedup_against_corpus(spark):
         r.doc_id for r in N.dedup_against_corpus(new, corpus, 0.6).collect()
     )
     assert kept == [3]
+
+
+def test_gram_cache_hits_on_recreated_dataframe(spark):
+    """Cache keys are the SEMANTIC plan identity (VERDICT r3 item 7): a
+    caller that rebuilds the same DataFrame (fresh object, identical plan)
+    must hit the cached persisted relation, not silently recompute."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.cache import semantic_key
+    from shuttle_spark.operators import neardup as N
+
+    N.clear_gram_cache()
+    mk = lambda: (
+        spark.read.parquet(SF + "/documents.parquet").filter(F.col("doc_id") < 40)
+    )
+    a, b = mk(), mk()
+    assert a is not b
+    assert semantic_key(a) == semantic_key(b)
+    g1 = N.gram_sets(a)
+    g2 = N.gram_sets(b)  # recreated input -> same cache entry
+    assert g1 is g2
+    assert len(N._gram_cache) == 1
+    # a different plan must MISS
+    g3 = N.gram_sets(mk().filter(F.col("doc_id") < 30))
+    assert g3 is not g1
+    assert len(N._gram_cache) == 2
+    N.clear_gram_cache()
