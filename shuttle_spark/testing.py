@@ -42,12 +42,18 @@ def canon_rows(rows) -> list[tuple[str, ...]]:
 
 def duckdb_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """A DuckDB connection with the testdata tables registered as views —
-    the driver's oracle environment."""
+    the driver's oracle environment.  Tables may be single parquet files
+    (the driver's testdata) or directories of part files (the synthesized
+    scale points under .scaledata/)."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 
