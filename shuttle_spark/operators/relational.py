@@ -67,13 +67,68 @@ def hash_aggregate(
 def rollup_aggregate(
     df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
 ) -> DataFrame:
-    """GROUP BY ROLLUP (B16)."""
+    """GROUP BY ROLLUP (B16).  General form: correct for ANY aggregate
+    (incl. avg / count-distinct), at the cost of Spark's Expand operator
+    multiplying every FACT row by the number of grouping levels before the
+    shuffle.  For decomposable aggregates use
+    ``grouping_aggregate_decomposed`` — identical results, Expand over the
+    finest-grain partial instead of the fact table."""
     return df.rollup(*keys).agg(*aggs)
 
 
 def cube_aggregate(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
-    """GROUP BY CUBE (B16 sibling)."""
+    """GROUP BY CUBE (B16 sibling).  Same Expand caveat as
+    ``rollup_aggregate``."""
     return df.cube(*keys).agg(*aggs)
+
+
+def grouping_aggregate_decomposed(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[tuple[str, str, int | None]],
+    count_alias: str | None = None,
+    mode: str = "rollup",
+) -> DataFrame:
+    """ROLLUP/CUBE for decomposable aggregates (sum/count), computed from
+    the finest-grain partial aggregate — the scale form of B16.
+
+    Spark plans ``df.rollup(...)`` as Expand(levels) BELOW the aggregation:
+    every fact row is replicated once per grouping level, so a 3-level
+    rollup shuffles and hash-aggregates 3N rows (measured 10.8x DuckDB's
+    marginal cost at sf1).  Sums and counts re-aggregate losslessly, so
+    this computes ``groupBy(keys)`` ONCE over the facts (one partial-
+    combined shuffle of G rows, G = distinct key combinations) and applies
+    the rollup/cube Expand to those G rows — at 100 TB that is Expand over
+    thousands of rows instead of trillions.  Rounding (``round_digits`` in
+    each ``(col, alias, round_digits)`` sum spec) happens once, after the
+    final re-aggregation, exactly like the single-stage form.
+
+    Not applicable to non-decomposable aggregates (avg must be carried as
+    sum+count, count-distinct not at all) — that is why the general
+    ``rollup_aggregate`` stays.
+
+    Each sum spec is ``(col, alias, decimal_scale)``: both stages
+    accumulate in DECIMAL(18, scale) — exact, association-free, identical
+    to the single-stage ``dsum`` result — and the final value is cast back
+    to double.  ``decimal_scale=None`` sums in the column's native type.
+    """
+    from pyspark.sql import types as T
+
+    partials = []
+    for c, a, sc in sums:
+        e = F.col(c).cast(T.DecimalType(18, sc)) if sc is not None else F.col(c)
+        partials.append(F.sum(e).alias(f"__s_{a}"))
+    if count_alias is not None:
+        partials.append(F.count("*").alias("__c"))
+    base = df.groupBy(*keys).agg(*partials)
+    finals = []
+    for c, a, sc in sums:
+        e = F.sum(f"__s_{a}")
+        finals.append((e.cast("double") if sc is not None else e).alias(a))
+    if count_alias is not None:
+        finals.append(F.sum("__c").alias(count_alias))
+    grouped = base.rollup(*keys) if mode == "rollup" else base.cube(*keys)
+    return grouped.agg(*finals)
 
 
 def salted_aggregate(
