@@ -59,6 +59,14 @@ _DEFAULTS = {
     # local[N] has no dynamic executors; keep partitions ~ cores for tests.
     "spark.sql.shuffle.partitions": "32",
     "spark.default.parallelism": "32",
+    # Scan-split note (measured, not configured): the driver's tables are
+    # single parquet files with ONE row group each, so scan + partial-agg
+    # parallelism is structurally 1 task regardless of
+    # spark.sql.files.maxPartitionBytes (splits snap to row groups; extra
+    # splits are empty).  Smaller splits were tried and reverted — no
+    # effect.  Real deployments get scan parallelism from file count x
+    # row groups; io.compact(row_group_bytes=...) is the engine-side dial
+    # that keeps compacted files split-readable.
     # InferFiltersFromGenerate clones the generator input into a pre-filter;
     # with an expensive higher-order-function input (shingling) that filter
     # re-evaluates the whole expression twice per row in interpreted mode —
