@@ -33,6 +33,7 @@ POINTS = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf0.3", os.path.join(REPO, ".scaledata", "sf0.3")),
     ("sf1", os.path.join(REPO, ".scaledata", "sf1")),
+    ("sf3", os.path.join(REPO, ".scaledata", "sf3")),
 ]
 
 # The curve set: every round-3 slow-list query that has a pure-SQL oracle,
@@ -104,7 +105,10 @@ def main() -> None:
     if os.path.exists(path):  # merge partial re-runs into the artifact
         with open(path) as f:
             out = json.load(f)
+    point_filter = os.environ.get("BENCH_SCALE_POINTS")
     for label, sf_dir in POINTS:
+        if point_filter and label not in point_filter.split(","):
+            continue
         if not os.path.isdir(sf_dir):
             print(f"SKIP point {label}: {sf_dir} missing", file=sys.stderr)
             continue
