@@ -32,9 +32,92 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # sharing it is safe.  Keyed by application id so a fresh session misses.
 _df_cache: dict[tuple[str, str, str], DataFrame] = {}
 
+# Ingest relayout decisions, keyed like _df_cache; value is the staged path
+# or None (source layout already fine).
+_relayout_cache: dict[tuple[str, str, str], str | None] = {}
+
+# Below this size a 1-task scan is cheaper than any relayout.
+_RELAYOUT_MIN_BYTES = 256 << 10
+# At/above this size split planning alone parallelizes a multi-row-group
+# file, so a single-file rewrite (order-preserving) suffices.
+_RELAYOUT_SPLIT_BYTES = 4 << 20
+_RELAYOUT_ROW_GROUP_BYTES = 1 << 20
+_RELAYOUT_SMALL_FILES = 16
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Re-lay a pathologically-sequential parquet source once per session.
+
+    The driver's testdata files carry a SINGLE row group each, and a row
+    group is parquet's atomic scan unit — so every scan of a 25 MB lineitem
+    is structurally ONE task no matter the split conf, serializing all
+    downstream per-row work (md5, regex, decimal) onto one core.  This is
+    the ingest twin of what the reference's shuffle workers do on write:
+    re-group incoming records into sequential, parallel-readable files
+    (README.md:7 "small random IO into sequential IO";
+    ShuffleStageSpace.java:181-205 per-partition writers).  Here: the first
+    ``load_table`` of an affected table rewrites it into 1 MiB row groups
+    in session-scoped scratch (removed at exit), and every subsequent scan
+    splits across cores.
+
+    Two regimes (Spark's split planner works on COMPRESSED file bytes and
+    bin-packs small files, so row groups alone cannot parallelize a small
+    file):
+
+    * >= 4 MiB compressed: rewrite in place as ONE file of 1 MiB row
+      groups — order-preserving (min/max pruning survives); split planning
+      fans it across cores.
+    * 256 KiB - 4 MiB compressed: round-robin into 16 files — these are
+      the small-but-compute-dense tables (documents: ~3 MB of text whose
+      regex/shingling work is seconds per core) where per-file task
+      assignment is the only parallelism lever.
+
+    Scale posture: the rewrite triggers ONLY when the source has fewer row
+    groups than cores — a layout no sane 100 TB deployment has (writers
+    emit 64-1024 MiB files of many row groups; io.compact keeps them that
+    way).  On real corpora this probe reads one footer and returns None.
+    The staging cost is paid once per session and is charged to the
+    suite's cold numbers (BASELINE.md).
+    """
+    if os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "1":
+        return None
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _relayout_cache:
+        return _relayout_cache[key]
+    staged: str | None = None
+    src = table_path(sf_dir, name)
+    try:
+        size = os.path.getsize(src) if os.path.isfile(src) else 0
+        if size >= _RELAYOUT_MIN_BYTES:
+            import pyarrow.parquet as pq
+
+            cores = spark.sparkContext.defaultParallelism
+            if pq.ParquetFile(src).metadata.num_row_groups < min(4, cores):
+                from shuttle_spark.streaming.core import tracked_mkdtemp
+
+                out = os.path.join(
+                    tracked_mkdtemp(f"shuttle_relayout_{name}_"),
+                    f"{name}.parquet",
+                )
+                df = spark.read.parquet(src)
+                if size < _RELAYOUT_SPLIT_BYTES:
+                    df = df.repartition(min(_RELAYOUT_SMALL_FILES, cores))
+                (
+                    df.write.option(
+                        "parquet.block.size", _RELAYOUT_ROW_GROUP_BYTES
+                    )
+                    .mode("overwrite")
+                    .parquet(out)
+                )
+                staged = out
+    except Exception:
+        staged = None  # any probe/write hiccup -> scan the source as-is
+    _relayout_cache[key] = staged
+    return staged
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -76,14 +159,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
-            df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+            path = _ingest_relayout(spark, sf_dir, name) or table_path(sf_dir, name)
+            df = normalize_events_ts(spark.read.parquet(path))
         finally:
             if prev_tz is None:
                 spark.conf.unset("spark.sql.session.timeZone")
             else:
                 spark.conf.set("spark.sql.session.timeZone", prev_tz)
     else:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        path = _ingest_relayout(spark, sf_dir, name) or table_path(sf_dir, name)
+        df = spark.read.parquet(path)
     _df_cache[key] = df
     return df
 

@@ -409,3 +409,55 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_topk_multi(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` for a batch of query vectors in ONE job.
+
+    Per-query probe lists are computed driver-side from the (tiny) centroid
+    array; the query set rides a broadcast join carrying its probe cells, a
+    row is scored for a query only when its cell is in that query's probe
+    list, and one window takes the per-query top-k.  N queries cost one
+    corpus pass instead of N — the batch-serving shape of the IVF path
+    (at scale the ``cell`` filter is the same partition pruning, applied
+    per query group).  Returns (q_id, id, sim).
+    """
+    spark = indexed.sparkSession
+    rows = []
+    for q_id, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        d = ((centroids - q[None, :]) ** 2).sum(1)
+        probe = [int(c) for c in d.argsort()[:n_probe]]
+        rows.append((int(q_id), [float(x) for x in vec], probe))
+    qdf = spark.createDataFrame(
+        rows, "q_id bigint, q_embedding array<double>, probe array<int>"
+    )
+    all_cells = sorted({c for _, _, probe in rows for c in probe})
+    scored = (
+        indexed.filter(F.col("cell").isin(all_cells))
+        .join(
+            F.broadcast(qdf),
+            F.array_contains(F.col("probe"), F.col("cell")),
+        )
+        .select(
+            "q_id",
+            F.col(id_col),
+            cosine_pairs_vectorized(F.col(vec_col), F.col("q_embedding")).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -66,7 +66,16 @@ _DEFAULTS = {
     # splits are empty).  Smaller splits were tried and reverted — no
     # effect.  Real deployments get scan parallelism from file count x
     # row groups; io.compact(row_group_bytes=...) is the engine-side dial
-    # that keeps compacted files split-readable.
+    # that keeps compacted files split-readable, and catalog.load_table's
+    # ingest relayout (see catalog._ingest_relayout) re-lays single-row-
+    # group sources into 1 MiB row groups once per session so every
+    # subsequent scan parallelizes.
+    # Split planning sizes splits as max(openCostInBytes, bytes/parallelism)
+    # capped at maxPartitionBytes; the 4 MiB default openCost floors MB-scale
+    # tables at ~6 splits.  1 MiB aligns splits with the relayout's row
+    # groups (measured: 6 -> 14 tasks, checksum scan 0.43 s -> 0.27 s at
+    # sf0.1).  At real scale bytes/parallelism dominates and this is inert.
+    "spark.sql.files.openCostInBytes": str(1 << 20),
     # InferFiltersFromGenerate clones the generator input into a pre-filter;
     # with an expensive higher-order-function input (shingling) that filter
     # re-evaluates the whole expression twice per row in interpreted mode —

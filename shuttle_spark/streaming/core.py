@@ -35,6 +35,7 @@ import tempfile
 import uuid
 from collections.abc import Iterable, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -247,11 +248,14 @@ def stream_keep_latest(
             if not len(pdf):
                 continue
             # total order (ts, event_id) — deterministic like the
-            # reference's attemptId tiebreak
+            # reference's attemptId tiebreak.  Pure-numpy argmax: this
+            # closure runs once per KEY per batch (tens of thousands of
+            # calls), so pandas sort_values/assign copies here were the
+            # dominant stream cost.
             us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
-            pdf = pdf.assign(__us=us)
-            row = pdf.sort_values(["__us", "event_id"]).iloc[-1]
-            cand = (int(row.__us), int(row.event_id), str(row.event_type))
+            eid = pdf["event_id"].values.astype("int64")
+            i = int(np.lexsort((eid, us))[-1])
+            cand = (int(us[i]), int(eid[i]), str(pdf["event_type"].values[i]))
             if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                 best = cand
         if best is not None:
