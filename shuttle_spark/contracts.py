@@ -2128,6 +2128,613 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q4/q6/q8/q9/q10/q11/q12/q14/q19/q20/q21),
+# adapted to the reduced testdata schema: no partsupp table (supplier-part
+# association is the DISTINCT (l_partkey, l_suppkey) projection of lineitem;
+# ps_supplycost/availqty stand-ins are s_acctbal / shipped quantity), no
+# l_commitdate/l_receiptdate ("late" = l_shipdate > o_orderdate + interval),
+# no l_shipmode (l_linestatus stands in as the 2-value group).  Every query
+# keeps the *plan shape* that makes its TPC-H original distinctive —
+# correlated min, EXISTS/NOT EXISTS pairs, disjunctive join predicates,
+# group-vs-global-scalar thresholds — because the shape, not the constants,
+# is what exercises the engine.
+# ---------------------------------------------------------------------------
+
+
+@contract(
+    "tpch_q6_shape",
+    "SELECT " + _osum("l_extendedprice * l_discount", "revenue", 4)
+    + ", COUNT(*) AS cnt FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    "  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+    "  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24",
+    "B3",
+    "B5",
+)
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical scan-filter-agg —
+    every predicate (date range, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters and the single global aggregate runs
+    partial+final with no shuffle of raw rows.  At 100 TB this is the query
+    partition pruning + row-group stats exist for."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 4),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@contract(
+    "tpch_q4_shape",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders"
+    " WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'"
+    "  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'"
+    "  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey"
+    "   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+    " GROUP BY o_orderpriority",
+    "B14",
+    "B6",
+)
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelates to a
+    LEFT SEMI join with a non-equi residual (l_shipdate > o_orderdate + 60d
+    stands in for commitdate < receiptdate).  The semi join shuffles on
+    orderkey and short-circuits per probe row — no lineitem payload crosses
+    the exchange, only the key and shipdate."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q2_SQL = (
+    "WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),"
+    " eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier"
+    "  JOIN nation ON s_nationkey = n_nationkey"
+    "  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')"
+    " SELECT p_partkey, p_name, s_name, n_name, s_acctbal"
+    " FROM part JOIN sp ON l_partkey = p_partkey"
+    " JOIN eu ON s_suppkey = l_suppkey"
+    " WHERE p_size <= 15 AND p_type = 'SMALL'"
+    "  AND s_acctbal = (SELECT MIN(e2.s_acctbal) FROM eu e2"
+    "   JOIN sp s2 ON e2.s_suppkey = s2.l_suppkey"
+    "   WHERE s2.l_partkey = p_partkey)"
+)
+
+
+@contract("tpch_q2_shape", _Q2_SQL, "B12", "B6")
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): correlated MIN subquery — for
+    each qualifying part, keep only the supplier(s) at the groupwise minimum
+    (s_acctbal stands in for ps_supplycost; DISTINCT lineitem pairs stand in
+    for partsupp).  Decorrelated as aggregate + join-back, the same
+    min-over-group-rejoin shape as Q15 but per-part.  Region/nation dims
+    broadcast; ties at the min survive identically in both engines because
+    the compared doubles are the same parquet bytes."""
+    li = load_table(spark, sf, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    cand = (
+        sp.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    min_bal = cand.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            min_bal,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+
+
+_Q8_SQL = (
+    "SELECT o_year, ROUND(CAST(nat_l AS DOUBLE) / CAST(tot_l AS DOUBLE), 6)"
+    "  AS mkt_share FROM ("
+    " SELECT EXTRACT(year FROM o_orderdate) AS o_year,"
+    "  SUM(CASE WHEN n2.n_name = 'NATION_7' THEN"
+    "   CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+    "   ELSE 0 END) AS nat_l,"
+    "  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))"
+    "   AS tot_l"
+    " FROM lineitem"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    " JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    " JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'"
+    " GROUP BY o_year)"
+)
+
+
+@contract("tpch_q8_shape", _Q8_SQL, "B12", "B6")
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join in the suite
+    — 7 relations, nation joined TWICE under different roles (customer
+    nation restricts the market, supplier nation is the measure dimension).
+    The share is a conditional-sum / total-sum ratio computed on exact
+    scaled longs so the division inputs are bit-identical cross-engine.
+    All dims broadcast; the only big shuffles are lineitem->orders->customer
+    on their keys."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nation")
+    )
+    vol_l = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("s_nation") == "NATION_7", vol_l).otherwise(F.lit(0))
+        ).alias("nat_l"),
+        F.sum(vol_l).alias("tot_l"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("nat_l").cast("double") / F.col("tot_l").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+_Q9_SQL = (
+    "SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, "
+    + _osum(
+        "l_extendedprice * (1 - l_discount)"
+        " - 0.5 * p_retailprice * l_quantity",
+        "profit",
+        4,
+    )
+    + " FROM lineitem"
+    " JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " GROUP BY n_name, o_year"
+)
+
+
+@contract("tpch_q9_shape", _Q9_SQL, "B12", "B6")
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): substring part filter feeding a
+    5-table join, profit = revenue minus imputed cost (0.5 * retailprice *
+    qty stands in for ps_supplycost), grouped by supplier nation x order
+    year.  The part filter is applied BEFORE the join so the fact scan is
+    semi-reduced early; profit accumulates as an exact scaled long."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").contains("gear"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit", 4))
+    )
+
+
+_Q10_SQL = (
+    "SELECT c_custkey, c_name, "
+    + _osum("l_extendedprice * (1 - l_discount)", "revenue", 4)
+    + ", c_acctbal, n_name"
+    " FROM customer"
+    " JOIN orders ON c_custkey = o_custkey"
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    "  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
+    " JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+    " ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+@contract("tpch_q10_shape", _Q10_SQL, "B12", "B9")
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter of orders joined
+    to returned lineitems, revenue per customer, global top-20.  The top-k
+    is a TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    rows), never a global sort; revenue is an exact scaled long so the DESC
+    order plus custkey tiebreak is a cross-engine total order."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                4,
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q11_SQL = (
+    "WITH v AS (SELECT l_partkey,"
+    "  SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))"
+    "   AS val_l"
+    " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 2"
+    " GROUP BY l_partkey)"
+    " SELECT l_partkey AS p_key,"
+    "  CAST(val_l AS DOUBLE) / 100.0 AS part_value"
+    " FROM v WHERE CAST(val_l AS DOUBLE)"
+    "  > 1.5 * (SELECT CAST(SUM(val_l) AS DOUBLE) / COUNT(*) FROM v)"
+)
+
+
+@contract("tpch_q11_shape", _Q11_SQL, "B6", "B12")
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value vs a
+    GLOBAL fraction-of-total scalar — the group-aggregate-filtered-by-
+    global-aggregate pattern (HAVING > fraction * SUM() OVER ()).  The
+    scalar rides a 1-row broadcast over the per-part aggregate; no second
+    pass over the fact table.  Value accumulates as an exact scaled long so
+    the threshold (1.5x the mean per-part value — scale-invariant, unlike
+    the original's fixed fraction, because part count grows with SF)
+    compares identical doubles."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(F.col("n_regionkey") == 2)
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_quantity") * 100
+                ).cast("long")
+            ).alias("val_l")
+        )
+    )
+    total = v.agg(
+        (F.sum("val_l").cast("double") / F.count("*")).alias("mean_val")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_l").cast("double") > F.lit(1.5) * F.col("mean_val")
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            (F.col("val_l").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+@contract(
+    "tpch_q12_shape",
+    "SELECT l_linestatus AS ship_group,"
+    " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+    " CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY"
+    "  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+    "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+    " GROUP BY l_linestatus",
+    "B12",
+    "B6",
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority audit): join with a non-equi
+    residual (shipped >30 days after order; stands in for the commit/receipt
+    comparison) feeding paired conditional counts per group (l_linestatus
+    stands in for l_shipmode).  The CASE sums are map-side partial
+    aggregates — one shuffle of 2 groups x 2 longs."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@contract(
+    "tpch_q14_shape",
+    "SELECT ROUND(100.0 * CAST(promo_l AS DOUBLE) / CAST(tot_l AS DOUBLE), 6)"
+    "  AS promo_revenue FROM ("
+    " SELECT SUM(CASE WHEN p_type = 'PROMO' THEN"
+    "   CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+    "   ELSE 0 END) AS promo_l,"
+    "  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))"
+    "   AS tot_l"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'"
+    "  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')",
+    "B12",
+    "B5",
+)
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem joined to
+    part, promo-share of revenue as a conditional-sum / total-sum ratio on
+    exact scaled longs.  Part broadcasts; single row out."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    vol_l = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", vol_l).otherwise(F.lit(0))
+            ).alias("promo_l"),
+            F.sum(vol_l).alias("tot_l"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_l").cast("double")
+            / F.col("tot_l").cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+@contract(
+    "tpch_q19_shape",
+    "SELECT " + _osum("l_extendedprice * (1 - l_discount)", "revenue", 4)
+    + ", COUNT(*) AS cnt"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+    "    AND l_quantity BETWEEN 1 AND 11)"
+    "  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+    "    AND l_quantity BETWEEN 10 AND 20)"
+    "  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15"
+    "    AND l_quantity BETWEEN 20 AND 30)",
+    "B12",
+    "B3",
+)
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): the disjunctive-predicate join
+    — an equi join whose residual is an OR of conjunct groups mixing build-
+    side (brand/size) and probe-side (quantity) columns.  Catalyst keeps the
+    equi key for the hash join and evaluates the OR as a post-join residual;
+    the single-column prefixes (p_size <= 15, l_quantity <= 30) are NOT
+    derivable automatically, so the builder pushes the derived envelope
+    filters to both scans — the hand-CNF trick a 100 TB run needs."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_size").between(1, 15))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                4,
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+_Q20_SQL = (
+    "WITH shipped AS (SELECT l_partkey, l_suppkey,"
+    "  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_l"
+    " FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+    "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+    " GROUP BY l_partkey, l_suppkey),"
+    " major AS (SELECT l_suppkey FROM shipped"
+    "  JOIN (SELECT l_partkey AS pk, CAST(SUM(qty_l) AS DOUBLE) AS tot"
+    "   FROM shipped GROUP BY l_partkey) t ON pk = l_partkey"
+    "  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'"
+    "  WHERE CAST(qty_l AS DOUBLE) > 0.3 * tot)"
+    " SELECT s_suppkey, s_name FROM supplier"
+    " WHERE s_suppkey IN (SELECT l_suppkey FROM major)"
+)
+
+
+@contract("tpch_q20_shape", _Q20_SQL, "B14", "B6")
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion candidates): nested aggregation —
+    per (part, supplier) shipped quantity vs 30% of that part's total
+    (shipped qty stands in for ps_availqty vs half the demand) — feeding a
+    SEMI join into supplier.  Two shuffles over the same year-filtered scan
+    (the per-pair aggregate re-aggregates to per-part without re-reading),
+    then an IN-subquery semi join."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").startswith("red"))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_l")
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_l").cast("double").alias("tot")
+    )
+    major = (
+        shipped.join(per_part, F.col("pk") == F.col("l_partkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("qty_l").cast("double") > F.lit(0.3) * F.col("tot"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        major, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_SQL = (
+    "SELECT s_name, COUNT(*) AS numwait"
+    " FROM supplier"
+    " JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'"
+    " JOIN lineitem l1 ON s_suppkey = l1.l_suppkey"
+    " JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'"
+    " WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY"
+    "  AND EXISTS (SELECT 1 FROM lineitem l2"
+    "   WHERE l2.l_orderkey = l1.l_orderkey"
+    "    AND l2.l_suppkey <> l1.l_suppkey)"
+    "  AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+    "   WHERE l3.l_orderkey = l1.l_orderkey"
+    "    AND l3.l_suppkey <> l1.l_suppkey"
+    "    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+    " GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"
+)
+
+
+@contract("tpch_q21_shape", _Q21_SQL, "B14", "B6", "B9")
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS +
+    NOT-EXISTS pair over self-joined lineitem.  The oracle keeps the
+    correlated form; the engine uses the distributed rewrite — ONE
+    aggregation per orderkey computing (distinct suppliers, distinct LATE
+    suppliers), then each late lineitem qualifies iff the order has >=2
+    suppliers but exactly 1 late one (necessarily its own).  Equivalent by
+    construction and one shuffle instead of two correlated self-joins —
+    the rewrite that survives 100 TB, where per-row subqueries cannot.
+    late := l_shipdate > o_orderdate + 60d (no commit/receipt dates in the
+    reduced schema)."""
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
 @contract(
     "unpivot_measures",
     "SELECT measure, " + _osum("val", "total", 6) + ", COUNT(*) AS cnt FROM ("
@@ -3676,7 +4283,7 @@ _DRIVER_PRIORITY = [
     "sessionize", "stream_window_agg",
     "stream_keep_latest", "stream_stream_join", "stream_upsert_sink",
     "grouped_agg_trimmed_mean", "pandas_udf_bucket", "exact_dedup_docs",
-    "ngram_jaccard_pairs", "near_dup_clusters", "cluster_dedup_count",
+    "ngram_jaccard_pairs", "near_dup_clusters", "tpch_q21_shape",
     "minhash_recall_ok", "simhash_recall_ok",
     "decontaminate_counts", "repetition_score_avg", "corpus_cleanse_counts",
     "label_centroid_norm", "tfidf_top_terms",

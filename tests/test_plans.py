@@ -112,6 +112,43 @@ def test_topk_cosine_has_no_exchange(spark):
     assert a["top_k"]
 
 
+def test_tpch_q6_plan_budget(spark):
+    """Q6 is the pushdown showcase: every predicate reaches the parquet
+    scan, one partial+final aggregate, one exchange, zero Python."""
+    df = REGISTRY["tpch_q6_shape"].build(spark, SF)
+    a = P.assert_plan(df, max_exchanges=1, require_partial_agg=True)
+    assert not a["python_stages"]
+    flat = ";".join(a["pushed_filters"])
+    assert "l_shipdate" in flat and "l_quantity" in flat and "l_discount" in flat
+
+
+def test_tpch_q8_plan_budget(spark):
+    """The 7-relation market-share join: every dimension broadcasts, no
+    cartesian, exactly one grouped aggregate exchange at this SF."""
+    df = REGISTRY["tpch_q8_shape"].build(spark, SF)
+    a = P.assert_plan(df, require_broadcast=True, require_partial_agg=True)
+    assert not a["python_stages"]
+
+
+def test_tpch_q19_envelope_filters_reach_scans(spark):
+    """Q19's disjunctive predicate is not scan-pushable as an OR, so the
+    builder derives single-column envelopes (quantity<=30, size<=15) and
+    pushes those; assert they actually reach both scans."""
+    df = REGISTRY["tpch_q19_shape"].build(spark, SF)
+    a = P.assert_plan(df, max_exchanges=1, require_broadcast=True)
+    flat = ";".join(a["pushed_filters"])
+    assert "l_quantity" in flat and "p_size" in flat
+
+
+def test_tpch_q21_decorrelated_plan(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as the single per-order
+    aggregate rewrite: no cartesian, no Python, top-k via
+    TakeOrderedAndProject rather than a global sort."""
+    df = REGISTRY["tpch_q21_shape"].build(spark, SF)
+    a = P.assert_plan(df, max_exchanges=5, no_cartesian=True)
+    assert a["top_k"] and not a["python_stages"]
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling — the engine's answer to the reference's
     worker-group spreading of hot partitions.  One key owns ~95% of the left
