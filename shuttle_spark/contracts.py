@@ -167,7 +167,7 @@ def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
     "project_arith",
     "SELECT l_orderkey, l_linenumber,"
     " ROUND(l_extendedprice * (1 - l_discount), 2) AS rev"
-    " FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    " FROM lineitem ORDER BY l_orderkey, l_linenumber, rev LIMIT 100",
     "B2",
 )
 def q_project_arith(spark: SparkSession, sf: str) -> DataFrame:
@@ -179,7 +179,7 @@ def q_project_arith(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "rev")
         .limit(100)
     )
 
