@@ -2899,6 +2899,195 @@ def q_ivf_partial_recall(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame([(bool(hits >= 35),)], "ok boolean")
 
 
+_QUANT_SQL = (
+    "WITH q AS (SELECT vec_id, embedding,"
+    "  GREATEST(list_max(list_transform(embedding,"
+    "   x -> ABS(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s"
+    " FROM embeddings WHERE vec_id < 200)"
+    " SELECT vec_id, ROUND(s, 9) AS q_scale_r,"
+    "  CAST(list_sum(list_transform(embedding,"
+    "   x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)))"
+    "   AS BIGINT) AS q_sum,"
+    "  CAST(list_min(list_transform(embedding,"
+    "   x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)))"
+    "   AS INTEGER) AS q_min,"
+    "  CAST(list_max(list_transform(embedding,"
+    "   x -> CAST(FLOOR(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)))"
+    "   AS INTEGER) AS q_max"
+    " FROM q"
+)
+
+
+@contract("quantize_embeddings", _QUANT_SQL, "B29", "B21")
+def q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 embedding quantization (operators/similarity.quantize_int8),
+    exact-equality gated: per-vector scale, and the sum/min/max of the
+    quantized int array, reproduced element-for-element by the DuckDB list
+    oracle.  Both engines compute in double on the same float32 inputs and
+    tie-break with floor(x + 0.5), so agreement is bit-stable."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    q = S.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale_r"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, e: a + e.cast("long")
+        ).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    )
+
+
+@contract("quantized_topk_recall_ok", "SELECT TRUE AS ok", "B29")
+def q_quantized_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Property: int8-quantized dot-product top-10 recovers >= 8 of the
+    exact float top-10 (query = vec 0, self excluded).  int8 symmetric
+    quantization bounds per-element error at max|x|/254, so ranking
+    inversions happen only between near-tied neighbors — the 4x
+    bandwidth/memory saving costs almost no recall.  The quantized scorer
+    is all-JVM (int zip_with/aggregate); this property pins that the fast
+    path ranks like the exact path."""
+    emb = load_table(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qv = [float(x) for x in qrow.embedding]
+    exact = {
+        r.vec_id
+        for r in S.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), qv, 10
+        ).collect()
+    }
+    quant = S.quantize_int8(emb)
+    qq = quant.filter(F.col("vec_id") == 0).collect()[0]
+    approx = {
+        r.vec_id
+        for r in S.quantized_dot_topk(
+            quant.filter(F.col("vec_id") != 0), qq.qvec, qq.q_scale, 10
+        ).collect()
+    }
+    # brute_force_topk ranks by cosine, quantized by dot product: compare
+    # on the normalized corpus property instead — recompute exact DOT here.
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(v) for v in qv]),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    exact_dot = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", idot.alias("dot"))
+        .orderBy(F.desc("dot"), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(bool(len(exact_dot & approx) >= 8),)], "ok boolean"
+    )
+
+
+_PII_INJECT_SQL = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"
+    "   || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'"
+    "   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    "   || '.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    "   || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text"
+    " FROM documents"
+)
+
+_PII_SCRUB_SQL = (
+    "WITH injected AS (" + _PII_INJECT_SQL + "),"
+    " flagged AS (SELECT doc_id, text,"
+    "  regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')"
+    "   AS email_found,"
+    "  regexp_matches(text,"
+    "   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b') AS ip_found,"
+    "  regexp_matches(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')"
+    "   AS phone_found,"
+    "  regexp_replace(regexp_replace(regexp_replace(text,"
+    "   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),"
+    "   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g'),"
+    "   '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '[PHONE]', 'g') AS scrubbed"
+    " FROM injected)"
+    " SELECT CAST(SUM(CASE WHEN email_found THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_email,"
+    "  CAST(SUM(CASE WHEN ip_found THEN 1 ELSE 0 END) AS BIGINT) AS n_ip,"
+    "  CAST(SUM(CASE WHEN phone_found THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,"
+    "  CAST(SUM(CASE WHEN NOT (email_found OR ip_found OR phone_found)"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,"
+    "  CAST(SUM(LENGTH(scrubbed)) AS BIGINT) AS total_len,"
+    "  CAST(COUNT(DISTINCT md5(scrubbed)) AS BIGINT) AS n_distinct"
+    " FROM flagged"
+)
+
+
+@contract("pii_scrub_counts", _PII_SCRUB_SQL, "B30", "B19")
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (operators/pipeline.scrub_pii) under the oracle gate.
+
+    The testdata corpus carries no PII, so both engines first INJECT
+    deterministic synthetic PII derived from doc_id (same expression, same
+    rows — the hot-key-fold trick from skew_join_agg applied to privacy),
+    then scrub.  The gate hashes per-type detection counts, the total
+    scrubbed length, and the distinct-md5 count of the scrubbed corpus —
+    i.e. the redacted TEXT must agree byte-for-byte, not just the counts.
+    Patterns live in the Java-regex/RE2 common subset; see
+    pipeline.PII_PATTERNS."""
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    did.cast("string"),
+                    F.lit("@ex"),
+                    (did % 7).cast("string"),
+                    F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = P.scrub_pii(injected)
+    none_found = ~(
+        F.col("email_found") | F.col("ip_found") | F.col("phone_found")
+    )
+    return scrubbed.agg(
+        F.sum(F.when(F.col("email_found"), 1).otherwise(0)).alias("n_email"),
+        F.sum(F.when(F.col("ip_found"), 1).otherwise(0)).alias("n_ip"),
+        F.sum(F.when(F.col("phone_found"), 1).otherwise(0)).alias("n_phone"),
+        F.sum(F.when(none_found, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.length("text")).alias("total_len"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
 @contract(
     "stream_keep_latest",
     "SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type"

@@ -461,3 +461,75 @@ def ivf_topk_multi(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (the memory/bandwidth scale path for ANN)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5).
+
+    This is the standard ANN compression step — 4x smaller than float32, so
+    at 100 TB of embeddings the candidate-scoring working set (and the
+    shuffle that builds an IVF/LSH index over it) shrinks 4x, and int8 dot
+    products vectorize wider than float ops.  All JVM expression tree
+    (transform/array_max), no Python, no shuffle.
+
+    Exactness discipline: arithmetic runs in DOUBLE on the float32 inputs
+    (bit-identical in any engine), and rounding is floor(x + 0.5), which
+    ties identically cross-engine (ROUND's half-tie behavior differs
+    between engines; floor(+0.5) does not).  Zero vectors quantize to all
+    zeros via the epsilon floor on the scale.  Reconstruction error is
+    bounded by scale/2 = max|x|/254 per element.
+    """
+    x = F.col(vec_col)
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(x, lambda e: F.abs(e.cast("double")))),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    ).alias("q_scale")
+    return embeddings.select(
+        F.col(id_col),
+        scale,
+        F.transform(
+            x,
+            lambda e: F.floor(e.cast("double") / F.col("q_scale") + F.lit(0.5))
+            .cast("int"),
+        ).alias("qvec"),
+    )
+
+
+def quantized_dot_topk(
+    quantized: DataFrame,
+    query_qvec: list[int],
+    query_scale: float,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-approximated dot product: sum(q_i * p_i) * (s_q * s_p).
+
+    The integer dot product runs as a JVM aggregate over the int arrays —
+    no Python, no float per element — and only the final rescale touches
+    doubles.  Same no-exchange plan shape as brute_force_topk."""
+    q = F.array(*[F.lit(int(v)) for v in query_qvec])
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec"), q, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e.cast("long"),
+    )
+    sim = (idot.cast("double") * F.col("q_scale") * F.lit(float(query_scale))).alias(
+        "qsim"
+    )
+    return (
+        quantized.select(F.col(id_col), sim)
+        .orderBy(F.desc("qsim"), F.col(id_col))
+        .limit(k)
+    )

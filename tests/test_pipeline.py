@@ -166,3 +166,72 @@ def test_cleanse_filters_and_dedups(spark):
     assert len(ids) == 2  # one of {1,2} plus 5
     assert 5 in ids and (1 in ids or 2 in ids)
     assert "content_hash" in out.columns
+
+
+def test_scrub_pii_redacts_and_flags(spark):
+    from shuttle_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+x@mail.example.org thanks"),
+            (2, "server at 192.168.001.42 rebooted"),
+            (3, "call 555-010-1234 now"),
+            (4, "nothing sensitive here 1234"),
+            (5, "both a@b.io and 10.0.0.1 and 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in P.scrub_pii(df).collect()}
+    assert out[1].email_found and out[1].text == "reach me at [EMAIL] thanks"
+    assert out[2].ip_found and out[2].text == "server at [IP] rebooted"
+    assert out[3].phone_found and out[3].text == "call [PHONE] now"
+    assert not (
+        out[4].email_found or out[4].ip_found or out[4].phone_found
+    )
+    assert out[4].text == "nothing sensitive here 1234"
+    assert out[5].text == "both [EMAIL] and [IP] and [PHONE]"
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    import numpy as np
+
+    from shuttle_spark.operators import similarity as S
+
+    vecs = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> all-zero qvec
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    # max|x| quantizes to +/-127; half-ties round toward +inf (floor(x+0.5),
+    # the engine-identical discipline: -63.5 -> -63)
+    assert got[1].qvec == [127, -63, 32, 0]
+    assert got[2].qvec == [0, 0, 0, 0]
+    assert got[3].qvec == [-127, 127, 64, -63]
+    for vid, orig in vecs:
+        q, s = got[vid].qvec, got[vid].q_scale
+        err = np.abs(np.array(orig) - np.array(q, dtype=float) * s)
+        assert float(err.max()) <= s / 2 + 1e-12
+
+
+def test_quantized_topk_matches_exact_on_separated_data(spark):
+    import numpy as np
+
+    from shuttle_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in base[0]]
+    exact = {
+        int(np.argsort(-(base.astype(np.float64) @ np.asarray(qv)))[i])
+        for i in range(5)
+    }
+    quant = S.quantize_int8(df)
+    q0 = quant.filter("vec_id = 0").collect()[0]
+    approx = {
+        r.vec_id for r in S.quantized_dot_topk(quant, q0.qvec, q0.q_scale, 5).collect()
+    }
+    assert len(exact & approx) >= 4
