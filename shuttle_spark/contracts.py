@@ -694,6 +694,41 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract("hll_sketch_merge_ok", "SELECT TRUE AS ok, TRUE AS merged_ok", "B22")
+def q_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Datasketches HLL (B22 scale path): PERSISTABLE, MERGEABLE distinct
+    sketches — the pattern a 100 TB rollup actually runs: build per-segment
+    sketches once (here per l_returnflag), store them as binary columns,
+    and answer global distinct queries by unioning sketches instead of
+    re-scanning rows.  Both the direct whole-table estimate and the
+    union-of-partials estimate must land within 5% of the exact count.
+    (The register-state merge itself is a lossless per-register max, but
+    the union path answers with the composite estimator while a fresh
+    sketch keeps its HIP estimator — measured 1991 vs 1999 on 2000 exact
+    at sf0.01 — so the two estimates are near, not equal; the contract
+    gates the accuracy bound, which is what a user consumes.)
+    Spark 4 hll_sketch_agg/hll_union_agg."""
+    li = load_table(spark, sf, "lineitem")
+    per_seg = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_direct"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    row = direct.crossJoin(F.broadcast(merged))
+    tol = (
+        lambda est: F.abs(est - F.col("exact")) / F.col("exact") < F.lit(0.05)
+    )
+    return row.select(
+        tol(F.col("est_direct")).alias("ok"),
+        tol(F.col("est_merged")).alias("merged_ok"),
+    )
+
+
 @contract("approx_percentile_ok", "SELECT TRUE AS ok", "B22")
 def q_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """approx_percentile (t-digest-style sketch, single aggregation pass,
