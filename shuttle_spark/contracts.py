@@ -2733,34 +2733,39 @@ _Q21_SQL = (
 def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS +
     NOT-EXISTS pair over self-joined lineitem.  The oracle keeps the
-    correlated form; the engine uses the distributed rewrite — ONE
-    aggregation per orderkey computing (distinct suppliers, distinct LATE
-    suppliers), then each late lineitem qualifies iff the order has >=2
-    suppliers but exactly 1 late one (necessarily its own).  Equivalent by
-    construction and one shuffle instead of two correlated self-joins —
-    the rewrite that survives 100 TB, where per-row subqueries cannot.
-    late := l_shipdate > o_orderdate + 60d (no commit/receipt dates in the
-    reduced schema)."""
+    correlated form; the engine uses the distributed rewrite — per-order
+    (distinct suppliers, distinct LATE suppliers) as WINDOW aggregates over
+    the already-orderkey-partitioned join, then each late lineitem
+    qualifies iff the order has >=2 suppliers but exactly 1 late one
+    (necessarily its own).  Equivalent by construction; the window form
+    reuses the join's orderkey exchange instead of a groupBy + join-back
+    (measured 12.6 s -> 2.7 s at sf3 — the join-back re-shuffled the full
+    joined relation twice).  This is the rewrite that survives 100 TB,
+    where per-row subqueries cannot.  late := l_shipdate > o_orderdate +
+    60d (no commit/receipt dates in the reduced schema)."""
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    w = Window.partitionBy("l_orderkey")
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    lo = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ),
     )
     return (
-        lo.filter(F.col("late"))
-        .join(per_order, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        lo.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")

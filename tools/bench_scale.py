@@ -64,6 +64,10 @@ QUERIES = [
     "tfidf_top_terms",
     "topk_cosine",
     "knn_join",
+    # round-4 additions: the heaviest new TPC-H shapes + the PII pass
+    "tpch_q21_shape",
+    "tpch_q8_shape",
+    "pii_scrub_counts",
 ]
 
 
