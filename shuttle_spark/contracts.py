@@ -3028,6 +3028,45 @@ def q_quantized_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FUZZY_SQL = (
+    "WITH l AS (SELECT p_partkey AS lid, lower(p_name) AS s FROM part"
+    "  WHERE p_partkey < 400),"
+    " r AS (SELECT p_partkey + 1000000 AS rid,"
+    "  regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS s FROM part"
+    "  WHERE p_partkey < 400),"
+    " lt AS (SELECT lid, list_distinct([substr(s, CAST(i AS INTEGER), 3)"
+    "  for i in generate_series(1, len(s)-2)]) AS gs FROM l),"
+    " rt AS (SELECT rid, list_distinct([substr(s, CAST(i AS INTEGER), 3)"
+    "  for i in generate_series(1, len(s)-2)]) AS gs FROM r),"
+    " pairs AS (SELECT lid, rid,"
+    "  CAST(len(list_intersect(lt.gs, rt.gs)) AS DOUBLE)"
+    "   / (len(lt.gs) + len(rt.gs) - len(list_intersect(lt.gs, rt.gs)))"
+    "   AS jac FROM lt, rt)"
+    " SELECT lid, rid, ROUND(jac, 6) AS jac FROM pairs WHERE jac >= 0.3"
+)
+
+
+@contract("fuzzy_join_names", _FUZZY_SQL, "B28", "B12")
+def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bipartite fuzzy string join (neardup.fuzzy_string_join): part names
+    matched against their vowel-stripped corruptions at trigram-Jaccard
+    >= 0.3 — the record-linkage / cross-catalog entity-matching shape.
+    The engine runs the inverted-index equi-join; the ORACLE runs the
+    literal quadratic cross product (list_intersect over trigram lists), so
+    agreement proves the index join computes exactly the all-pairs result.
+    Sides bounded to p_partkey < 400 purely to keep the oracle's O(n^2)
+    affordable — the engine path has no such bound."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") < 400)
+    left = p.select(
+        F.col("p_partkey").alias("lid"), F.lower("p_name").alias("ls")
+    )
+    right = p.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.regexp_replace(F.lower("p_name"), "[aeiou]", "").alias("rs"),
+    )
+    return N.fuzzy_string_join(left, right, tau=0.3)
+
+
 _PII_INJECT_SQL = (
     "SELECT doc_id, text"
     " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"

@@ -259,3 +259,48 @@ def test_gram_cache_hits_on_recreated_dataframe(spark):
     assert g3 is not g1
     assert len(N._gram_cache) == 2
     N.clear_gram_cache()
+
+
+def test_fuzzy_string_join_semantics(spark):
+    from shuttle_spark.operators import neardup as N
+
+    left = spark.createDataFrame(
+        [(1, "blue widget"), (2, "hot gear"), (3, "ab")],
+        "lid long, ls string",
+    )
+    right = spark.createDataFrame(
+        [(10, "blue widget"), (11, "blu widget"), (12, "cold bolt"), (13, "xy")],
+        "rid long, rs string",
+    )
+    got = {
+        (r.lid, r.rid): r.jac
+        for r in N.fuzzy_string_join(left, right, tau=0.3).collect()
+    }
+    assert got[(1, 10)] == 1.0          # identical strings
+    assert 0.3 <= got[(1, 11)] < 1.0    # one-char deletion stays similar
+    assert (2, 12) not in got           # dissimilar
+    # strings shorter than the gram width have EMPTY gram sets -> no pairs
+    assert not any(l == 3 or r == 13 for l, r in got)
+
+
+def test_fuzzy_string_join_max_df_caps_stop_grams(spark):
+    from shuttle_spark.operators import neardup as N
+
+    # every right row shares the stop-gram 'zzz'; with max_df=1 that gram
+    # is dropped on both sides, so only genuinely-similar pairs survive
+    left = spark.createDataFrame([(1, "abczzz")], "lid long, ls string")
+    right = spark.createDataFrame(
+        [(10, "abczzz"), (11, "xyzzzq"), (12, "qqzzzw")],
+        "rid long, rs string",
+    )
+    unfiltered = {
+        (r.lid, r.rid)
+        for r in N.fuzzy_string_join(left, right, tau=0.1).collect()
+    }
+    capped = {
+        (r.lid, r.rid)
+        for r in N.fuzzy_string_join(left, right, tau=0.1, max_df=1).collect()
+    }
+    assert (1, 11) in unfiltered and (1, 12) in unfiltered
+    assert capped <= unfiltered and (1, 10) in capped
+    assert (1, 11) not in capped and (1, 12) not in capped
