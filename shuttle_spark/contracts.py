@@ -3028,6 +3028,84 @@ def q_quantized_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "zorder_roundtrip_checksum",
+    "SELECT COUNT(*) AS cnt,"
+    " CAST(SUM(CAST('0x' || SUBSTR(md5("
+    "  CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum,"
+    " TRUE AS skips_both_dims FROM orders",
+    "B23",
+    "sink",
+)
+def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustered write (sources/io.zorder_write) under the oracle
+    gate: orders laid out on the Morton curve over (o_custkey,
+    o_totalprice), read back, content-checksummed against the source-table
+    oracle — plus the property the layout exists for: parquet row-group
+    min/max spans are bounded on BOTH curve dimensions (a linear sort
+    bounds only its own column), so filters on either column prune row
+    groups.  The bound asserted (avg span < 60% of the column range) is
+    loose because a row group straddles ~2 adjacent curve cells; the
+    linear-layout baseline for the non-sorted dim is ~100%."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from shuttle_spark.operators.integrity import md5_prefix32
+    from shuttle_spark.sources import io as IO
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"shuttle_zorder_{os.path.basename(sf.rstrip('/'))}",
+    )
+    IO.zorder_write(
+        spark, o, out, ["o_custkey", "o_totalprice"], bits=8, n_files=4,
+        row_group_bytes=16 * 1024,
+    )
+
+    spans: dict[str, list[float]] = {"o_custkey": [], "o_totalprice": []}
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for i in range(md.row_group(rg).num_columns):
+                c = md.row_group(rg).column(i)
+                if c.path_in_schema in spans:
+                    spans[c.path_in_schema].append(
+                        float(c.statistics.max - c.statistics.min)
+                    )
+    stats = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("rc"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("rt"),
+    ).collect()[0]
+    # with too few row groups (tiny SF) a group covers most of the curve
+    # and the span bound is vacuous — assert it only when the layout has
+    # enough granularity for the property to discriminate.
+    n_groups = len(spans["o_custkey"])
+    bounded = n_groups < 8 or all(
+        sum(s) / len(s) / full < 0.6
+        for s, full in ((spans["o_custkey"], float(stats.rc)),
+                        (spans["o_totalprice"], float(stats.rt)))
+    )
+
+    back = IO.read(spark, out)
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+    )
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum(md5_prefix32(key)).alias("checksum"),
+        F.lit(bounded).alias("skips_both_dims"),
+    )
+
+
 _FUZZY_SQL = (
     "WITH l AS (SELECT p_partkey AS lid, lower(p_name) AS s FROM part"
     "  WHERE p_partkey < 400),"

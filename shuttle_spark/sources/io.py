@@ -231,3 +231,94 @@ def compact(
         if not name.startswith("_") and not name.startswith("."):
             written += 1
     return written
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered write (multi-dimension data skipping)
+# ---------------------------------------------------------------------------
+
+def _bucket_index(col, boundaries: list[float]):
+    """0-based bucket of ``col`` against sorted quantile ``boundaries`` —
+    size(filter(B, b -> col >= b)): an O(len(B)) JVM array fold per row, no
+    UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(barr, lambda b: col >= b))
+
+
+def zorder_value(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Add a Morton (Z-curve) key interleaving ``bits``-wide rank buckets
+    of each column; returns (df_with_key, key_col_name).
+
+    Rank buckets come from ``approxQuantile`` boundaries (one sample-based
+    pass per call, driver-size = 2^bits scalars — scale-safe; the same
+    approach Delta's OPTIMIZE ZORDER takes with range IDs), so skewed or
+    arbitrary-unit columns still spread uniformly across the curve.  The
+    interleave is a pure bit-shift expression tree — no UDF, no window, no
+    extra shuffle.  ``len(cols) * bits`` must stay under 63."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    nb = (1 << bits) - 1  # buckets per dim - 1 boundaries
+    probs = [i / (nb + 1) for i in range(1, nb + 1)]
+    out = df
+    idx_cols = []
+    for c in cols:
+        dcol = F.col(c).cast("double")
+        bounds = df.select(dcol.alias(c)).approxQuantile(c, probs, 0.001)
+        # dedupe (constant columns yield repeated boundaries)
+        bounds = sorted(set(bounds))
+        idx = f"__zb_{c}"
+        out = out.withColumn(idx, _bucket_index(dcol, bounds).cast("long"))
+        idx_cols.append(idx)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, idx in enumerate(idx_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(idx), b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return out.withColumn("__z", z).drop(*idx_cols), "__z"
+
+
+def zorder_write(
+    spark: SparkSession,
+    df: DataFrame,
+    dst_path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_files: int = 8,
+    fmt: str = "parquet",
+    row_group_bytes: int | None = None,
+) -> int:
+    """Write ``df`` clustered on the Z-curve over ``cols`` so parquet
+    row-group min/max stats prune scans filtered on ANY of the dimensions
+    (linear sort-on-write clusters one column perfectly and leaves the
+    rest full-range; the Z-curve bounds every dimension's per-row-group
+    range at ~range/2^(bits_used/n) — the standard lakehouse multi-column
+    OPTIMIZE layout).  One range exchange on the key, sorted within
+    files; returns files written."""
+    keyed, zcol = zorder_value(df, cols, bits)
+    out = keyed.repartitionByRange(n_files, zcol).sortWithinPartitions(zcol)
+    writer = out.drop(zcol).write.format(fmt.lower()).mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.save(dst_path)
+    jvm = spark._jvm
+    dpath = jvm.org.apache.hadoop.fs.Path(dst_path)
+    fs = dpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(dpath, True)
+    written = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            written += 1
+    return written

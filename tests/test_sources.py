@@ -212,3 +212,64 @@ def test_compact_small_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint -> skippable
+
+
+def test_zorder_write_bounds_both_dims(spark, tmp_path):
+    """Z-order clustering: after a 2-dim Z-curve write, parquet row-group
+    min/max stats are bounded on BOTH dimensions, so filters on either
+    column skip row groups; a linear sort bounds only its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.sources import io as IO
+
+    n = 1 << 16
+    # two independent uniform dims (y decorrelated from x via hashing)
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        F.abs(F.xxhash64("id") % n).alias("y"),
+    )
+
+    def rg_spans(path, col):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                spans.append(c.statistics.max - c.statistics.min)
+        return spans
+
+    zdst = str(tmp_path / "zordered")
+    written = IO.zorder_write(
+        spark, df, zdst, ["x", "y"], bits=8, n_files=4,
+        row_group_bytes=32 * 1024,
+    )
+    assert written == 4
+    back = spark.read.parquet(zdst)
+    assert back.count() == n
+    assert (
+        back.agg(F.sum("x"), F.sum("y")).collect()[0]
+        == df.agg(F.sum("x"), F.sum("y")).collect()[0]
+    )
+
+    ldst = str(tmp_path / "linear")
+    df.repartitionByRange(4, "x").sortWithinPartitions("x").write.option(
+        "parquet.block.size", str(32 * 1024)
+    ).parquet(ldst)
+
+    full = float(n)
+    zx, zy = rg_spans(zdst, "x"), rg_spans(zdst, "y")
+    lx, ly = rg_spans(ldst, "x"), rg_spans(ldst, "y")
+    avg = lambda s: sum(s) / len(s) / full
+    # linear sort: x tight, y full-range.  z-order: BOTH bounded (a row
+    # group spans ~2 adjacent curve cells, so the bound is loose-ish but
+    # holds on EVERY dimension, which the linear layout cannot offer).
+    assert avg(lx) < 0.1 and avg(ly) > 0.8
+    assert avg(zx) < 0.45 and avg(zy) < 0.45
+    assert len(zx) >= 16  # enough row groups for the property to mean much
