@@ -1413,6 +1413,33 @@ def q_cluster_dedup_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "cluster_keep_best",
+    _CLUSTER_ORACLE_BODY
+    + ", scored AS (SELECT c.comp, c.node, d.n_chars FROM compmap c"
+    "   JOIN documents d ON d.doc_id = c.node),"
+    " best AS (SELECT comp, MAX(n_chars) AS m FROM scored GROUP BY comp),"
+    " winners AS (SELECT MIN(s.node) AS doc_id FROM scored s"
+    "   JOIN best b ON s.comp = b.comp AND s.n_chars = b.m GROUP BY s.comp)"
+    " SELECT doc_id, n_chars FROM documents"
+    " WHERE doc_id IN (SELECT doc_id FROM winners)"
+    "  OR doc_id NOT IN (SELECT node FROM compmap)",
+    "B28",
+)
+def q_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best-duplicate (B28 closure + policy): per near-dup cluster
+    keep the LONGEST member (n_chars, ties to smallest doc_id) instead of
+    the smallest-id witness — the retention policy production dedup
+    actually uses (the best-quality duplicate survives).  The oracle
+    recomputes the closure with a recursive CTE and the argmax in SQL;
+    the engine runs components + one max_by aggregate + anti/semi joins."""
+    docs = load_table(spark, sf, "documents")
+    pairs = N.near_dup_pairs_exact(docs, 0.6, n=3)
+    return CC.cluster_keep_best(docs, pairs, "n_chars").select(
+        "doc_id", "n_chars"
+    )
+
+
+@contract(
     "incremental_near_dup",
     _NGRAM_ORACLE_BODY.replace(
         "shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter FROM grams a\n"
@@ -1955,7 +1982,13 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     with HAVING, then semi-join the surviving keys back into the fact join.
     The HAVING output is tiny (top fraction of orders), so it broadcasts as
     a left-semi filter onto lineitem BEFORE the expensive joins — at 100 TB
-    this prunes the fact scan-side instead of joining everything first."""
+    this prunes the fact scan-side instead of joining everything first.
+    Measured negative result (sf3): the q21-style window rewrite (per-order
+    sum as a window, one scan) is SLOWER here — 8.6 s vs 5.2 s — because
+    the two-scan form's partial aggregate crushes 18M rows map-side and
+    the broadcast semi prunes before the wide join, while the window must
+    sort the full fact table; the window trick only pays when the joined
+    relation itself is needed downstream (as in q21)."""
     li = load_table(spark, sf, "lineitem")
     big = (
         li.groupBy("l_orderkey")

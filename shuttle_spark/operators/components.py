@@ -148,3 +148,38 @@ def cluster_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep the BEST row per near-dup cluster (highest ``score_col``, ties
+    to the smallest id), plus every row in no cluster — the "keep best
+    duplicate" policy real pipelines run instead of keep-smallest-id
+    (e.g. keep the longest / highest-quality member of each duplicate
+    group).
+
+    Plan: components over the pair graph (log-rounds star joins), one join
+    of the (small) clustered-node map against the corpus for scores, a
+    per-component max_by argmax, then an anti join — the corpus is never
+    windowed or shuffled beyond the id joins."""
+    comp = connected_components(pairs, a_col, b_col)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    winners = scored.groupBy("comp").agg(
+        F.max_by("node", F.struct(F.col("__s"), (-F.col("node")))).alias(
+            id_col
+        )
+    ).select(id_col)
+    unclustered = df.join(
+        comp.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    )
+    kept = df.join(winners, id_col, "left_semi")
+    return unclustered.unionByName(kept)

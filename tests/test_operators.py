@@ -304,3 +304,22 @@ def test_fuzzy_string_join_max_df_caps_stop_grams(spark):
     assert (1, 11) in unfiltered and (1, 12) in unfiltered
     assert capped <= unfiltered and (1, 10) in capped
     assert (1, 11) not in capped and (1, 12) not in capped
+
+
+def test_cluster_keep_best_picks_highest_score(spark):
+    from shuttle_spark.operators import components as CC
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 99), (5, 7), (6, 7)],
+        "doc_id long, score long",
+    )
+    # clusters: {1,2,3} and {5,6}; 4 unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in CC.cluster_keep_best(docs, pairs, "score").collect()
+    )
+    # cluster 1: doc 2 wins (score 30); cluster 2: tie at 7 -> smallest id 5
+    assert kept == [2, 4, 5]
