@@ -3229,8 +3229,14 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     Patterns live in the Java-regex/RE2 common subset; see
     pipeline.PII_PATTERNS."""
     docs = load_table(spark, sf, "documents")
+    return _pii_scrub_agg(_pii_inject(docs))
+
+
+def _pii_inject(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic-PII injection, Spark twin of
+    _PII_INJECT_SQL (exact same expression per doc_id)."""
     did = F.col("doc_id")
-    injected = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -3264,11 +3270,51 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+
+
+def _pii_scrub_agg(injected: DataFrame) -> DataFrame:
     scrubbed = P.scrub_pii(injected)
     none_found = ~(
         F.col("email_found") | F.col("ip_found") | F.col("phone_found")
     )
     return scrubbed.agg(
+        F.sum(F.when(F.col("email_found"), 1).otherwise(0)).alias("n_email"),
+        F.sum(F.when(F.col("ip_found"), 1).otherwise(0)).alias("n_ip"),
+        F.sum(F.when(F.col("phone_found"), 1).otherwise(0)).alias("n_phone"),
+        F.sum(F.when(none_found, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.length("text")).alias("total_len"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+
+
+@contract("stream_pii_scrub", _PII_SCRUB_SQL, "B30", "ext")
+def q_stream_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing as a STREAM stage: the corpus arrives in 4 micro-
+    batches, each injected + scrubbed map-side in-flight (scrub_pii is
+    row-local, so it rides any streaming pipeline with zero state), the
+    replayed output is aggregated and must hash-match the all-at-once
+    batch oracle — stream == batch for stateless stages, proven rather
+    than assumed."""
+    from shuttle_spark.streaming.core import (
+        run_available_now,
+        staged_documents_files,
+    )
+
+    d = staged_documents_files(spark, sf, 4)
+    docs_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    scrubbed = P.scrub_pii(_pii_inject(docs_stream))
+    out = run_available_now(scrubbed, shuffle_partitions=4)
+    none_found = ~(
+        F.col("email_found") | F.col("ip_found") | F.col("phone_found")
+    )
+    return out.agg(
         F.sum(F.when(F.col("email_found"), 1).otherwise(0)).alias("n_email"),
         F.sum(F.when(F.col("ip_found"), 1).otherwise(0)).alias("n_ip"),
         F.sum(F.when(F.col("phone_found"), 1).otherwise(0)).alias("n_phone"),
