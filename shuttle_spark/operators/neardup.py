@@ -565,6 +565,16 @@ def fuzzy_string_join(
         )
         inv_l = inv_l.join(keep.hint("merge"), "g")
         inv_r = inv_r.join(keep.hint("merge"), "g")
+        # df-Jaccard PROPER: set sizes are recomputed over the FILTERED
+        # vocabulary, so similarity stays calibrated under capping —
+        # identical strings still score 1.0 however many stop grams were
+        # dropped.  (near_dup_pairs_between keeps pre-filter sizes — there
+        # the cap is a recall/cost dial against a fixed tau on true
+        # Jaccard; for entity linkage the calibrated score is the point.)
+        sz_l = inv_l.groupBy("lid").agg(F.count("*").alias("na2"))
+        sz_r = inv_r.groupBy("rid").agg(F.count("*").alias("nb2"))
+        inv_l = inv_l.drop("na").join(sz_l, "lid").withColumnRenamed("na2", "na")
+        inv_r = inv_r.drop("nb").join(sz_r, "rid").withColumnRenamed("nb2", "nb")
     shared = (
         inv_l.hint("merge")
         .join(inv_r, "g")

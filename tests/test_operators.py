@@ -298,12 +298,15 @@ def test_fuzzy_string_join_max_df_caps_stop_grams(spark):
         for r in N.fuzzy_string_join(left, right, tau=0.1).collect()
     }
     capped = {
-        (r.lid, r.rid)
+        (r.lid, r.rid): r.jac
         for r in N.fuzzy_string_join(left, right, tau=0.1, max_df=1).collect()
     }
     assert (1, 11) in unfiltered and (1, 12) in unfiltered
-    assert capped <= unfiltered and (1, 10) in capped
+    assert set(capped) <= unfiltered and (1, 10) in capped
     assert (1, 11) not in capped and (1, 12) not in capped
+    # df-Jaccard stays CALIBRATED under capping: identical strings score
+    # 1.0 over the filtered vocabulary even though 'zzz' was dropped
+    assert capped[(1, 10)] == 1.0
 
 
 def test_cluster_keep_best_picks_highest_score(spark):
