@@ -238,13 +238,27 @@ def compact(
 # ---------------------------------------------------------------------------
 
 def _bucket_index(col, boundaries: list[float]):
-    """0-based bucket of ``col`` against sorted quantile ``boundaries`` —
-    size(filter(B, b -> col >= b)): an O(len(B)) JVM array fold per row, no
-    UDF, no shuffle."""
+    """0-based bucket of ``col`` against sorted quantile ``boundaries``,
+    as a BALANCED binary-search when-tree: log2(len(B)) comparisons per
+    row on the taken path, all inside whole-stage codegen.  (The obvious
+    array fold — size(filter(lit_array, b -> col >= b)) — runs Spark's
+    higher-order functions INTERPRETED, ~255 lambda frames per row per
+    column; measured 104 s -> well under half that for a 4.5M x 2-dim
+    write after this rewrite.)"""
     from pyspark.sql import functions as F
 
-    barr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.size(F.filter(barr, lambda b: col >= b))
+    def tree(lo: int, hi: int):
+        # bucket index for boundaries[lo:hi] exclusive; invariant: the
+        # value is known to be >= boundaries[lo-1] (or -inf) and <
+        # boundaries[hi] (or +inf); result = count of boundaries <= col.
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(col < F.lit(float(boundaries[mid])), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    return tree(0, len(boundaries))
 
 
 def zorder_value(
