@@ -273,3 +273,29 @@ def test_zorder_write_bounds_both_dims(spark, tmp_path):
     assert avg(lx) < 0.1 and avg(ly) > 0.8
     assert avg(zx) < 0.45 and avg(zy) < 0.45
     assert len(zx) >= 16  # enough row groups for the property to mean much
+
+
+def test_bucket_index_matches_searchsorted(spark):
+    """The hand-rendered binary-search CASE tree must agree with
+    numpy.searchsorted(side='right') — count of boundaries <= value —
+    for arbitrary boundaries, including values at, between, below and
+    above every boundary."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.sources.io import _bucket_index
+
+    rng = np.random.default_rng(11)
+    boundaries = sorted(set(np.round(rng.uniform(-100, 100, 63), 3)))
+    vals = list(
+        np.round(rng.uniform(-120, 120, 500), 3)
+    ) + boundaries + [b + 1e-9 for b in boundaries] + [-1e9, 1e9]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = [
+        r.b
+        for r in df.select(
+            _bucket_index("v", boundaries).alias("b")
+        ).collect()
+    ]
+    want = np.searchsorted(boundaries, vals, side="right").tolist()
+    assert got == want
