@@ -3144,6 +3144,97 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "csv_roundtrip_checksum",
+    "SELECT COUNT(*) AS cnt,"
+    " CAST(SUM(CAST('0x' || SUBSTR(md5("
+    "  CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment"
+    "  || '|' || CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+    " ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum FROM customer",
+    "B1",
+    "sink",
+)
+def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source/sink under the oracle gate: customer written as CSV and
+    read back with a DECLARED schema (io.read refuses inference — the
+    second-full-scan tax at 100 TB), content-checksummed against the
+    parquet-sourced oracle.  Doubles (c_acctbal) ride the text format as
+    their exact decimal rendering, so the scaled-long checksum proves the
+    round-trip is value-exact, not just row-count-preserving."""
+    import os
+    import tempfile
+
+    from shuttle_spark.operators.integrity import md5_prefix32
+    from shuttle_spark.sources import io as IO
+
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"shuttle_csv_{os.path.basename(sf.rstrip('/'))}",
+    )
+    IO.write(c, out, "csv", mode="overwrite")
+    back = IO.read(
+        spark, out, "csv",
+        schema="c_custkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    key = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_mktsegment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+    )
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum(md5_prefix32(key)).alias("checksum"),
+    )
+
+
+@contract(
+    "json_roundtrip_checksum",
+    "SELECT COUNT(*) AS cnt,"
+    " CAST(SUM(CAST('0x' || SUBSTR(md5("
+    "  CAST(s_suppkey AS VARCHAR) || '|' || s_name"
+    "  || '|' || CAST(s_nationkey AS VARCHAR)"
+    " ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum FROM supplier",
+    "B1",
+    "sink",
+)
+def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source/sink under the oracle gate: supplier written as
+    newline-delimited JSON, read back with a declared schema, checksummed
+    against the parquet-sourced oracle."""
+    import os
+    import tempfile
+
+    from shuttle_spark.operators.integrity import md5_prefix32
+    from shuttle_spark.sources import io as IO
+
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"shuttle_json_{os.path.basename(sf.rstrip('/'))}",
+    )
+    IO.write(s, out, "json", mode="overwrite")
+    back = IO.read(
+        spark, out, "json",
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint",
+    )
+    key = F.concat_ws(
+        "|",
+        F.col("s_suppkey").cast("string"),
+        F.col("s_name"),
+        F.col("s_nationkey").cast("string"),
+    )
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum(md5_prefix32(key)).alias("checksum"),
+    )
+
+
 _FUZZY_SQL = (
     "WITH l AS (SELECT p_partkey AS lid, lower(p_name) AS s FROM part"
     "  WHERE p_partkey < 400),"
