@@ -332,3 +332,38 @@ def test_mixture_weights_matches_reference(spark, tokens, target):
         assert gt == tk
         assert abs(gw - w) < 1e-9
         assert ge == exp
+
+
+@given(
+    strings=st.lists(
+        st.text(alphabet="abcx yz", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    tau=st.sampled_from([0.2, 0.5, 0.8]),
+)
+@SLOW
+def test_fuzzy_string_join_matches_bruteforce(spark, strings, tau):
+    from shuttle_spark.operators import neardup as N
+
+    def grams(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+
+    left = [(i, s) for i, s in enumerate(strings)]
+    right = [(100 + i, s[::-1]) for i, s in enumerate(strings)]
+    want = set()
+    for lid, ls in left:
+        for rid, rs in right:
+            a, b = grams(ls), grams(rs)
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter and inter / (len(a) + len(b) - inter) >= tau:
+                want.add((lid, rid))
+    ldf = spark.createDataFrame(left, "lid long, ls string")
+    rdf = spark.createDataFrame(right, "rid long, rs string")
+    got = {
+        (r.lid, r.rid)
+        for r in N.fuzzy_string_join(ldf, rdf, tau=tau).collect()
+    }
+    assert got == want
