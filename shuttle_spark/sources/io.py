@@ -276,7 +276,10 @@ def zorder_value(
     approach Delta's OPTIMIZE ZORDER takes with range IDs), so skewed or
     arbitrary-unit columns still spread uniformly across the curve.  The
     interleave is a pure bit-shift expression tree — no UDF, no window, no
-    extra shuffle.  ``len(cols) * bits`` must stay under 63."""
+    extra shuffle.  ``len(cols) * bits`` must stay under 63.  NULL values
+    fail every CASE comparison and land in the TOP bucket of their
+    dimension (clustered together at the curve end) — filter or impute
+    first if another placement is wanted."""
     from pyspark.sql import functions as F
 
     n = len(cols)
