@@ -8,6 +8,8 @@ property tests go further — they search the input space for semantic edges
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -326,7 +328,10 @@ def test_mixture_weights_matches_reference(spark, tokens, target):
     }
     share = target / len(tokens)
     for i, tk in enumerate(tokens):
-        w = round(min(1.0, share / tk), 6)
+        # reference must round HALF-UP like Spark/DuckDB ROUND — Python's
+        # round() is banker's and disagrees at exact ties (hypothesis
+        # found share/tk = 0.0078125 -> 0.007812 vs the engines' 0.007813)
+        w = math.floor(min(1.0, share / tk) * 1e6 + 0.5) / 1e6
         exp = int(w * tk + 0.5)
         gt, gw, ge = got[f"s{i}"]
         assert gt == tk
