@@ -34,6 +34,7 @@ POINTS = [
     ("sf0.3", os.path.join(REPO, ".scaledata", "sf0.3")),
     ("sf1", os.path.join(REPO, ".scaledata", "sf1")),
     ("sf3", os.path.join(REPO, ".scaledata", "sf3")),
+    ("sf10", os.path.join(REPO, ".scaledata", "sf10")),
 ]
 
 # The curve set: every round-3 slow-list query that has a pure-SQL oracle,

@@ -20,8 +20,8 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # numeric scale factor per point label (replica count x 0.1)
-SF_OF = {"sf0.01": 0.01, "sf0.1": 0.1, "sf0.3": 0.3, "sf1": 1.0, "sf3": 3.0}
-ORDER = ["sf0.01", "sf0.1", "sf0.3", "sf1", "sf3"]
+SF_OF = {"sf0.01": 0.01, "sf0.1": 0.1, "sf0.3": 0.3, "sf1": 1.0, "sf3": 3.0, "sf10": 10.0}
+ORDER = ["sf0.01", "sf0.1", "sf0.3", "sf1", "sf3", "sf10"]
 
 
 def _fit(points: list[tuple[float, float]]) -> tuple[float, float]:
@@ -73,6 +73,16 @@ RESIDUALS = """
   (32x when every scan was a single task on the one-row-group driver
   files), fits at 3.0x after catalog ingest relayout — evidence the
   remaining gaps above are engine-constant, not layout accidents.
+- The sf10 uptick on scan-bound queries (`json_extract_agg`,
+  `pii_scrub_counts`, `tpch_q3_shape`): at 1.8 GB the wall clock is
+  parquet scan throughput, where DuckDB's reader is simply faster per
+  core than Spark's on a single node; the heavy ALGORITHMIC families
+  (near-dup, linkage, ANN join) stay at or under ~2x because their cost
+  is the algorithm, not the scan.
+- `near_dup_clusters` has no sf10 cell because the ORACLE side (DuckDB's
+  recursive-CTE transitive closure, 37.8 s already at sf3 and
+  superlinear) is infeasible there — the engine's log-round star joins
+  run fine; the missing cell is itself the scale argument.
 
 Caveats stated plainly: this is local[32] single-node Spark against an
 excellent single-node columnar engine on MB-GB data; the curve, not any
@@ -91,13 +101,20 @@ def main() -> None:
 
     rows = []
     for name, pts in queries.items():
-        if not all(lb in pts for lb in labels):
+        have = [lb for lb in labels if lb in pts]
+        if len(have) < 3:
             continue
-        ratios = {lb: pts[lb]["ratio"] for lb in labels}
+        ratios = {lb: pts[lb]["ratio"] for lb in have}
         rows.append((name, ratios, pts))
-    # sort by the largest-SF ratio ascending (best scale behavior first)
+    # sort by each row's largest-SF ratio ascending (best scale first);
+    # a query may be missing the top point (oracle infeasible there)
     last = labels[-1]
-    rows.sort(key=lambda r: r[1][last])
+
+    def last_ratio(r):
+        have = [lb for lb in labels if lb in r[1]]
+        return r[1][have[-1]]
+
+    rows.sort(key=last_ratio)
 
     lines = []
     lines.append(
@@ -107,8 +124,10 @@ def main() -> None:
     lines.append("")
     lines.append(
         "Same contract builders and oracles as the correctness gate, run at "
-        f"{len(labels)} scale points (sf0.3/sf1/sf3 are replica-offset "
+        f"{len(labels)} scale points (sf0.3/sf1/sf3/sf10 are replica-offset "
         "expansions of the driver's sf0.1 tables — tools/make_scale_data.py; "
+        "sf10 = 60M-row lineitem / 500k documents, a 1000x data range "
+        "end to end; "
         "documents carry per-replica token tags so near-dup structure scales "
         "linearly).  Warm best-of-2 per engine per point; cache-backed "
         "near-dup/dedup contracts measured COLD (session caches cleared "
@@ -117,11 +136,14 @@ def main() -> None:
     lines.append("")
 
     # computed headline
-    gms = {lb: _geomean([r[1][lb] for r in rows]) for lb in labels}
+    gms = {
+        lb: _geomean([r[1][lb] for r in rows if lb in r[1]]) for lb in labels
+    }
     fits0 = []
     for name, _, pts in rows:
-        sp = [(SF_OF[lb], pts[lb]["spark_sec"]) for lb in labels]
-        du = [(SF_OF[lb], pts[lb]["duckdb_sec"]) for lb in labels]
+        have = [lb for lb in labels if lb in pts]
+        sp = [(SF_OF[lb], pts[lb]["spark_sec"]) for lb in have]
+        du = [(SF_OF[lb], pts[lb]["duckdb_sec"]) for lb in have]
         _, smg = _fit(sp)
         _, dmg = _fit(du)
         if smg > 0 and dmg > 0:
@@ -129,7 +151,7 @@ def main() -> None:
     gmm = _geomean(fits0)
     curve = " -> ".join(f"{gms[lb]:.1f}x ({lb})" for lb in labels)
     below2 = sorted(
-        (n, r[last]) for n, r, _ in rows if r[last] <= 2.0
+        (n, r[last]) for n, r, _ in rows if r.get(last) is not None and r[last] <= 2.0
     )
     lines.append(
         f"**Headline: the suite-level end-to-end ratio falls monotonically "
@@ -140,7 +162,7 @@ def main() -> None:
         f"end-to-end at {last} where data dominates: "
         + ", ".join(f"`{n}` {r:.1f}x" for n, r in below2)
         + ".  The residual gap on the rest is Spark's per-query floor "
-        "(absolute times often FLAT across the 300x data range) plus the "
+        "(absolute times often FLAT across the 1000x data range) plus the "
         "named engine-constant residuals analyzed below.**"
     )
     lines.append("")
@@ -148,16 +170,22 @@ def main() -> None:
     # end-to-end table
     lines.append("### End-to-end ratio per point (Spark warm / DuckDB warm)")
     lines.append("")
-    lines.append("| query | " + " | ".join(labels) + f" | spark@{last} (s) |")
+    lines.append(
+        "| query | " + " | ".join(labels) + " | spark@top (s) |"
+    )
     lines.append("|---" * (len(labels) + 2) + "|")
     for name, ratios, pts in rows:
-        cells = " | ".join(f"{ratios[lb]:.1f}x" for lb in labels)
+        cells = " | ".join(
+            f"{ratios[lb]:.1f}x" if lb in ratios else "—" for lb in labels
+        )
+        top = [lb for lb in labels if lb in ratios][-1]
         lines.append(
-            f"| {name} | {cells} | {pts[last]['spark_sec']:.2f} |"
+            f"| {name} | {cells} | {pts[top]['spark_sec']:.2f} |"
         )
     for agg_name, agg in (("geomean", _geomean), ("median", _median)):
         cells = " | ".join(
-            f"**{agg([r[1][lb] for r in rows]):.1f}x**" for lb in labels
+            f"**{agg([r[1][lb] for r in rows if lb in r[1]]):.1f}x**"
+            for lb in labels
         )
         lines.append(f"| **{agg_name}** | {cells} | |")
     lines.append("")
@@ -180,8 +208,9 @@ def main() -> None:
     lines.append("|---|---|---|---|---|")
     fits = []
     for name, _, pts in rows:
-        sp = [(SF_OF[lb], pts[lb]["spark_sec"]) for lb in labels]
-        du = [(SF_OF[lb], pts[lb]["duckdb_sec"]) for lb in labels]
+        have = [lb for lb in labels if lb in pts]
+        sp = [(SF_OF[lb], pts[lb]["spark_sec"]) for lb in have]
+        du = [(SF_OF[lb], pts[lb]["duckdb_sec"]) for lb in have]
         sfl, smg = _fit(sp)
         _, dmg = _fit(du)
         mr = smg / dmg if dmg > 0 and smg > 0 else None
