@@ -3235,6 +3235,50 @@ def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "schema_evolution_read",
+    "SELECT o_orderstatus, COUNT(*) AS cnt,"
+    " CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey ELSE 0 END)"
+    "  AS BIGINT) AS sum_new_col"
+    " FROM orders GROUP BY o_orderstatus",
+    "B1",
+    "sink",
+)
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution across batches (the lakehouse drift case): batch 1
+    lands WITHOUT o_custkey, batch 2 adds it; a mergeSchema read widens
+    the union, old rows surface NULL for the new column, and the
+    aggregate (null-safe sum) must match the source-table oracle that
+    computes the same split arithmetically.  At 100 TB this is the
+    append-only corpus whose schema grew mid-year — the reader, not a
+    rewrite of petabytes, absorbs the drift."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"shuttle_evolve_{os.path.basename(sf.rstrip('/'))}",
+    )
+    o.filter(F.col("o_orderkey") % 2 == 1).drop("o_custkey").write.mode(
+        "overwrite"
+    ).parquet(out + "/b1")
+    o.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
+        out + "/b2"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        out + "/b1", out + "/b2"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.coalesce(F.col("o_custkey"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_new_col"),
+    )
+
+
 _FUZZY_SQL = (
     "WITH l AS (SELECT p_partkey AS lid, lower(p_name) AS s FROM part"
     "  WHERE p_partkey < 400),"

@@ -73,12 +73,17 @@ RESIDUALS = """
   (32x when every scan was a single task on the one-row-group driver
   files), fits at 3.0x after catalog ingest relayout — evidence the
   remaining gaps above are engine-constant, not layout accidents.
-- The sf10 uptick on scan-bound queries (`json_extract_agg`,
-  `pii_scrub_counts`, `tpch_q3_shape`): at 1.8 GB the wall clock is
-  parquet scan throughput, where DuckDB's reader is simply faster per
-  core than Spark's on a single node; the heavy ALGORITHMIC families
-  (near-dup, linkage, ANN join) stay at or under ~2x because their cost
-  is the algorithm, not the scan.
+- The sf10 uptick on `json_extract_agg` / `pii_scrub_counts` is per-row
+  EXPRESSION kernel throughput, not the scan: a measured raw
+  scan+sum(length) of the same columns runs 0.06-0.07 s on BOTH engines
+  at sf10, while the full queries diverge — the gap is DuckDB's
+  vectorized yyjson/RE2 kernels against JVM Jackson/java.util.regex for
+  30M JSON parses / 6 regex passes x 500k documents.  Linear on both
+  sides; the engine answer for the JSON case is parse-once VARIANT
+  storage (`variant_json_agg`).  `tpch_q3_shape`'s uptick is exchange
+  cost on the fact join — the shape that actually distributes.  The
+  heavy ALGORITHMIC families (near-dup, linkage, ANN join) stay at or
+  under ~2x because their cost is the algorithm.
 - `near_dup_clusters` has no sf10 cell because the ORACLE side (DuckDB's
   recursive-CTE transitive closure, 37.8 s already at sf3 and
   superlinear) is infeasible there — the engine's log-round star joins
