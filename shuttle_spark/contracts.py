@@ -3023,12 +3023,6 @@ def q_quantized_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     qv = [float(x) for x in qrow.embedding]
-    exact = {
-        r.vec_id
-        for r in S.brute_force_topk(
-            emb.filter(F.col("vec_id") != 0), qv, 10
-        ).collect()
-    }
     quant = S.quantize_int8(emb)
     qq = quant.filter(F.col("vec_id") == 0).collect()[0]
     approx = {

@@ -51,6 +51,9 @@ def stamp_lineage(
     )
 
 
+COMMIT_MARKER = "_COMMITTED"
+
+
 def write_attempt(
     df: DataFrame,
     path: str,
@@ -64,6 +67,16 @@ def write_attempt(
     stale one; nothing is overwritten (the append-only discipline of
     ShufflePartitionUnsafeWriter.java:159-190).  Readers decide which
     attempt wins — writers never race on the same files.
+
+    Commit is a FACT, not an inference: after the data write completes, a
+    per-attempt ``_COMMITTED`` marker is dropped inside the attempt
+    directory — the engine twin of the reference's explicit ``.dat`` →
+    ``.dat_final`` rename (ShufflePartitionUnsafeWriter.java:204-225),
+    which likewise makes visibility an atomic metadata operation rather
+    than a guess from file listings.  ``latest_attempt`` gates on the
+    marker, so a concurrently-writing attempt that has closed some data
+    files (or an object store without ``_temporary`` semantics) can never
+    be misjudged committed.
     """
     stamped = stamp_lineage(df, app_attempt, write_version)
     (
@@ -72,6 +85,12 @@ def write_attempt(
         .partitionBy(ATTEMPT_COL)
         .save(path)
     )
+    spark = df.sparkSession
+    jvm, _, fs = _fs(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{ATTEMPT_COL}={int(app_attempt)}/{COMMIT_MARKER}"
+    )
+    fs.create(marker, True).close()
 
 
 def _fs(spark: SparkSession, path: str):
@@ -96,21 +115,21 @@ def attempts(spark: SparkSession, path: str) -> list[int]:
 
 
 def latest_attempt(spark: SparkSession, path: str) -> int | None:
-    """Newest COMMITTED attempt: the write job drops ``_SUCCESS`` at the
-    table root last, but concurrent attempt dirs share one root marker, so
-    commit is judged per attempt dir: an attempt counts when its directory
-    contains at least one closed data file and no in-flight temporary
-    (``.``/``_temporary``) files — the engine's ``_final`` poll."""
+    """Newest COMMITTED attempt, judged by the per-attempt ``_COMMITTED``
+    marker ``write_attempt`` drops after its data write completes (the
+    reference's ``.dat_final`` rename: commit is an explicit metadata
+    fact).  An attempt directory without the marker — however many closed
+    data files it already holds — is in-flight or abandoned and is never
+    selected; this holds on object stores with no ``_temporary`` rename
+    semantics, where the r4 has-data/no-temporary heuristic could misjudge
+    a concurrent writer as committed."""
     jvm, root, fs = _fs(spark, path)
     committed = []
     for a in attempts(spark, path):
-        d = jvm.org.apache.hadoop.fs.Path(f"{path}/{ATTEMPT_COL}={a}")
-        names = [st.getPath().getName() for st in fs.listStatus(d)]
-        has_data = any(
-            not n.startswith("_") and not n.startswith(".") for n in names
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{ATTEMPT_COL}={a}/{COMMIT_MARKER}"
         )
-        in_flight = any(n == "_temporary" for n in names)
-        if has_data and not in_flight:
+        if fs.exists(marker):
             committed.append(a)
     return committed[-1] if committed else None
 

@@ -560,21 +560,42 @@ def fuzzy_string_join(
         "rid", F.size("gs").alias("nb"), F.explode("gs").alias("g")
     )
     if max_df is not None:
-        keep = (
-            inv_r.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
+        # Stop grams are identified SYMMETRICALLY: document frequency is
+        # counted over the union of BOTH sides and only grams whose
+        # combined df exceeds the cap are removed (left_anti) — a gram
+        # unique to one side (df 0 on the other) is low-df by definition
+        # and must be KEPT, or one-sided vocabulary filtering silently
+        # inflates scores (left 'abcdefgh' vs right 'abc' scored 1.0 when
+        # left-only grams were inner-joined away; now 1/6).  Note an
+        # identical cross-source pair contributes 2 to each shared gram's
+        # df, so the meaningful cap values start at max_df >= 2.
+        stop = (
+            inv_l.select("g")
+            .unionAll(inv_r.select("g"))
+            .groupBy("g")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("g")
         )
-        inv_l = inv_l.join(keep.hint("merge"), "g")
-        inv_r = inv_r.join(keep.hint("merge"), "g")
+        inv_l = inv_l.join(stop.hint("merge"), "g", "left_anti")
+        inv_r = inv_r.join(stop.hint("merge"), "g", "left_anti")
         # df-Jaccard PROPER: set sizes are recomputed over the FILTERED
         # vocabulary, so similarity stays calibrated under capping —
         # identical strings still score 1.0 however many stop grams were
         # dropped.  (near_dup_pairs_between keeps pre-filter sizes — there
         # the cap is a recall/cost dial against a fixed tau on true
         # Jaccard; for entity linkage the calibrated score is the point.)
-        sz_l = inv_l.groupBy("lid").agg(F.count("*").alias("na2"))
-        sz_r = inv_r.groupBy("rid").agg(F.count("*").alias("nb2"))
-        inv_l = inv_l.drop("na").join(sz_l, "lid").withColumnRenamed("na2", "na")
-        inv_r = inv_r.drop("nb").join(sz_r, "rid").withColumnRenamed("nb2", "nb")
+        # The recount is a count window over the exploded relation — ONE
+        # exchange per side, replacing the groupBy + join-back rounds that
+        # cost two exchanges of the full inverted index per side.
+        from pyspark.sql import Window
+
+        inv_l = inv_l.withColumn(
+            "na", F.count("*").over(Window.partitionBy("lid"))
+        )
+        inv_r = inv_r.withColumn(
+            "nb", F.count("*").over(Window.partitionBy("rid"))
+        )
     shared = (
         inv_l.hint("merge")
         .join(inv_r, "g")

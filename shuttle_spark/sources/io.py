@@ -298,8 +298,21 @@ def zorder_value(
     out = df
     idx_cols = []
     for c, bounds in zip(cols, all_bounds):
-        # dedupe (constant columns yield repeated boundaries)
-        bounds = sorted(set(bounds))
+        # dedupe (constant columns yield repeated boundaries) and drop
+        # non-finite boundaries: NaN/Inf values in the column can surface
+        # as approxQuantile boundaries, whose repr ('nan'/'inf') does not
+        # parse as SQL in the CASE tree.  Dropping them is safe — NaN rows
+        # fail every `<` comparison and land in the top bucket regardless;
+        # an all-non-finite column is a caller error worth naming.
+        import math
+
+        finite = sorted({b for b in set(bounds) if math.isfinite(b)})
+        if bounds and not finite:
+            raise ValueError(
+                f"z-order column {c!r}: every quantile boundary is "
+                "NaN/Inf — filter or impute the column before zorder_write"
+            )
+        bounds = finite
         idx = f"__zb_{c}"
         out = out.withColumn(
             idx,

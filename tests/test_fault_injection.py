@@ -108,13 +108,16 @@ def test_lineage_crashed_attempt_is_never_read(spark):
 
     # attempt 0: committed
     L.write_attempt(li, path, app_attempt=0)
-    # attempt 1: crashed mid-write — partial rows AND an in-flight
-    # _temporary dir (what a dead executor leaves behind)
+    # attempt 1: crashed mid-write — partial rows already closed on disk,
+    # but the writer died before dropping its _COMMITTED marker (commit is
+    # a marker FACT, not inferred from file listings — the reference's
+    # .dat_final rename).  This is exactly the concurrent/zombie-writer
+    # shape an object store exposes: closed data files, no _temporary dir.
     L.write_attempt(li.limit(10), path, app_attempt=1)
-    os.makedirs(f"{path}/{L.ATTEMPT_COL}=1/_temporary", exist_ok=True)
+    os.remove(f"{path}/{L.ATTEMPT_COL}=1/{L.COMMIT_MARKER}")
 
     assert L.attempts(spark, path) == [0, 1]
-    assert L.latest_attempt(spark, path) == 0  # 1 is not committed
+    assert L.latest_attempt(spark, path) == 0  # 1 has no commit marker
 
     back = L.read_latest(spark, path)
     assert back.count() == 500

@@ -286,8 +286,11 @@ def test_fuzzy_string_join_semantics(spark):
 def test_fuzzy_string_join_max_df_caps_stop_grams(spark):
     from shuttle_spark.operators import neardup as N
 
-    # every right row shares the stop-gram 'zzz'; with max_df=1 that gram
-    # is dropped on both sides, so only genuinely-similar pairs survive
+    # every row shares the stop-gram 'zzz' (combined df=4); with max_df=2
+    # that gram is dropped on both sides, so only genuinely-similar pairs
+    # survive (df is counted over the UNION of both sides, so an identical
+    # cross-source pair puts df=2 on each shared gram — the cap must admit
+    # that)
     left = spark.createDataFrame([(1, "abczzz")], "lid long, ls string")
     right = spark.createDataFrame(
         [(10, "abczzz"), (11, "xyzzzq"), (12, "qqzzzw")],
@@ -299,7 +302,7 @@ def test_fuzzy_string_join_max_df_caps_stop_grams(spark):
     }
     capped = {
         (r.lid, r.rid): r.jac
-        for r in N.fuzzy_string_join(left, right, tau=0.1, max_df=1).collect()
+        for r in N.fuzzy_string_join(left, right, tau=0.1, max_df=2).collect()
     }
     assert (1, 11) in unfiltered and (1, 12) in unfiltered
     assert set(capped) <= unfiltered and (1, 10) in capped
@@ -307,6 +310,25 @@ def test_fuzzy_string_join_max_df_caps_stop_grams(spark):
     # df-Jaccard stays CALIBRATED under capping: identical strings score
     # 1.0 over the filtered vocabulary even though 'zzz' was dropped
     assert capped[(1, 10)] == 1.0
+
+
+def test_fuzzy_string_join_max_df_keeps_one_sided_grams(spark):
+    """Grams present on only ONE side are low-df and must survive any cap:
+    left 'abcdefgh' vs right 'abc' share one gram of left's six, so the
+    calibrated score is 1/6 — never 1.0 (the r4 one-sided vocabulary filter
+    dropped left-only grams and inflated containment pairs to identity)."""
+    from shuttle_spark.operators import neardup as N
+
+    left = spark.createDataFrame([(1, "abcdefgh")], "lid long, ls string")
+    right = spark.createDataFrame([(10, "abc")], "rid long, rs string")
+    for cap in (2, 10):
+        got = {
+            (r.lid, r.rid): r.jac
+            for r in N.fuzzy_string_join(
+                left, right, tau=0.05, max_df=cap
+            ).collect()
+        }
+        assert got[(1, 10)] == round(1 / 6, 6)
 
 
 def test_cluster_keep_best_picks_highest_score(spark):
