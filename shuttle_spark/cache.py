@@ -37,6 +37,50 @@ def semantic_key(df: DataFrame) -> tuple:
         return ("id", id(df))
 
 
+# Session-scoped approxQuantile boundary cache.  Range-bucketed operators
+# (global_rank / global_percent_rank, zorder_value) spend one full-scan job
+# per call computing quantile boundaries whose exact values only affect
+# bucket BALANCE, never correctness (buckets are value-disjoint for any
+# boundary set; ranking and the Z-curve layout stay exact).  A long-lived
+# engine computes such table statistics once and reuses them — the same
+# staging discipline as the gram caches — so boundaries are cached per
+# (application, source plan, columns, grid, error) and the warm path skips
+# the scan entirely.  Entries are driver-side float lists (≤ a few KB);
+# a strong ref to the source DataFrame keeps the fallback id() key stable.
+_QUANTILE_CACHE_MAX = 64
+_quantile_cache: dict[tuple, tuple[object, list]] = {}
+
+
+def approx_quantiles_cached(
+    df,
+    cols: list[str],
+    probs: list[float],
+    err: float,
+) -> list[list[float]]:
+    """``df.approxQuantile(cols, probs, err)`` with session-scoped reuse."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        semantic_key(df),
+        tuple(cols),
+        len(probs),
+        round(probs[0], 12),
+        round(probs[-1], 12),
+        err,
+    )
+    hit = _quantile_cache.get(key)
+    if hit is not None:
+        return hit[1]
+    bounds = df.approxQuantile(list(cols), list(probs), err)
+    while len(_quantile_cache) >= _QUANTILE_CACHE_MAX:
+        _quantile_cache.pop(next(iter(_quantile_cache)))
+    _quantile_cache[key] = (df, bounds)
+    return bounds
+
+
+def clear_quantile_cache() -> None:
+    _quantile_cache.clear()
+
+
 class DFCache:
     """LRU cache of persisted DataFrames keyed by (source identity, params)."""
 

@@ -211,13 +211,28 @@ def near_dup_pairs_between(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    reuse: bool = True,
 ) -> DataFrame:
     """Incremental near-dup join: exact Jaccard pairs between a NEW batch
     and an EXISTING corpus only (no corpus x corpus work) — the daily-
     ingest shape of a training-data pipeline, where the corpus side's
     inverted index is a staged relation (gram_sets session cache /
     persisted table) and each new batch pays only new x corpus candidate
-    cost.  Output: (id_new, id_corpus, jac >= tau)."""
+    cost.  Output: (id_new, id_corpus, jac >= tau).  Like
+    near_dup_pairs_exact, the (small, tau-filtered) pair relation is
+    session-cached: admission filtering and audit queries over the same
+    batch fan out from one materialization."""
+    key = (
+        new_df.sparkSession.sparkContext.applicationId,
+        "between",
+        semantic_key(new_df),
+        semantic_key(corpus_df),
+        id_col, text_col, n, max_df, tau,
+    )
+    if reuse:
+        hit = _pairs_cache.get(key)
+        if hit is not None:
+            return hit
     ga = gram_sets(new_df, id_col, text_col, n)
     gb = gram_sets(corpus_df, id_col, text_col, n)
     inv_a = ga.select("id", F.size("grams").alias("na"), F.explode("grams").alias("g"))
@@ -240,13 +255,16 @@ def near_dup_pairs_between(
         )
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         shared.withColumn(
             "jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .filter(F.col("jac") >= tau)
         .select("id_new", "id_corpus", F.round("jac", 6).alias("jac"))
     )
+    if reuse:
+        out = _pairs_cache.put(key, (new_df, corpus_df), out)
+    return out
 
 
 def dedup_against_corpus(

@@ -429,8 +429,14 @@ def global_rank(
     spec.  ``range_col`` must be the leading, ascending sort key; quantile
     skew only unbalances bucket sizes, never correctness.
     """
+    from shuttle_spark.cache import approx_quantiles_cached
+
     probs = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
+    # Boundary values only steer bucket BALANCE (correctness holds for any
+    # value-disjoint bucketing), so they are session-cached like any other
+    # table statistic: the warm path runs 2 jobs (bucket-count aggregate +
+    # final ranked scan), not 3.
+    bounds = sorted(set(approx_quantiles_cached(df, [range_col], probs, 0.001)[0]))
     bucket = F.lit(len(bounds))
     for i in reversed(range(len(bounds))):
         bucket = F.when(F.col(range_col) <= F.lit(bounds[i]), i).otherwise(bucket)

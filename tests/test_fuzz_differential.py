@@ -1,0 +1,283 @@
+"""Differential query fuzzer (VERDICT r4 item 8): hypothesis-generated
+agg / sort / join / window specs compiled to BOTH engines — the Spark
+DataFrame API and DuckDB SQL over the same parquet — and compared with the
+driver's canonicalization (testing.canon_rows).
+
+The r4 half-tie find (hypothesis caught a real cross-engine rounding trap
+in the mixture test) proved the strategy out; this generalizes it: instead
+of fixed contract queries, the fuzzer searches the SPEC space — random
+predicate combinations, grouping sets, aggregate subsets, sort directions,
+limits, rank cutoffs — for semantic gaps between the engines (rounding,
+null ordering, tie handling, type widening).
+
+Cross-engine discipline (the traps are known and deliberately designed
+around, so a failure here is a real bug, not comparison noise):
+
+* doubles are never summed/averaged directly — money aggregates use the
+  scaled-long form ``FLOOR(x*100 + 0.5)::BIGINT`` on both sides
+  (association-free, bit-stable; Python round() is banker's so the
+  reference is floor(+0.5), see shuttle-testdata notes);
+* DuckDB SUM(BIGINT) returns HUGEINT — every SQL sum is CAST back to
+  BIGINT to stay pandas-safe (testing._dtype_kind flags it otherwise);
+* every ORDER BY / window ORDER BY carries the unique o_orderkey tiebreak
+  so LIMIT / rank cutoffs select identical row sets in both engines.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shuttle_spark.catalog import load_table
+from shuttle_spark.testing import canon_rows, duckdb_views
+
+SF = "/root/testdata/sf0.001"
+
+FUZZ = settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_views(SF)
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# Spec vocabulary: each entry is (spark_builder, sql_fragment) over `orders`
+# (o_orderkey unique -> deterministic tiebreaks everywhere).
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_STATUSES = ["O", "F", "P"]
+
+
+def _filters():
+    """Strategy for a list of 0-2 cross-engine-identical predicates."""
+    price = st.integers(1_000, 400_000).map(
+        lambda v: (
+            lambda df: df.filter(F.col("o_totalprice") < float(v)),
+            f"o_totalprice < {v}",
+        )
+    )
+    prio = st.sampled_from(_PRIORITIES).map(
+        lambda p: (
+            lambda df: df.filter(F.col("o_orderpriority") == p),
+            f"o_orderpriority = '{p}'",
+        )
+    )
+    status = st.sampled_from(_STATUSES).map(
+        lambda s: (
+            lambda df: df.filter(F.col("o_orderstatus") == s),
+            f"o_orderstatus = '{s}'",
+        )
+    )
+    mod = st.tuples(st.integers(2, 13), st.integers(0, 12)).map(
+        lambda mr: (
+            lambda df: df.filter(F.col("o_custkey") % mr[0] == mr[1] % mr[0]),
+            f"o_custkey % {mr[0]} = {mr[1] % mr[0]}",
+        )
+    )
+    date = st.tuples(st.integers(1995, 2001), st.integers(1, 12)).map(
+        lambda ym: (
+            lambda df: df.filter(
+                F.col("o_orderdate") >= F.lit(datetime.date(ym[0], ym[1], 1))
+            ),
+            f"o_orderdate >= DATE '{ym[0]}-{ym[1]:02d}-01'",
+        )
+    )
+    return st.lists(
+        st.one_of(price, prio, status, mod, date), min_size=0, max_size=2
+    )
+
+
+# group columns: (name, spark Column factory, sql expr).  Factories, not
+# Columns: building a Column needs an active SparkContext, which does not
+# exist at module import time.
+_GROUPS = {
+    "prio": (lambda: F.col("o_orderpriority").alias("prio"), "o_orderpriority"),
+    "status": (lambda: F.col("o_orderstatus").alias("status"), "o_orderstatus"),
+    "yr": (
+        lambda: F.year("o_orderdate").alias("yr"),
+        "CAST(YEAR(o_orderdate) AS INT)",
+    ),
+}
+
+# aggregates: (name, spark Column factory, sql expr) — scaled-long money,
+# no HUGEINT
+_SCALED = "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+_AGGS = {
+    "cnt": (lambda: F.count("*").alias("cnt"), "COUNT(*) AS cnt"),
+    "sum_price_c": (
+        lambda: F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("sum_price_c"),
+        f"{_SCALED} AS sum_price_c",
+    ),
+    "min_key": (
+        lambda: F.min("o_orderkey").alias("min_key"),
+        "MIN(o_orderkey) AS min_key",
+    ),
+    "max_key": (
+        lambda: F.max("o_orderkey").alias("max_key"),
+        "MAX(o_orderkey) AS max_key",
+    ),
+    "n_cust": (
+        lambda: F.countDistinct("o_custkey").alias("n_cust"),
+        "COUNT(DISTINCT o_custkey) AS n_cust",
+    ),
+}
+
+
+def _apply(df, filters):
+    for fn, _ in filters:
+        df = fn(df)
+    return df
+
+
+def _where(filters) -> str:
+    return (
+        " WHERE " + " AND ".join(sql for _, sql in filters) if filters else ""
+    )
+
+
+def _check(sdf, duck, sql):
+    srows = canon_rows([tuple(r) for r in sdf.collect()])
+    orows = canon_rows(duck.execute(sql).fetchall())
+    assert srows == orows, f"mismatch for oracle: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Mode 1: filter -> groupBy -> agg  (the B5/B6 shape)
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=_filters(),
+    groups=st.lists(
+        st.sampled_from(sorted(_GROUPS)), unique=True, min_size=0, max_size=2
+    ),
+    aggs=st.lists(
+        st.sampled_from(sorted(_AGGS)), unique=True, min_size=1, max_size=3
+    ),
+)
+@FUZZ
+def test_fuzz_filter_group_agg(spark, duck, filters, groups, aggs):
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    gcols = [_GROUPS[g][0]() for g in groups]
+    acols = [_AGGS[a][0]() for a in aggs]
+    sdf = orders.groupBy(*gcols).agg(*acols) if groups else orders.agg(*acols)
+    gsql = ", ".join(f"{_GROUPS[g][1]} AS {g}" for g in groups)
+    asql = ", ".join(_AGGS[a][1] for a in aggs)
+    sel = ", ".join(x for x in (gsql, asql) if x)
+    sql = f"SELECT {sel} FROM orders{_where(filters)}"
+    if groups:
+        sql += " GROUP BY " + ", ".join(_GROUPS[g][1] for g in groups)
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 2: filter -> project -> order by (dirs) -> limit  (the B2/B9 shape)
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=_filters(),
+    descs=st.lists(st.booleans(), min_size=1, max_size=2),
+    limit=st.integers(1, 120),
+)
+@FUZZ
+def test_fuzz_sort_limit(spark, duck, filters, descs, limit):
+    sort_cols = ["o_totalprice", "o_custkey"][: len(descs)]
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    sort = [
+        (F.col(c).desc() if d else F.col(c).asc())
+        for c, d in zip(sort_cols, descs)
+    ] + [F.col("o_orderkey")]
+    sdf = orders.select("o_orderkey", "o_custkey").orderBy(*sort).limit(limit)
+    osql = ", ".join(
+        f"{c} {'DESC' if d else 'ASC'}" for c, d in zip(sort_cols, descs)
+    )
+    sql = (
+        f"SELECT o_orderkey, o_custkey FROM orders{_where(filters)}"
+        f" ORDER BY {osql}, o_orderkey LIMIT {limit}"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 3: filtered join -> group agg  (the B12 shape)
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=_filters(),
+    aggs=st.lists(
+        st.sampled_from(["cnt", "sum_price_c", "n_cust"]),
+        unique=True,
+        min_size=1,
+        max_size=2,
+    ),
+)
+@FUZZ
+def test_fuzz_join_group_agg(spark, duck, filters, aggs):
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    cust = load_table(spark, SF, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    sdf = joined.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        *[_AGGS[a][0]() for a in aggs]
+    )
+    asql = ", ".join(_AGGS[a][1] for a in aggs)
+    sql = (
+        f"SELECT c_mktsegment AS seg, {asql}"
+        f" FROM orders JOIN customer ON o_custkey = c_custkey"
+        f"{_where(filters)} GROUP BY c_mktsegment"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 4: ranking window with cutoff  (the B18 shape; total order via key)
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=_filters(),
+    method=st.sampled_from(["rank", "dense_rank", "row_number"]),
+    cutoff=st.integers(1, 15),
+    desc=st.booleans(),
+)
+@FUZZ
+def test_fuzz_window_rank_cutoff(spark, duck, filters, method, cutoff, desc):
+    fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    order = (
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+        if desc
+        else [F.col("o_totalprice").asc(), F.col("o_orderkey")]
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(*order)
+    sdf = (
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            fns[method]().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= cutoff)
+    )
+    direction = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT o_orderkey, o_orderpriority AS prio, rnk FROM ("
+        f"SELECT o_orderkey, o_orderpriority,"
+        f" CAST({method.upper()}() OVER (PARTITION BY o_orderpriority"
+        f" ORDER BY o_totalprice {direction}, o_orderkey) AS INT) AS rnk"
+        f" FROM orders{_where(filters)}) WHERE rnk <= {cutoff}"
+    )
+    _check(sdf, duck, sql)
