@@ -91,12 +91,44 @@ def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     staged: str | None = None
     src = table_path(sf_dir, name)
     try:
-        size = os.path.getsize(src) if os.path.isfile(src) else 0
-        if size >= _RELAYOUT_MIN_BYTES:
+        # Source may be one parquet file (the driver's testdata) or a
+        # directory of part files (.scaledata expansions): probe the first
+        # part for schema/row-group layout, sum the parts for size.
+        probe = src
+        if os.path.isfile(src):
+            size = os.path.getsize(src)
+            n_groups_known = True
+        elif os.path.isdir(src):
+            parts = sorted(
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            )
+            size = sum(os.path.getsize(p) for p in parts)
+            probe = parts[0] if parts else src
+            # a multi-file source already parallelizes by file count
+            n_groups_known = len(parts) < 4
+        else:
+            size = 0
+        if size >= _RELAYOUT_MIN_BYTES and os.path.isfile(probe):
             import pyarrow.parquet as pq
 
             cores = spark.sparkContext.defaultParallelism
-            if pq.ParquetFile(src).metadata.num_row_groups < min(4, cores):
+            meta = pq.ParquetFile(probe)
+            # events additionally restages when the source lacks the
+            # parse-once VARIANT column (see below): the JSON parse is an
+            # ingest cost by design, so a raw-string source is re-laid
+            # even when its row-group layout is already parallel.
+            needs_variant = (
+                name == "events"
+                and "props" in meta.schema_arrow.names
+                and "props_v" not in meta.schema_arrow.names
+            )
+            few_groups = (
+                n_groups_known
+                and meta.metadata.num_row_groups < min(4, cores)
+            )
+            if few_groups or needs_variant:
                 from shuttle_spark.streaming.core import tracked_mkdtemp
 
                 out = os.path.join(
@@ -104,6 +136,24 @@ def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                     f"{name}.parquet",
                 )
                 df = spark.read.parquet(src)
+                if name == "events" and "props" in df.columns:
+                    # Parse-once VARIANT shredding at ingest: events.props
+                    # is a JSON *string* in the source, and re-parsing it
+                    # with Jackson on every JSON-touching query was the
+                    # single worst kernel residual vs DuckDB's yyjson
+                    # (29.6x marginal on the scale curve).  The relayout
+                    # already rewrites the table once per session, so the
+                    # parse rides that write: props_v is stored as a
+                    # parquet VARIANT column and every subsequent
+                    # variant_get is binary traversal, no JSON parse.  The
+                    # raw string column stays for the compat twin
+                    # (json_extract_agg).  This mirrors the reference's
+                    # consumption pattern — aggregate over pre-structured
+                    # data (Ors2ShuffleManagerTest.scala:74-79), parse
+                    # paid once at ingest.
+                    from pyspark.sql import functions as F
+
+                    df = df.withColumn("props_v", F.parse_json("props"))
                 if size < _RELAYOUT_SPLIT_BYTES:
                     df = df.repartition(min(_RELAYOUT_SMALL_FILES, cores))
                 (
@@ -161,6 +211,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             path = _ingest_relayout(spark, sf_dir, name) or table_path(sf_dir, name)
             df = normalize_events_ts(spark.read.parquet(path))
+            if "props" in df.columns and "props_v" not in df.columns:
+                # Relayout skipped (tiny table / disabled): declare the
+                # variant column in the loaded relation instead — same
+                # schema either way, parse at query time, pruned when
+                # untouched.
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("props_v", F.parse_json("props"))
         finally:
             if prev_tz is None:
                 spark.conf.unset("spark.sql.session.timeZone")

@@ -52,6 +52,9 @@ QUERIES = [
     "global_rank_distributed",
     "global_pctrank_distributed",
     "json_extract_agg",
+    # round-5: the parse-once VARIANT default path vs the raw-string twin
+    # above — the Jackson-vs-yyjson residual's engine answer on the curve.
+    "json_extract_variant_agg",
     "unpivot_measures",
     "distinct_partkeys",
     "keep_latest",
