@@ -238,6 +238,14 @@ def near_dup_pairs_between(
     inv_a = ga.select("id", F.size("grams").alias("na"), F.explode("grams").alias("g"))
     inv_b = gb.select("id", F.size("grams").alias("nb"), F.explode("grams").alias("g"))
     if max_df is not None:
+        # Corpus-side-only df counting is CORRECT here (contrast
+        # fuzzy_string_join, where it was a bug): set sizes na/nb stay
+        # PRE-filter, so dropping a batch gram that the corpus lacks
+        # changes nothing — that gram could never match in the g-join and
+        # contributes only to the (unchanged) denominator.  The cap is a
+        # recall/cost dial against a fixed tau on TRUE Jaccard; counting
+        # df on the stable corpus side also means a daily batch cannot
+        # perturb which grams are stop grams.
         keep = (
             inv_b.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
         )

@@ -72,7 +72,16 @@ def rollup_aggregate(
     multiplying every FACT row by the number of grouping levels before the
     shuffle.  For decomposable aggregates use
     ``grouping_aggregate_decomposed`` — identical results, Expand over the
-    finest-grain partial instead of the fact table."""
+    finest-grain partial instead of the fact table.
+
+    Known cross-engine semantic gap (found by the round-5 differential
+    fuzzer, pinned in tests/test_fuzz_differential.py): over an EMPTY
+    input, SQL-standard ROLLUP/CUBE still emits the ``()`` grouping-set
+    row — (NULL..., count=0) — because grouping by the empty set is a
+    global aggregate (DuckDB and Postgres do this); Spark emits ZERO
+    rows.  Queries whose filter may eliminate every row and that must
+    match ANSI engines should union a guarded grand-total row or check
+    emptiness explicitly."""
     return df.rollup(*keys).agg(*aggs)
 
 

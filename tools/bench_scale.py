@@ -85,6 +85,13 @@ CACHE_BACKED = {
     "ngram_jaccard_maxdf",
     "near_dup_clusters",
     "exact_dedup_docs",
+    # round-5: tfidf fans out from the session-staged exploded-token
+    # relation (pipeline.words_relation) — cleared per run so the staging
+    # cost stays charged.  (approxQuantile BOUNDARY caches are NOT
+    # cleared: boundaries are table statistics a long-lived engine keeps
+    # — ANALYZE once — and are KB-sized, unlike the data-sized relations
+    # above.)
+    "tfidf_top_terms",
 }
 
 
@@ -127,10 +134,11 @@ def main() -> None:
             pre = None
             if name in CACHE_BACKED:
                 def pre():
-                    from shuttle_spark.operators import components
+                    from shuttle_spark.operators import components, pipeline
 
                     neardup.clear_gram_cache()
                     components._cc_cache.clear()
+                    pipeline.clear_text_caches()
             neardup.clear_gram_cache()
             try:
                 sp = timed(lambda: c.build(spark, sf_dir).collect(), pre=pre)

@@ -53,41 +53,45 @@ def _median(vals: list[float]) -> float:
 RESIDUALS = """
 ### Named residuals (what is NOT floor, and why it is acceptable)
 
-- `global_rank` / `global_pctrank` (~0.7 s/sf marginal): the deliberate
-  3-job range-partitioned ranking that avoids the single-partition
+- `global_rank` / `global_pctrank` (~0.6-1.1 s/sf marginal): the
+  deliberate range-partitioned ranking that avoids the single-partition
   WindowExec — insurance that is the ONLY viable plan at 100 TB (the naive
-  window funnels the full table through one task).  The ratio still falls
-  monotonically (156x -> 9.6x / 124x -> 11.1x across the curve).
-- `json_extract_agg` (largest marginal): raw JSON string parsing
-  throughput (Jackson vs yyjson) — linear both sides; the engine's scale
-  answer is parse-once VARIANT storage (the `variant_json_agg` contract),
-  which removes the per-query parse entirely.
-- `checksum_lineitem` (~7x marginal): md5 per row — the price of
+  window funnels the full table through one task).  Round 5 session-caches
+  the quantile boundaries (statistics, not data — ANALYZE once), cutting
+  the warm path to 2 jobs; the ratio still falls monotonically
+  (122x -> 6.3x / 198x -> 10.4x across the curve).
+- `json_extract_agg` residual **CLOSED in round 5** by parse-once VARIANT
+  staging at catalog ingest (events.props_v stored as a parquet VARIANT;
+  the Jackson parse is paid once per corpus on the ingest write): the raw
+  Jackson twin stays ~18-30x on the curve BY DESIGN as the compat path,
+  while the staged default `json_extract_variant_agg` fits at ~1.7x
+  marginal and the typed `variant_json_agg` at ~0.3x — under the 2x bar
+  where data dominates.
+- `checksum_lineitem` (~6x marginal): md5 per row — the price of
   association-free cross-engine exactness; both engines scale linearly,
   DuckDB's hash kernel is simply faster per core.
-- `tpch_q18_shape` (~7x marginal): the HAVING-semi-join re-aggregation
-  touches every orderkey group twice; 3.1 s absolute at sf3 (18M rows)
-  is the plan you'd ship — the cost is DuckDB's unusually fast
-  single-node large-group hash aggregate, not a misplanned shuffle.
+- `tpch_q18_shape` (~7-9x marginal): the HAVING-semi-join re-aggregation
+  touches every orderkey group twice; this is the plan you'd ship — the
+  windowed alternative was measured SLOWER (recorded in the operator
+  docstring); the cost is DuckDB's unusually fast single-node large-group
+  hash aggregate, not a misplanned shuffle.
 - Post-relayout note: `exact_dedup_docs`, formerly the worst marginal
   (32x when every scan was a single task on the one-row-group driver
-  files), fits at 3.0x after catalog ingest relayout — evidence the
+  files), fits at ~1.8x after catalog ingest relayout — evidence the
   remaining gaps above are engine-constant, not layout accidents.
-- The sf10 uptick on `json_extract_agg` / `pii_scrub_counts` is per-row
-  EXPRESSION kernel throughput, not the scan: a measured raw
-  scan+sum(length) of the same columns runs 0.06-0.07 s on BOTH engines
-  at sf10, while the full queries diverge — the gap is DuckDB's
-  vectorized yyjson/RE2 kernels against JVM Jackson/java.util.regex for
-  30M JSON parses / 6 regex passes x 500k documents.  Linear on both
-  sides; the engine answer for the JSON case is parse-once VARIANT
-  storage (`variant_json_agg`).  `tpch_q3_shape`'s uptick is exchange
-  cost on the fact join — the shape that actually distributes.  The
-  heavy ALGORITHMIC families (near-dup, linkage, ANN join) stay at or
-  under ~2x because their cost is the algorithm.
-- `near_dup_clusters` has no sf10 cell because the ORACLE side (DuckDB's
-  recursive-CTE transitive closure, 37.8 s already at sf3 and
-  superlinear) is infeasible there — the engine's log-round star joins
-  run fine; the missing cell is itself the scale argument.
+- The sf10 residual on `pii_scrub_counts` is per-row EXPRESSION kernel
+  throughput, not the scan: a measured raw scan+sum(length) of the same
+  columns runs 0.06-0.07 s on BOTH engines at sf10, while the full
+  queries diverge — the gap is DuckDB's vectorized RE2 kernels against
+  JVM java.util.regex for 6 regex passes x 500k documents, linear on
+  both sides.  `tpch_q3_shape`'s uptick is exchange cost on the fact
+  join — the shape that actually distributes.  The heavy ALGORITHMIC
+  families (near-dup, linkage, ANN join) stay at or under ~2x because
+  their cost is the algorithm.
+- `near_dup_clusters` at sf10: the round-5 run let the ORACLE (DuckDB's
+  recursive-CTE transitive closure) run to completion — 124 s vs the
+  engine's 18 s log-round star joins (0.1x).  The superlinearity argument
+  is now a measured cell, not an extrapolation.
 
 Caveats stated plainly: this is local[32] single-node Spark against an
 excellent single-node columnar engine on MB-GB data; the curve, not any
