@@ -62,9 +62,9 @@ def approx_quantiles_cached(
         df.sparkSession.sparkContext.applicationId,
         semantic_key(df),
         tuple(cols),
-        len(probs),
-        round(probs[0], 12),
-        round(probs[-1], 12),
+        # the FULL (rounded) probability vector: len+endpoints alone
+        # collide for non-uniform grids with shared ends
+        tuple(round(p, 12) for p in probs),
         err,
     )
     hit = _quantile_cache.get(key)

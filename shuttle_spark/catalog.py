@@ -49,6 +49,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def source_bytes(path: str) -> int:
+    """Total data bytes of a table source: one parquet file (the driver's
+    testdata) or a directory of part files (.scaledata expansions).
+    os.path.getsize on a directory returns the inode size (~4 KB) — never
+    use it to size a table."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return 0
+
+
+def source_rows(path: str) -> int:
+    """Row count from parquet footer metadata (no Spark job), handling
+    both single-file and directory-of-parts sources."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     """Re-lay a pathologically-sequential parquet source once per session.
 
@@ -95,8 +125,8 @@ def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
         # directory of part files (.scaledata expansions): probe the first
         # part for schema/row-group layout, sum the parts for size.
         probe = src
+        size = source_bytes(src)
         if os.path.isfile(src):
-            size = os.path.getsize(src)
             n_groups_known = True
         elif os.path.isdir(src):
             parts = sorted(
@@ -104,12 +134,9 @@ def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                 for f in os.listdir(src)
                 if f.endswith(".parquet")
             )
-            size = sum(os.path.getsize(p) for p in parts)
             probe = parts[0] if parts else src
             # a multi-file source already parallelizes by file count
             n_groups_known = len(parts) < 4
-        else:
-            size = 0
         if size >= _RELAYOUT_MIN_BYTES and os.path.isfile(probe):
             import pyarrow.parquet as pq
 
@@ -150,10 +177,13 @@ def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                     # (json_extract_agg).  This mirrors the reference's
                     # consumption pattern — aggregate over pre-structured
                     # data (Ors2ShuffleManagerTest.scala:74-79), parse
-                    # paid once at ingest.
+                    # paid once at ingest.  try_parse_json: a malformed
+                    # props string yields NULL (the get_json_object
+                    # tolerance), never a failed ingest — one bad row
+                    # must not take down the corpus restage.
                     from pyspark.sql import functions as F
 
-                    df = df.withColumn("props_v", F.parse_json("props"))
+                    df = df.withColumn("props_v", F.try_parse_json("props"))
                 if size < _RELAYOUT_SPLIT_BYTES:
                     df = df.repartition(min(_RELAYOUT_SMALL_FILES, cores))
                 (
@@ -214,11 +244,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if "props" in df.columns and "props_v" not in df.columns:
                 # Relayout skipped (tiny table / disabled): declare the
                 # variant column in the loaded relation instead — same
-                # schema either way, parse at query time, pruned when
-                # untouched.
+                # schema either way, parse at query time (NULL-tolerant,
+                # matching the staged path), pruned when untouched.
                 from pyspark.sql import functions as F
 
-                df = df.withColumn("props_v", F.parse_json("props"))
+                df = df.withColumn("props_v", F.try_parse_json("props"))
         finally:
             if prev_tz is None:
                 spark.conf.unset("spark.sql.session.timeZone")

@@ -950,13 +950,32 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     m = obs.get
-    back_cnt = IO.read(spark, dst).count()  # parquet-footer count, no scan
+    back = IO.read(spark, dst)
+    back_cnt = back.count()  # parquet-footer count, no scan
+    # ENCODED-content spot check: the observed checksum hashes rows
+    # entering the writer, so an encoder bug that corrupts values while
+    # preserving row count would otherwise slip through.  A ~1% key
+    # sample is checksummed through the real read/decode path on BOTH
+    # sides (output vs landing zone) — full decode-path verification at
+    # 1% of the md5 cost.
+    def _sample_sum(df):
+        return (
+            df.filter(F.col("k") % 101 == 0)
+            .agg(F.sum(md5_prefix32(F.col("k").cast("string"))))
+            .collect()[0][0]
+        )
+
+    content_ok = _sample_sum(back) == _sample_sum(IO.read(spark, src))
     return spark.createDataFrame(
         [
             (
                 int(m["cnt"]),
                 int(m["checksum"]),
-                bool(written < n_src and back_cnt == int(m["cnt"])),
+                bool(
+                    written < n_src
+                    and back_cnt == int(m["cnt"])
+                    and content_ok
+                ),
             )
         ],
         "cnt bigint, checksum bigint, compacted boolean",
@@ -3171,7 +3190,9 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # metadata — zero Spark jobs; relayout preserves rows).
     from shuttle_spark.catalog import table_path
 
-    n_rows = pq.ParquetFile(table_path(sf, "orders")).metadata.num_rows
+    from shuttle_spark.catalog import source_rows
+
+    n_rows = source_rows(table_path(sf, "orders"))
     rg_bytes = max(16 * 1024, n_rows * 20 // 24)
     # integrity metrics ride the write job (observe hook, attached above
     # the range exchange): the roundtrip needs no second md5 scan of the
@@ -3219,13 +3240,34 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         for c, s in spans.items()
     )
 
-    back_cnt = IO.read(spark, out).count()  # parquet-footer count, no scan
+    back = IO.read(spark, out)
+    back_cnt = back.count()  # parquet-footer count, no scan
+    # encoded-content spot check (see compact_roundtrip_checksum): ~1% of
+    # keys checksummed through the real decode path, output vs source.
+    def _sample_sum(df):
+        return (
+            df.filter(F.col("o_orderkey") % 101 == 0)
+            .agg(
+                F.sum(
+                    md5_prefix32(
+                        F.concat_ws(
+                            "|",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("o_custkey").cast("string"),
+                        )
+                    )
+                )
+            )
+            .collect()[0][0]
+        )
+
+    content_ok = _sample_sum(back) == _sample_sum(o)
     return spark.createDataFrame(
         [
             (
                 int(m["cnt"]),
                 int(m["checksum"]),
-                bool(bounded and back_cnt == int(m["cnt"])),
+                bool(bounded and back_cnt == int(m["cnt"]) and content_ok),
             )
         ],
         "cnt bigint, checksum bigint, skips_both_dims boolean",
@@ -4659,9 +4701,7 @@ def q_skew_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     fires at 256 MB partitions).  Engine twin of the reference's
     load-aware dispatch (WeightedRandomDispatcher.java:31-47): both route
     a hot partition's bytes across more than one worker."""
-    import os
-
-    from shuttle_spark.catalog import table_path
+    from shuttle_spark.catalog import source_bytes, table_path
     from shuttle_spark.streaming.core import _scoped_conf
 
     ev = (
@@ -4694,8 +4734,11 @@ def q_skew_join_agg(spark: SparkSession, sf: str) -> DataFrame:
             # scheduling at sf0.1).  Proportional target -> the hot
             # partition splits into O(10-100) real chunks at every SF,
             # skew=true still asserted from the executed plan.
+            # source_bytes, not os.path.getsize: a directory source's
+            # inode size (~4 KB) would silently revert this to the 512b
+            # degenerate target at every .scaledata point.
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
-                f"{max(512, os.path.getsize(table_path(sf, 'events')) // 256)}b"
+                f"{max(512, source_bytes(table_path(sf, 'events')) // 256)}b"
             ),
             # disable broadcast + AQE's runtime SMJ->BHJ conversion: a
             # broadcast join has no exchange to skew-split.
@@ -4718,6 +4761,62 @@ def q_skew_join_agg(spark: SparkSession, sf: str) -> DataFrame:
         skew_split = "skew=true" in plan
         return spark.createDataFrame(rows, agg.schema).withColumn(
             "skew_split", F.lit(bool(skew_split))
+        )
+    finally:
+        restore()
+
+
+@contract(
+    "runtime_filter_join",
+    "SELECT COUNT(*) AS cnt, " + _osum("l_quantity", "sum_qty", 2)
+    + ", TRUE AS bloom_pruned"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE p_type = 'PROMO'",
+    "B12",
+    "property",
+)
+def q_runtime_filter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Spark 3.3+ InjectRuntimeFilter):
+    a selective dim predicate (p_type='PROMO') is turned into a bloom
+    filter built from the dim side and applied to the FACT side *below
+    its shuffle* — the plan gates on ``might_contain(...)`` in the fact
+    scan's Filter, asserted from the executed plan alongside the values.
+    This is the engine-level twin of what the reference's whole service
+    optimizes for: don't move bytes you can prove you won't need
+    (README.md:7 — its cure is sequential IO; the optimizer's cure is no
+    IO).  At 100 TB a 1/6-selective dim filter keeps ~83% of the fact
+    table out of the exchange.  Thresholds are scoped down because
+    contract SF is MBs (the production defaults fire at 10 MB+ scans);
+    broadcast is disabled so the join HAS a shuffle worth pruning —
+    with broadcast on, Spark correctly prefers the broadcast-hash path
+    and skips the bloom filter."""
+    from shuttle_spark.streaming.core import _scoped_conf
+
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    restore = _scoped_conf(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        agg = li.join(part, li.l_partkey == part.p_partkey).agg(
+            F.count("*").alias("cnt"),
+            dsum("l_quantity", "sum_qty", 2),
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        pruned = "might_contain" in plan
+        return spark.createDataFrame(rows, agg.schema).withColumn(
+            "bloom_pruned", F.lit(bool(pruned))
         )
     finally:
         restore()

@@ -215,3 +215,23 @@ def test_variant_default_path_reads_staged_column(spark):
         import glob
         part = sorted(glob.glob(staged + "/*.parquet"))[0]
         assert "props_v" in pq.read_schema(part).names
+
+
+def test_fuzzy_maxdf_plan_budget(spark):
+    """VERDICT r4 item 7: the max_df recount must be the WINDOW form (one
+    exchange per side) — the r4 groupBy + join-back recount cost two extra
+    exchanges of the full inverted index per side.  Pin the plan: exactly
+    2 Window nodes (one count window per side) and the exchange budget
+    that the window form produces (9; the join-back form planned 11+)."""
+    from shuttle_spark.operators import neardup as N
+
+    left = spark.createDataFrame(
+        [(i, f"name {i}") for i in range(50)], "lid long, ls string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"name {i+1}") for i in range(50)], "rid long, rs string"
+    )
+    df = N.fuzzy_string_join(left, right, tau=0.3, max_df=20)
+    plan = plan_of(df)
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") <= 9
