@@ -18,7 +18,10 @@ which is indistinguishable from real regressions; min-of-2 measures the
 engine, not the neighbor's page cache.  First-run times are reported
 alongside (`queries_cold`, `cold_total`): they additionally pay one-time
 plan compilation (~0.3-0.7 s per unique query shape) and cache
-materialization.  Streaming-replay contracts re-run the full stream every
+materialization.  The round-4 convention (a SINGLE warm run) is also
+recorded per query (`queries_warm1`, `warm1_total`) so cross-round
+suite-wall comparisons can be made like-for-like instead of conflating
+the min-of-2 change with engine work.  Streaming-replay contracts re-run the full stream every
 time (fresh checkpoint each run), so their warm time is a genuine replay,
 not a cache hit.
 """
@@ -61,6 +64,7 @@ def main() -> None:
     floor_sec = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
 
     cold: dict[str, float] = {}
+    warm1: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, c in REGISTRY.items():
         if name in SKIP:
@@ -74,6 +78,7 @@ def main() -> None:
             c.build(spark, sf_dir).collect()
             warm.append(time.perf_counter() - t0)
         timings[name] = round(min(warm), 4)
+        warm1[name] = round(warm[0], 4)
 
     total = round(sum(timings.values()), 4)
     families: dict[str, float] = {}
@@ -91,9 +96,13 @@ def main() -> None:
         "n_queries": len(timings),
         "floor_sec": floor_sec,
         "timing": "warm (best of runs 2-3, bench_scale convention);"
-        " first-run times in queries_cold",
+        " first-run times in queries_cold; single-warm-run (round-4"
+        " convention, for like-for-like cross-round comparison) in"
+        " queries_warm1",
         "cold_total": round(sum(cold.values()), 4),
         "queries_cold": cold,
+        "warm1_total": round(sum(warm1.values()), 4),
+        "queries_warm1": warm1,
     }
     # Full per-query record -> file (the driver's stdout capture keeps only a
     # tail, which truncated round 1's single long line into unparseable JSON).

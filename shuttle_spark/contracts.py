@@ -84,6 +84,60 @@ def ensure_conf(spark: SparkSession) -> None:
             pass  # non-settable on this session; proceed with its defaults
 
 
+def _fixture_dir(sf: str, kind: str, table: str) -> str:
+    """Memoized-fixture root in /tmp for ``kind``, fingerprinted by the
+    source table's (bytes, newest-mtime) so a regenerated testdata dir can
+    never resurrect a stale fixture: the driver rewrites /root/testdata
+    between rounds, and a basename-only key (``sf0.1``) would keep serving
+    attempt/evolve/landing fixtures built from the PREVIOUS corpus — a
+    persistent oracle mismatch no rerun clears.  Stale same-prefix
+    fixtures are deleted on sight, so /tmp holds at most one generation."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from shuttle_spark.catalog import source_bytes, table_path
+
+    p = table_path(sf, table)
+    mt = 0
+    if os.path.isdir(p):
+        parts = [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        ]
+        mt = max((os.stat(q).st_mtime_ns for q in parts), default=0)
+    elif os.path.exists(p):
+        mt = os.stat(p).st_mtime_ns
+    tag = format((source_bytes(p) * 1000003 ^ mt) & 0xFFFFFFFFFF, "x")
+    prefix = os.path.join(
+        tempfile.gettempdir(),
+        f"shuttle_{kind}_{os.path.basename(sf.rstrip('/'))}_",
+    )
+    cur = prefix + tag
+    for d in _glob.glob(prefix + "*"):
+        if d != cur:
+            shutil.rmtree(d, ignore_errors=True)
+    return cur
+
+
+def _readback_checksum(df: DataFrame, key_col) -> int:
+    """Full decode-path checksum of a written table: the sum of 32-bit md5
+    prefixes over ``key_col``, read back from disk through the real parquet
+    decode path.  Compared against the checksum observed on rows ENTERING
+    the writer, equality proves the sink value-exact end-to-end (encode +
+    decode) — the roundtrip guarantee a writer-side observe() plus a footer
+    row count alone cannot give (an encoder bug that corrupts values while
+    preserving row count would pass both).  The scan is column-pruned to
+    the key expression's inputs, so this costs one md5 pass over the
+    OUTPUT, not the r4 double full-table re-read."""
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    v = df.agg(F.sum(md5_prefix32(key_col))).collect()[0][0]
+    return int(v) if v is not None else 0
+
+
 def contract(name: str, oracle: str | None, *tags: str):
     def deco(fn: Builder) -> Builder:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,13 +955,13 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     (int64-accumulated 32-bit md5 prefix, integrity.md5_prefix32 — exact
     below 2^31 rows) rides the WRITE job itself as observed metrics
     (io.compact's ``observation`` hook, a zero-shuffle accumulator over
-    the rows entering the writer), so verification costs no second full
-    scan; what actually landed on disk is confirmed by a metadata-only
-    count() of the output (parquet footers), folded into ``compacted``
-    alongside the file-count drop."""
+    the rows entering the writer); what actually landed on disk is then
+    verified by a footer-metadata count() PLUS a full column-pruned
+    read-back checksum of the output against the observed hash
+    (_readback_checksum) — encode+decode value-exactness, at one output
+    pass instead of the r4 landing+output double re-read."""
     import glob
     import os
-    import tempfile
 
     from pyspark.sql import Observation
 
@@ -919,10 +973,7 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("k")
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"shuttle_compact_{os.path.basename(sf.rstrip('/'))}",
-    )
+    base = _fixture_dir(sf, "compact", "lineitem")
     src, dst = base + "/landing", base + "/compacted"
     if (
         len(glob.glob(src + "/*.parquet")) != 32
@@ -930,18 +981,23 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ):
         li.repartition(32).write.mode("overwrite").parquet(src)
     n_src = len(glob.glob(src + "/*.parquet"))
+    src_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(src + "/*.parquet")
+    )
     obs = Observation()
-    # 2 MB target -> a few output files at bench SF: the writer (and the
-    # observed md5 riding it) stays PARALLEL, matching production shape
-    # where a 128 MB-target compaction of a real landing zone writes many
-    # files concurrently — a single-file target serializes the whole job
-    # through one task (the coalesce(1) pitfall), which no one runs at
-    # scale.  Still a 32 -> ~3 file compaction.
+    # Target an EIGHTH of the landing-zone bytes (floor 2 MB): the writer
+    # (and the observed md5 riding it) stays PARALLEL, matching production
+    # shape where a 128 MB-target compaction of a real landing zone writes
+    # many files concurrently — a single-file target serializes the whole
+    # job through one task (the coalesce(1) pitfall), which no one runs at
+    # scale.  Scaling with the source keeps the 32 -> ~8-or-fewer file
+    # drop (and the ``compacted`` assertion) true at ANY sf — a fixed
+    # 2 MB target stops compacting once the landing zone passes 64 MB.
     written = IO.compact(
         spark,
         src,
         dst,
-        target_file_bytes=1 << 21,
+        target_file_bytes=max(1 << 21, src_bytes // 8),
         row_group_bytes=1 << 20,
         observation=obs,
         observed=[
@@ -952,20 +1008,14 @@ def q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     m = obs.get
     back = IO.read(spark, dst)
     back_cnt = back.count()  # parquet-footer count, no scan
-    # ENCODED-content spot check: the observed checksum hashes rows
-    # entering the writer, so an encoder bug that corrupts values while
-    # preserving row count would otherwise slip through.  A ~1% key
-    # sample is checksummed through the real read/decode path on BOTH
-    # sides (output vs landing zone) — full decode-path verification at
-    # 1% of the md5 cost.
-    def _sample_sum(df):
-        return (
-            df.filter(F.col("k") % 101 == 0)
-            .agg(F.sum(md5_prefix32(F.col("k").cast("string"))))
-            .collect()[0][0]
-        )
-
-    content_ok = _sample_sum(back) == _sample_sum(IO.read(spark, src))
+    # Full decode-path verification: the checksum read BACK from the
+    # compacted output must equal the checksum observed on rows entering
+    # the writer — one column-pruned md5 pass over the output, vs the r4
+    # double full re-read (landing + output).
+    content_ok = (
+        _readback_checksum(back, F.col("k").cast("string"))
+        == int(m["checksum"])
+    )
     return spark.createDataFrame(
         [
             (
@@ -1010,7 +1060,6 @@ def q_lineage_audit(spark: SparkSession, sf: str) -> DataFrame:
     itself is exercised on the cold build and in
     tests/test_fault_injection.py."""
     import os
-    import tempfile
 
     from shuttle_spark.operators import lineage as L
 
@@ -1019,11 +1068,7 @@ def q_lineage_audit(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_partkey") % 10 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"shuttle_lineage_{os.path.basename(sf.rstrip('/'))}",
-        "table",
-    )
+    out = os.path.join(_fixture_dir(sf, "lineage", "lineitem"), "table")
     if L.attempts(spark, out) != [0, 1] or L.latest_attempt(spark, out) != 1:
         jvm, root, fs = L._fs(spark, out)
         fs.delete(root, True)
@@ -3160,8 +3205,9 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order clustered write (sources/io.zorder_write) under the oracle
     gate: orders laid out on the Morton curve over (o_custkey,
     o_totalprice), content-checksummed against the source-table oracle
-    via metrics observed on the write job itself (no second md5 scan;
-    landing confirmed by a footer-metadata count) — plus the property the
+    via metrics observed on the write job itself, then verified value-exact
+    on disk by a full column-pruned read-back checksum of the output
+    against the observed hash (plus a footer-metadata count) — plus the property the
     layout exists for: parquet row-group min/max spans are bounded on
     BOTH curve dimensions (a linear sort bounds only its own column), so
     filters on either column prune row groups.  The bound asserted (avg span < 60% of the column range) is
@@ -3188,15 +3234,13 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # of tiny groups (measured 1.8 s -> 0.7 s for the sf0.1 write).  Row
     # count comes from the SOURCE parquet footers (driver-side pyarrow
     # metadata — zero Spark jobs; relayout preserves rows).
-    from shuttle_spark.catalog import table_path
-
-    from shuttle_spark.catalog import source_rows
+    from shuttle_spark.catalog import source_rows, table_path
 
     n_rows = source_rows(table_path(sf, "orders"))
     rg_bytes = max(16 * 1024, n_rows * 20 // 24)
     # integrity metrics ride the write job (observe hook, attached above
-    # the range exchange): the roundtrip needs no second md5 scan of the
-    # output — what landed is confirmed by a parquet-footer count().
+    # the range exchange); on-disk content is then verified by a single
+    # column-pruned read-back md5 pass plus a parquet-footer count().
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -3242,26 +3286,10 @@ def q_zorder_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     back = IO.read(spark, out)
     back_cnt = back.count()  # parquet-footer count, no scan
-    # encoded-content spot check (see compact_roundtrip_checksum): ~1% of
-    # keys checksummed through the real decode path, output vs source.
-    def _sample_sum(df):
-        return (
-            df.filter(F.col("o_orderkey") % 101 == 0)
-            .agg(
-                F.sum(
-                    md5_prefix32(
-                        F.concat_ws(
-                            "|",
-                            F.col("o_orderkey").cast("string"),
-                            F.col("o_custkey").cast("string"),
-                        )
-                    )
-                )
-            )
-            .collect()[0][0]
-        )
-
-    content_ok = _sample_sum(back) == _sample_sum(o)
+    # full decode-path verification (see compact_roundtrip_checksum): the
+    # checksum read back from the clustered output must equal the
+    # writer-observed hash — one column-pruned md5 pass over the output.
+    content_ok = _readback_checksum(back, key_w) == int(m["checksum"])
     return spark.createDataFrame(
         [
             (
@@ -3387,15 +3415,11 @@ def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     path measures — is the mergeSchema READ, the thing a reader actually
     pays per query over a drifted corpus."""
     import os
-    import tempfile
 
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"shuttle_evolve_{os.path.basename(sf.rstrip('/'))}",
-    )
+    out = _fixture_dir(sf, "evolve", "orders")
     if not (
         os.path.exists(out + "/b1/_SUCCESS")
         and os.path.exists(out + "/b2/_SUCCESS")
@@ -4063,9 +4087,25 @@ def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     for these decomposable aggregates."""
     c = load_table(spark, sf, "customer").select("c_custkey")
     o = load_table(spark, sf, "orders")
+    return _full_outer_sentinel_agg(c, o)
+
+
+def _full_outer_sentinel_agg(c: DataFrame, o: DataFrame) -> DataFrame:
+    """The eager-aggregation rewrite shared by full_outer_nulls and its
+    NULL-price twin: orders pre-aggregate per custkey, the full outer join
+    runs key-vs-key, the final aggregate reconstitutes row-level answers."""
     o_agg = o.groupBy("o_custkey").agg(
         F.count("*").alias("__n"),
-        F.sum(F.floor("o_totalprice").cast("long")).alias("__sum_fl"),
+        # the per-ROW null sentinel folds into the partial aggregate
+        # (NULL price -> -1 here, not after the join): a bare
+        # sum(floor(price)) would silently skip NULL-priced rows and
+        # diverge from the row-level oracle whenever a group mixes NULL
+        # and non-NULL prices
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull(), F.lit(-1).cast("long")
+            ).otherwise(F.floor("o_totalprice").cast("long"))
+        ).alias("__sum_fl"),
     )
     j = c.join(o_agg, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
     return j.agg(
@@ -4082,6 +4122,39 @@ def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("total_with_sentinel"),
     )
+
+
+@contract(
+    "full_outer_null_prices",
+    "SELECT COUNT(*) AS cnt,"
+    " COUNT(*) FILTER (WHERE c_custkey IS NULL) AS orphan_orders,"
+    " COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS orderless_custs,"
+    " CAST(SUM(CASE WHEN o_totalprice IS NULL THEN -1::BIGINT"
+    "  ELSE CAST(FLOOR(o_totalprice) AS BIGINT) END) AS BIGINT) AS total_with_sentinel"
+    " FROM customer FULL OUTER JOIN"
+    " (SELECT o_orderkey, o_custkey,"
+    "   CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END"
+    "   AS o_totalprice FROM orders) o"
+    " ON c_custkey = o_custkey",
+    "B14",
+)
+def q_full_outer_null_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """full_outer_nulls with genuinely NULL aggregate inputs: every 7th
+    order's price is nulled (deterministically, on both engines), so
+    custkey groups MIX null and non-null prices and the -1 sentinel fires
+    on real order rows, not only on orderless customers.  TPC-H has no
+    NULL o_totalprice, so the base contract's oracle could never see the
+    divergence class the round-5 review caught (a bare sum(floor(price))
+    silently skipping NULL rows in the eager-aggregation rewrite); this
+    twin makes that class permanently oracle-gated."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return _full_outer_sentinel_agg(c, o)
 
 
 @contract(
@@ -4235,8 +4308,24 @@ _RANGE_WIN_SQL = (
 def q_window_range_interval(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE frame with a time interval (trailing 30-day order count per
     customer) — the value-based frame, distinct from ROWS frames (B17's
-    cumsum): peers are chosen by timestamp distance, not position."""
-    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    cumsum): peers are chosen by timestamp distance, not position.
+
+    Plan: limit pushdown THROUGH the partitioned window.  The final sort
+    prefix (o_custkey) equals the window partition key and the frame is
+    partition-local, so only rows whose custkey is among the 300 smallest
+    distinct custkeys can reach the LIMIT 300 (each custkey contributes
+    >=1 row) — the window then runs over a few thousand rows instead of
+    the whole table.  Spark's optimizer cannot push a limit below a
+    window, so the rewrite is stated here; at 100 TB it is the difference
+    between windowing a fact table and windowing a broadcast-sized
+    prefix."""
+    o = load_table(spark, sf, "orders")
+    keys = (
+        o.select("o_custkey").distinct().orderBy("o_custkey").limit(300)
+    )
+    o.join(F.broadcast(keys), "o_custkey", "left_semi").createOrReplaceTempView(
+        "orders"
+    )
     return spark.sql(_RANGE_WIN_SQL)
 
 

@@ -122,16 +122,40 @@ def latest_attempt(spark: SparkSession, path: str) -> int | None:
     data files it already holds — is in-flight or abandoned and is never
     selected; this holds on object stores with no ``_temporary`` rename
     semantics, where the r4 has-data/no-temporary heuristic could misjudge
-    a concurrent writer as committed."""
+    a concurrent writer as committed.
+
+    Migration path: a table written ENTIRELY before markers existed (no
+    ``_COMMITTED`` under any attempt) falls back to the legacy judgment —
+    data files present and no ``_temporary`` — so pre-marker tables stay
+    readable.  The fallback never fires once any attempt carries a
+    marker: on a marker-era table, markers are the only authority."""
     jvm, root, fs = _fs(spark, path)
-    committed = []
+    committed, legacy = [], []
     for a in attempts(spark, path):
         marker = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{ATTEMPT_COL}={a}/{COMMIT_MARKER}"
         )
         if fs.exists(marker):
             committed.append(a)
-    return committed[-1] if committed else None
+        elif _legacy_committed(jvm, fs, path, a):
+            legacy.append(a)
+    if committed:
+        return committed[-1]
+    return legacy[-1] if legacy else None
+
+
+def _legacy_committed(jvm, fs, path: str, a: int) -> bool:
+    """Pre-marker commit heuristic (r4 behavior): the attempt directory
+    holds at least one data file and no in-flight ``_temporary``."""
+    d = jvm.org.apache.hadoop.fs.Path(f"{path}/{ATTEMPT_COL}={a}")
+    has_data = False
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name == "_temporary":
+            return False
+        if st.isFile() and not name.startswith(("_", ".")):
+            has_data = True
+    return has_data
 
 
 def read_latest(

@@ -287,6 +287,13 @@ _ZVALUE_CACHE_MAX = 16
 _zvalue_cache: dict[tuple, tuple[object, "DataFrame"]] = {}
 
 
+def clear_zvalue_cache() -> None:
+    """Evict cached z-keyed plans — the cold-path hook every other session
+    cache exposes (cache.clear_quantile_cache, neardup.clear_gram_cache),
+    so benches and tests can charge the plan-build cost cold."""
+    _zvalue_cache.clear()
+
+
 def zorder_value(
     df: DataFrame, cols: Sequence[str], bits: int = 8,
     quantile_error: float = 0.004,

@@ -28,3 +28,65 @@ def test_contract(name, spark, sf_dir, oracle_con):
         return
     msgs = compare(df, oracle_con, c.oracle)
     assert not msgs, f"{name}: " + "; ".join(msgs)
+
+
+def test_full_outer_rewrite_exact_under_null_prices(spark):
+    """The eager-aggregation rewrite in full_outer_nulls must reproduce
+    the ROW-level sentinel semantics even when a custkey group mixes NULL
+    and non-NULL o_totalprice (TPC-H never has NULL prices, so the oracle
+    gate can't see this) — the per-row -1 sentinel folds into the partial
+    aggregate, not after the join."""
+    import shuttle_spark.contracts as C
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey bigint"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, 100.5),   # matched, priced
+            (11, 1, None),    # matched, NULL price in a mixed group
+            (12, 5, None),    # orphan order, NULL price
+            (13, 5, 7.9),     # orphan order, priced
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    tables = {"customer": customer, "orders": orders}
+    orig = C.load_table
+    C.load_table = lambda s, sf, name: tables[name]
+    try:
+        got = (
+            C.REGISTRY["full_outer_nulls"].build(spark, "ignored").collect()[0]
+        )
+    finally:
+        C.load_table = orig
+    # row-level truth: (1,10,100)+(1,11,-1)+(5,12,-1)+(5,13,7)
+    # + orderless custs 2,3 -> -1 each
+    assert got["cnt"] == 6
+    assert got["orphan_orders"] == 2
+    assert got["orderless_custs"] == 2
+    assert got["total_with_sentinel"] == 100 - 1 - 1 + 7 - 1 - 1
+
+
+def test_fixture_dir_tracks_source_fingerprint(tmp_path):
+    """_fixture_dir must change (and delete the stale sibling) when the
+    source table's bytes/mtime change — a regenerated testdata dir can
+    never resurrect a fixture built from the previous corpus."""
+    import os
+
+    import shuttle_spark.contracts as C
+
+    sf = tmp_path / "sf9"
+    sf.mkdir()
+    t = sf / "lineitem.parquet"
+    t.write_bytes(b"x" * 100)
+    d1 = C._fixture_dir(str(sf), "unittest", "lineitem")
+    os.makedirs(d1, exist_ok=True)
+    # same source -> same dir, still on disk
+    assert C._fixture_dir(str(sf), "unittest", "lineitem") == d1
+    assert os.path.isdir(d1)
+    # regenerate the source -> new dir, stale fixture deleted on sight
+    t.write_bytes(b"y" * 101)
+    os.utime(t, ns=(1, 1))
+    d2 = C._fixture_dir(str(sf), "unittest", "lineitem")
+    assert d2 != d1
+    assert not os.path.exists(d1)

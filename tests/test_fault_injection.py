@@ -146,3 +146,36 @@ def test_lineage_retry_supersedes_stale_attempt(spark):
     assert L.latest_attempt(spark, path) == 1
     got = L.read_latest(spark, path, with_provenance=False)
     assert got.count() == li.count()
+
+
+def test_lineage_premarker_table_falls_back_to_legacy(spark):
+    """Migration path: a table written entirely before _COMMITTED markers
+    existed (no marker under ANY attempt) must stay readable via the
+    legacy has-data/no-_temporary judgment — but the moment any attempt
+    carries a marker, markers are the only authority and unmarked
+    attempts are treated as in-flight."""
+    import os
+    import tempfile
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import lineage as L
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+    path = tempfile.mkdtemp(prefix="lineage_premarker_") + "/t"
+    L.write_attempt(li.limit(50), path, app_attempt=0)
+    L.write_attempt(li, path, app_attempt=1)
+    # simulate a pre-marker (round-4) table: strip every marker
+    for a in (0, 1):
+        os.remove(f"{path}/{L.ATTEMPT_COL}={a}/{L.COMMIT_MARKER}")
+    assert L.latest_attempt(spark, path) == 1  # legacy fallback
+    assert L.read_latest(spark, path, with_provenance=False).count() == 200
+
+    # restore ONE marker: marker-era rules take over, unmarked attempt 1
+    # is now in-flight/abandoned, committed attempt 0 wins
+    open(f"{path}/{L.ATTEMPT_COL}=0/{L.COMMIT_MARKER}", "w").close()
+    assert L.latest_attempt(spark, path) == 0
+    assert L.read_latest(spark, path, with_provenance=False).count() == 50

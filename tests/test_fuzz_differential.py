@@ -437,3 +437,78 @@ def test_fuzz_group_having(spark, duck, filters, min_cnt):
         f" HAVING COUNT(*) >= {min_cnt}"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 9: null-injected outer joins  (the B14 shape — NULL join keys and
+# NULL aggregate inputs flowing through inner/left/full joins into
+# sentinel aggregates, the divergence class the round-5 review caught in
+# full_outer_nulls' eager-aggregation rewrite)
+# ---------------------------------------------------------------------------
+
+@given(
+    how=st.sampled_from(["inner", "left", "full"]),
+    key_mod=st.integers(2, 9),
+    price_mod=st.integers(2, 7),
+    filters=_filters(),
+)
+@FUZZ
+def test_fuzz_null_injected_outer_join(
+    spark, duck, how, key_mod, price_mod, filters
+):
+    """NULLs are injected deterministically on BOTH engines: every
+    key_mod-th order loses its join key (NULL never matches — those rows
+    survive only via the outer side, landing in the NULL-segment group)
+    and every price_mod-th order loses its price (per-row -1 sentinel over
+    groups that mix NULL and non-NULL inputs).  Searches join-type x
+    null-rate x predicate space for null-semantics gaps: null-key
+    matching, outer-row fabrication, NULL group keys, sentinel CASE
+    evaluation order."""
+    orders = _apply(load_table(spark, SF, "orders"), filters).select(
+        F.when(
+            F.col("o_orderkey") % key_mod == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.when(
+            F.col("o_orderkey") % price_mod == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+    )
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(cust, orders.k == cust.c_custkey, how)
+    sdf = joined.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("cnt"),
+        F.count("p").alias("n_priced"),
+        F.sum(
+            F.when(F.col("p").isNull(), F.lit(-1).cast("long")).otherwise(
+                F.floor(F.col("p") * 100 + F.lit(0.5)).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("sentinel_c"),
+    )
+    jtype = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "full": "FULL OUTER JOIN",
+    }[how]
+    sql = (
+        "SELECT c_mktsegment AS seg, COUNT(*) AS cnt, COUNT(p) AS n_priced,"
+        " CAST(SUM(CASE WHEN p IS NULL THEN CAST(-1 AS BIGINT)"
+        "  ELSE CAST(FLOOR(p * 100 + 0.5) AS BIGINT) END) AS BIGINT)"
+        " AS sentinel_c"
+        " FROM (SELECT"
+        f"  CASE WHEN o_orderkey % {key_mod} = 0 THEN NULL"
+        "   ELSE o_custkey END AS k,"
+        f"  CASE WHEN o_orderkey % {price_mod} = 0 THEN NULL"
+        "   ELSE o_totalprice END AS p"
+        f"  FROM orders{_where(filters)}) o"
+        f" {jtype} customer ON k = c_custkey"
+        " GROUP BY c_mktsegment"
+    )
+    _check(sdf, duck, sql)
