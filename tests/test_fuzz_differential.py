@@ -512,3 +512,65 @@ def test_fuzz_null_injected_outer_join(
         " GROUP BY c_mktsegment"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 10: calendar arithmetic  (B19 date functions — truncation, month
+# ends, interval shifts, ISO weekday/week numbering; the classic
+# cross-engine divergence area: week-numbering conventions, weekday
+# origins, month-end clamping)
+# ---------------------------------------------------------------------------
+
+# (name, spark Column factory, sql expr) — each pair chosen so the two
+# engines state the SAME convention explicitly: Spark weekday() is Mon=0
+# while DuckDB isodow() is Mon=1, so the Spark side ships +1; interval
+# adds produce TIMESTAMP in DuckDB, so the SQL side casts back to DATE.
+_DATE_EXPRS = {
+    "month_start": (
+        lambda n: F.trunc("o_orderdate", "month"),
+        lambda n: "CAST(date_trunc('month', o_orderdate) AS DATE)",
+    ),
+    "month_end": (
+        lambda n: F.last_day("o_orderdate"),
+        lambda n: "last_day(o_orderdate)",
+    ),
+    "plus_days": (
+        lambda n: F.date_add("o_orderdate", n),
+        # INTERVAL -1 DAY is a parse error in DuckDB; multiply instead
+        lambda n: f"CAST(o_orderdate + ({n}) * INTERVAL 1 DAY AS DATE)",
+    ),
+    "iso_weekday": (
+        lambda n: (F.weekday("o_orderdate") + F.lit(1)).cast("int"),
+        lambda n: "CAST(isodow(o_orderdate) AS INT)",
+    ),
+    "iso_week": (
+        lambda n: F.weekofyear("o_orderdate").cast("int"),
+        lambda n: "CAST(weekofyear(o_orderdate) AS INT)",
+    ),
+    "days_since": (
+        lambda n: F.datediff(
+            "o_orderdate", F.lit(datetime.date(1995, 1, 1))
+        ).cast("int"),
+        lambda n: "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT)",
+    ),
+}
+
+
+@given(
+    expr=st.sampled_from(sorted(_DATE_EXPRS)),
+    n=st.integers(-400, 400),
+    filters=_filters(),
+)
+@FUZZ
+def test_fuzz_date_arithmetic(spark, duck, expr, n, filters):
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    scol, ssql = _DATE_EXPRS[expr]
+    sdf = orders.groupBy(scol(n).alias("d")).agg(
+        F.count("*").alias("cnt"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+    sql = (
+        f"SELECT {ssql(n)} AS d, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key"
+        f" FROM orders{_where(filters)} GROUP BY 1"
+    )
+    _check(sdf, duck, sql)
