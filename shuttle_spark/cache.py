@@ -116,5 +116,10 @@ class DFCache:
                 pass
         self._entries.clear()
 
+    def keys(self) -> list[tuple]:
+        """Live cache keys — lets callers keep side tables (e.g. the IVF
+        centroid arrays) in sync with this cache's eviction."""
+        return list(self._entries)
+
     def __len__(self) -> int:
         return len(self._entries)

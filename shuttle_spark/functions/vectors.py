@@ -30,8 +30,24 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity in double precision."""
-    return dot(a, b) / (norm2(a) * norm2(b))
+    """Cosine similarity in double precision.  A zero-norm side scores 0.0
+    (not NaN): Spark's total order ranks NaN ABOVE every real double, so a
+    0/0 cosine would let an all-zero vector beat a perfect match in any
+    top-k — every cosine kernel in the engine states the same convention
+    (see similarity._exact_all_pairs, safe_cosine_kernel)."""
+    den = norm2(a) * norm2(b)
+    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
+
+
+def safe_cosine_kernel(num: "np.ndarray", den: "np.ndarray") -> "np.ndarray":
+    """num/den with zero denominators mapped to 0.0 similarity — the
+    numpy-side statement of `cosine`'s zero-norm convention, shared by
+    every vectorized scoring kernel so the exact / LSH / brute / IVF paths
+    can never disagree on degenerate vectors."""
+    safe = np.where(den == 0, 1.0, den)
+    out = np.asarray(num, dtype=np.float64) / safe
+    out[den == 0] = 0.0
+    return out
 
 
 def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
@@ -47,8 +63,7 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
         B = np.stack(vb.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(num / den)
+        return pd.Series(safe_cosine_kernel(num, den))
 
     return _cos(a, b)
 

@@ -29,12 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from shuttle_spark.cache import semantic_key
+from shuttle_spark.cache import DFCache, semantic_key
 from shuttle_spark.functions.vectors import (
     cosine,
     cosine_pairs_vectorized,
     dot,
     norm2,
+    safe_cosine_kernel,
 )
 
 _SEED = 42
@@ -46,13 +47,16 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    include_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
 
     Returns (id, sim) ordered by similarity desc (id tiebreak).  The plan is
     scan -> project(cosine) -> TakeOrderedAndProject: no exchange of the
-    corpus, embarrassingly parallel, scale-linear.
+    corpus, embarrassingly parallel, scale-linear.  Zero-norm corpus rows
+    score 0.0, never NaN (which Spark would rank above every real match).
+    To exclude the query row itself when it comes from the corpus, filter
+    it out by id before/after the call — a literal query vector carries no
+    identity this function could exclude by.
     """
     qv = np.asarray(query_vector, dtype=np.float64)
     qn = float(np.linalg.norm(qv))
@@ -66,8 +70,7 @@ def brute_force_topk(
     def _sim(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         den = np.linalg.norm(mat, axis=1) * qn
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series((mat @ qv) / den)
+        return pd.Series(safe_cosine_kernel(mat @ qv, den))
 
     out = embeddings.select(F.col(id_col), _sim(F.col(vec_col)).alias("sim"))
     return out.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
@@ -129,14 +132,11 @@ def add_lsh_bands(
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
         signs = (mat @ planes.T) >= 0  # (batch, n_planes)
         weights = 1 << np.arange(bits_per_band, dtype=np.int64)
-        out = []
-        for row in signs:
-            keys = [
-                int(row[b * bits_per_band : (b + 1) * bits_per_band] @ weights)
-                for b in range(bands)
-            ]
-            out.append(keys)
-        return pd.Series(out)
+        # fully vectorized: (batch, bands, bits) @ (bits,) -> (batch, bands)
+        # — a per-row Python loop here would dominate the corpus-wide
+        # signature pass, not the matmul
+        keys = signs.reshape(len(mat), bands, bits_per_band) @ weights
+        return pd.Series(keys.tolist())
 
     return df.withColumn("bands", band_keys(F.col(vec_col)))
 
@@ -295,21 +295,36 @@ def _exact_all_pairs(
 # centroids partition the corpus; queries probe only the nearest cells.
 # ---------------------------------------------------------------------------
 
-# Session cache of built indexes: (source df identity, params) ->
-# (source ref, persisted indexed df, centroids).  An IVF index exists to be
-# probed many times; rebuilding it per query would repeat the training
-# collect and the assignment scan.  LRU-bounded, evicted entries unpersist.
-_ivf_cache: dict[tuple, tuple[DataFrame, DataFrame, np.ndarray]] = {}
-_IVF_CACHE_MAX = 4
+# Session cache of built indexes: (source df identity, params) -> persisted
+# indexed df, via the shared DFCache (LRU touch, size cap, unpersist on
+# evict — one implementation, not a hand-rolled twin).  The tiny centroid
+# arrays ride a side dict under the same keys, pruned to the cache's live
+# keys after every put.  An IVF index exists to be probed many times;
+# rebuilding it per query would repeat the training collect and the
+# assignment scan.
+_ivf_cache = DFCache(max_size=4)
+_ivf_cents: dict[tuple, np.ndarray] = {}
 
 
 def clear_ivf_cache() -> None:
-    for _, cached, _ in _ivf_cache.values():
-        try:
-            cached.unpersist()
-        except Exception:
-            pass
     _ivf_cache.clear()
+    _ivf_cents.clear()
+
+
+def _nearest_centroid(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin over squared euclidean distance via the ||a||^2 - 2a.c +
+    ||c||^2 expansion: a (rows, n_cells) result with NO rank-3 temporary.
+    The naive (rows, n_cells, dim) broadcast difference allocates ~820 MB
+    per evaluation at the training defaults (100k rows x 16 cells x 64
+    dims x float64) — twice per Lloyd iteration, on the DRIVER.  The
+    expansion computes the identical argmin (the ||a||^2 term is constant
+    per row and could even be dropped) at (rows x cells) memory."""
+    d = (
+        (m * m).sum(1)[:, None]
+        - 2.0 * (m @ cents.T)
+        + (cents * cents).sum(1)[None, :]
+    )
+    return d.argmin(1)
 
 
 def ivf_build(
@@ -337,10 +352,10 @@ def ivf_build(
         df.sparkSession.sparkContext.applicationId,
         semantic_key(df), id_col, vec_col, n_cells, sample_fraction, max_train_rows,
     )
-    if reuse and key in _ivf_cache:
-        _ivf_cache[key] = _ivf_cache.pop(key)  # LRU touch
-        _, indexed, cents = _ivf_cache[key]
-        return indexed, cents.copy()
+    if reuse:
+        hit = _ivf_cache.get(key)
+        if hit is not None and key in _ivf_cents:
+            return hit, _ivf_cents[key].copy()
     sample = df.select(vec_col)
     if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=_SEED)
@@ -350,8 +365,7 @@ def ivf_build(
     rng = np.random.RandomState(_SEED)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     for _ in range(5):  # Lloyd iterations on the sample (driver-side, tiny)
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        assign = _nearest_centroid(mat, centroids)
         for c in range(len(centroids)):
             members = mat[assign == c]
             if len(members):
@@ -361,21 +375,14 @@ def ivf_build(
     @F.pandas_udf(T.IntegerType())
     def nearest_cell(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1).astype(np.int32))
+        return pd.Series(_nearest_centroid(m, cents).astype(np.int32))
 
     indexed = df.withColumn("cell", nearest_cell(F.col(vec_col)))
     if reuse:
-        from pyspark import StorageLevel
-
-        while len(_ivf_cache) >= _IVF_CACHE_MAX:
-            _, old, _ = _ivf_cache.pop(next(iter(_ivf_cache)))
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        indexed = indexed.persist(StorageLevel.MEMORY_AND_DISK)
-        _ivf_cache[key] = (df, indexed, centroids.copy())
+        indexed = _ivf_cache.put(key, df, indexed)
+        _ivf_cents[key] = centroids.copy()
+        for stale in [k for k in _ivf_cents if k not in _ivf_cache.keys()]:
+            del _ivf_cents[stale]
     return indexed, centroids
 
 
@@ -400,8 +407,7 @@ def ivf_topk(
     def _sim(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         den = np.linalg.norm(mat, axis=1) * qn
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series((mat @ q) / den)
+        return pd.Series(safe_cosine_kernel(mat @ q, den))
 
     return (
         indexed.filter(F.col("cell").isin(probe))

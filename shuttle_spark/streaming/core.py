@@ -206,7 +206,6 @@ def stream_keep_latest(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    payload_cols: Sequence[str] = ("event_id", "event_type"),
 ) -> DataFrame:
     """Custom stateful operator: latest row per key, emitted once the
     watermark closes the key's quiet period (B8's streaming twin — the
@@ -214,7 +213,12 @@ def stream_keep_latest(
 
     Built on ``applyInPandasWithState``: state = the current winner per key;
     each micro-batch folds its rows in; on event-time timeout the winner is
-    emitted and state freed.  Output schema: key, ts (epoch micros), payload.
+    emitted and state freed.  The payload is the events-table shape
+    (event_id tiebreak + event_type), FIXED: a payload_cols parameter
+    previously accepted here was silently ignored — for arbitrary payload
+    columns use the batch twin ``dedup.keep_latest`` or the foreachBatch
+    sink ``run_upsert_sink``, which honor them.  Output schema: key,
+    ts_us (epoch micros), event_id, event_type.
     """
     out_fields = [
         T.StructField(key_col, T.LongType()),
@@ -296,7 +300,6 @@ def stream_keep_latest_tws(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    payload_cols: Sequence[str] = ("event_id", "event_type"),
 ) -> DataFrame:
     """Keep-latest on Spark 4's ``transformWithStateInPandas`` — the
     successor API to ``applyInPandasWithState`` (typed ValueState handles,
@@ -373,10 +376,13 @@ def stream_keep_latest_tws(
         def close(self) -> None:
             pass
 
+    # fixed events-table payload, matching the state/output schemas above
+    # (see stream_keep_latest's docstring for the generic-payload routes)
     prepared = events.select(
         F.col(key_col),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
-        *[F.col(c) for c in payload_cols],
+        F.col("event_id"),
+        F.col("event_type"),
     )
     return prepared.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=KeepLatest(),
@@ -426,7 +432,7 @@ def stream_stream_join(
     ).select(F.col("l_key").alias(key), "l_id", "l_ts", "r_id", "r_ts")
 
 
-_staged_multi: dict[tuple[str, int], str] = {}
+_staged_multi: dict[tuple[str, str, str, int], str] = {}
 
 
 def _staged_table_files(
@@ -436,7 +442,9 @@ def _staged_table_files(
     in a temp dir — a realistic landing zone whose replay under
     ``maxFilesPerTrigger=1`` yields ``n_files`` real micro-batches (the
     single-file symlink staging gives exactly one)."""
-    key = (sf_dir, table, n_files)
+    # every parameter that changes the layout is in the key — staging the
+    # same table by a different range_col must not hit the other's cache
+    key = (sf_dir, table, range_col, n_files)
     cached = _staged_multi.get(key)
     if cached is not None:
         return cached
@@ -616,10 +624,14 @@ def run_upsert_sink(
         for v in versions
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v}/_SUCCESS"))
     ]
-    pick = committed or versions
-    if not pick:
+    if not committed:
+        # versions may exist with no _SUCCESS anywhere: a crash before the
+        # FIRST commit left only partial output.  That is empty state, not
+        # data — falling back to an uncommitted dir would read truncated
+        # rows (or die on a corrupt footer), exactly what the guard above
+        # promises never happens.
         return spark.createDataFrame([], events.select(*sel_cols).schema)
-    return spark.read.parquet(f"{path}/v{pick[-1]}")
+    return spark.read.parquet(f"{path}/v{committed[-1]}")
 
 
 def staged_documents_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
@@ -648,9 +660,19 @@ def run_stream_decontaminate(
     directory with overwrite, so a replayed batch overwrites rather than
     duplicates (same versioned-commit idea as run_upsert_sink and the
     reference's rename finalize, ShuffleDataExecutor.java:119-138).
+    ``out_path``'s lifetime must match the checkpoint's: reusing a
+    populated out_path with a FRESH checkpoint re-processes the same
+    documents into new batch ids alongside the old dirs — duplicates by
+    construction, whatever the sink does.
 
-    Returns the clean corpus as a batch DataFrame.
+    Returns the clean corpus as a batch DataFrame: every COMMITTED batch
+    dir (``_SUCCESS`` present — a crashed mid-write batch is invisible,
+    and a zero-batch run over a caught-up checkpoint returns the empty
+    corpus instead of dying on an unmatchable glob).
     """
+    import glob as _glob
+    import os as _os
+
     from shuttle_spark.operators import pipeline as P
 
     spark = docs_stream.sparkSession
@@ -661,7 +683,19 @@ def run_stream_decontaminate(
 
     name = query_name or f"decon_{uuid.uuid4().hex[:8]}"
     _run_foreach_batch(docs_stream, clean_batch, name, shuffle_partitions)
-    return spark.read.parquet(f"{out_path}/b*")
+    dirs = sorted(
+        d
+        for d in _glob.glob(f"{out_path}/b*")
+        if _os.path.exists(_os.path.join(d, "_SUCCESS"))
+    )
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            P.decontaminate(
+                spark.createDataFrame([], docs_stream.schema), benchmark, n=n
+            ).schema,
+        )
+    return spark.read.parquet(*dirs)
 
 
 def run_available_now(

@@ -348,3 +348,55 @@ def test_cluster_keep_best_picks_highest_score(spark):
     )
     # cluster 1: doc 2 wins (score 30); cluster 2: tie at 7 -> smallest id 5
     assert kept == [2, 4, 5]
+
+
+def test_zero_norm_vectors_score_zero_never_nan(spark):
+    """An all-zero embedding must score cosine 0.0 on EVERY scoring path
+    (brute force, LSH re-score, IVF probe) — 0/0 would be NaN, which
+    Spark's total order ranks ABOVE every real double, so a degenerate
+    vector would beat a perfect match in any top-k and the LSH path would
+    disagree with the exact path on the same corpus."""
+    import math
+
+    from shuttle_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # degenerate
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    top = S.brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], 4).collect()
+    sims = {r["vec_id"]: r["sim"] for r in top}
+    assert not any(math.isnan(s) for s in sims.values())
+    assert sims[2] == 0.0
+    assert [r["vec_id"] for r in top][:2] == [0, 1]  # zero vec never first
+
+    # LSH path must agree with the exact path (threshold above 0 excludes
+    # the degenerate vector from BOTH)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(emb, 4, 0.5, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(
+            emb, 4, 0.5, exact=False, n_planes=8, bands=8
+        ).collect()
+    }
+    assert lsh <= exact  # LSH may miss (recall), never invent
+    assert all(2 not in pair for pair in lsh)
+
+    # IVF probe: degenerate vector scores 0.0, never NaN
+    indexed, cents = S.ivf_build(emb, 4, n_cells=2, reuse=False)
+    ivf = {
+        r["vec_id"]: r["sim"]
+        for r in S.ivf_topk(
+            indexed, cents, [1.0, 0.0, 0.0, 0.0], 4, n_probe=2
+        ).collect()
+    }
+    assert not any(math.isnan(s) for s in ivf.values())
+    if 2 in ivf:
+        assert ivf[2] == 0.0

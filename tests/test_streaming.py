@@ -248,3 +248,160 @@ def test_stream_keep_latest_tws_matches_batch(spark):
         [F.col("ts").desc(), F.col("event_id").desc()],
     ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type")
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_decontaminate_sink_zero_batch_stream_is_empty_corpus(spark):
+    """The decontaminate sink's twin of the upsert zero-batch guard: a
+    stream over an empty landing dir runs zero batches, so no b{batch_id}
+    dir ever exists — the sink must return the empty corpus, not die on
+    an unmatchable b* glob (PATH_NOT_FOUND)."""
+    import tempfile
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.sources.io import read_stream
+    from shuttle_spark.streaming import run_stream_decontaminate
+
+    landing = tempfile.mkdtemp(prefix="decon_empty_landing_")
+    out = tempfile.mkdtemp(prefix="decon_empty_out_")
+    stream = read_stream(
+        spark, landing, "doc_id long, lang string, text string"
+    )
+    bench = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(5)
+    )
+    clean = run_stream_decontaminate(stream, bench, out, shuffle_partitions=2)
+    assert clean.count() == 0
+    assert "doc_id" in clean.columns
+
+
+def test_decontaminate_sink_ignores_uncommitted_batch_dir(spark):
+    """A b{batch_id} dir without _SUCCESS (crash mid-write) must be
+    invisible to the returned corpus."""
+    import os
+    import tempfile
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.sources.io import read_stream
+    from shuttle_spark.streaming import run_stream_decontaminate
+
+    landing = tempfile.mkdtemp(prefix="decon_crash_landing_")
+    out = tempfile.mkdtemp(prefix="decon_crash_out_")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    docs.limit(20).coalesce(1).write.mode("overwrite").parquet(landing)
+    # fake a crashed prior batch: data file present, no _SUCCESS
+    crashed = os.path.join(out, "b999")
+    docs.limit(3).coalesce(1).write.mode("overwrite").parquet(crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    bench = docs.limit(2)
+    stream = read_stream(
+        spark, landing, "doc_id long, lang string, text string"
+    )
+    clean = run_stream_decontaminate(stream, bench, out, shuffle_partitions=2)
+    got = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    crashed_ids = {r["doc_id"] for r in docs.limit(3).collect()}
+    # the committed batch's survivors are present; nothing comes from b999
+    assert clean.count() <= 20
+    assert not (got - {r["doc_id"] for r in docs.limit(20).collect()})
+    assert os.path.isdir(crashed)  # still on disk, just never read
+
+
+def test_upsert_sink_never_reads_uncommitted_only_version(spark):
+    """Zero-batch run over a state path whose ONLY version dir lacks
+    _SUCCESS (crash before first commit): the sink must return empty
+    state, not read the partial dir its own guard says it never picks."""
+    import os
+    import tempfile
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.sources.io import read_stream
+    from shuttle_spark.streaming import run_upsert_sink
+
+    landing = tempfile.mkdtemp(prefix="upsert_uncommitted_landing_")
+    state_path = tempfile.mkdtemp(prefix="upsert_uncommitted_state_")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_path, "v0")
+    )
+    os.remove(os.path.join(state_path, "v0", "_SUCCESS"))
+    stream = read_stream(
+        spark,
+        landing,
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp, value double, props string",
+    )
+    state = run_upsert_sink(stream, state_path, shuffle_partitions=2)
+    assert state.count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    window=st.sampled_from(["30 minutes", "1 hour", "3 hours"]),
+    watermark=st.sampled_from(["1 hour", "2 hours"]),
+    key=st.sampled_from(["event_type", "user_id"]),
+    mod=st.integers(0, 3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_stream_batch_window_equivalence(spark, window, watermark, key, mod):
+    """Differential fuzz across the BATCH/STREAM boundary: a tumbling
+    window agg spec (window x watermark x key x predicate) executed as an
+    actual Structured Streaming replay must equal the batch computation
+    restricted to closed windows (window end at/before max event time
+    minus the watermark) — the finalization rule the stream_window_agg
+    contract pins for one fixed spec, searched here over the spec space.
+    Sums ride the scaled-long form so stream/batch aggregation order
+    cannot produce last-bit float drift."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.streaming import events_stream, run_available_now
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    if mod:
+        ev = ev.filter(F.col("user_id") % (mod + 1) == 0)
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
+    if cutoff is None:
+        return
+
+    def spec(df):
+        return (
+            df.groupBy(F.window("ts", window).alias("win"), key)
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                    "sv"
+                ),
+            )
+            .select(
+                F.col("win.start").alias("w"),
+                F.col("win.end").alias("w_end"),
+                key,
+                "cnt",
+                "sv",
+            )
+        )
+
+    closed = F.col("w_end") <= F.lit(cutoff) - F.expr(f"INTERVAL {watermark}")
+    batch = {tuple(r) for r in spec(ev).filter(closed).collect()}
+
+    sev = events_stream(spark, sf)
+    if mod:
+        sev = sev.filter(F.col("user_id") % (mod + 1) == 0)
+    streamed = run_available_now(
+        spec(sev.withWatermark("ts", watermark)), shuffle_partitions=4
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch
