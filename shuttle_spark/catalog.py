@@ -235,6 +235,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the app's lifetime — so UTC is scoped to this build and the
         # caller's own session timezone is restored afterwards (contract
         # comparisons separately pin UTC via contracts.ensure_conf).
+        #
+        # nanosAsLong is deliberately NOT restored, unlike the timezone:
+        # the parquet reader re-reads this conf from session state at
+        # every EXECUTION of the memoized relation (each query rebuilds
+        # its Hadoop conf), so unsetting it here would make later actions
+        # on the returned df die with PARQUET_TYPE_ILLEGAL.  It is part of
+        # the engine's session contract (session.py sets it at creation;
+        # this is the self-heal for driver-created sessions), and its only
+        # effect is on TIMESTAMP(NANOS) columns, which vanilla Spark
+        # cannot read at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
         spark.conf.set("spark.sql.session.timeZone", "UTC")

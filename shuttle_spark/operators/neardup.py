@@ -126,9 +126,13 @@ def gram_sets(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two distinct-element arrays.  Two empty
+    sets score 0.0, not 0/0: under Spark 4's ANSI-on default a bare
+    division would raise DIVIDE_BY_ZERO mid-job, and an empty gram set
+    carries no similarity evidence either way."""
     inter = F.size(F.array_intersect(a, b))
-    return inter / (F.size(a) + F.size(b) - inter)
+    den = F.size(a) + F.size(b) - inter
+    return F.when(den == 0, F.lit(0.0)).otherwise(inter / den)
 
 
 def near_dup_pairs_exact(
@@ -158,7 +162,7 @@ def near_dup_pairs_exact(
         hit = _pairs_cache.get(key)
         if hit is not None:
             return hit
-    grams = gram_sets(df, id_col, text_col, n)
+    grams = gram_sets(df, id_col, text_col, n, reuse=reuse)
     # Inverted index carrying the set size: the pair aggregation then needs
     # NO size-lookup joins (na/nb are functionally dependent on the ids, so
     # grouping by them is free) — one self-join + one groupBy total.
@@ -233,8 +237,8 @@ def near_dup_pairs_between(
         hit = _pairs_cache.get(key)
         if hit is not None:
             return hit
-    ga = gram_sets(new_df, id_col, text_col, n)
-    gb = gram_sets(corpus_df, id_col, text_col, n)
+    ga = gram_sets(new_df, id_col, text_col, n, reuse=reuse)
+    gb = gram_sets(corpus_df, id_col, text_col, n, reuse=reuse)
     inv_a = ga.select("id", F.size("grams").alias("na"), F.explode("grams").alias("g"))
     inv_b = gb.select("id", F.size("grams").alias("nb"), F.explode("grams").alias("g"))
     if max_df is not None:
@@ -378,7 +382,13 @@ def minhash_candidates(
     so exact verification is join-local (no second pass over the corpus).
     """
     r = n_perm // bands
-    grams = gram_sets(df, id_col, text_col, n)
+    # Docs with NO shingles (shorter than n tokens) have no MinHash
+    # identity: their all-sentinel signatures would collide on EVERY band,
+    # fabricating O(E^2) candidate pairs among the E empty docs (each a
+    # jaccard of two empty sets).  They are excluded here — matching the
+    # exact inverted-index path, where a gramless doc posts nothing and
+    # never joins; exact_dedup owns identical-empty-doc collapsing.
+    grams = gram_sets(df, id_col, text_col, n).filter(F.size("grams") > 0)
     carry = ("grams",) if carry_grams else ()
     sig = grams.select(
         "id",
@@ -444,20 +454,34 @@ def simhash(text: Column) -> Column:
     Same hybrid as minhash_signature: token xxhash64 in codegen, bit voting
     (per bit b: sum of +-1 over token hashes' bit b; bit set iff sum >= 0)
     as a numpy unpack per Arrow batch — a 63-way expression tree per row is
-    quadratically slow in Catalyst."""
+    quadratically slow in Catalyst.
+
+    NULL text and zero-token text have NO fingerprint (NULL, not 0): a
+    shared all-zero fingerprint would make every pair of empty docs a
+    hamming-0 "near-duplicate" (and np.asarray(None) used to crash the
+    whole job on the first NULL row).  NULL fingerprints never satisfy the
+    blocking join, so empty docs simply produce no pairs — exact_dedup
+    owns identical-empty-doc collapsing."""
 
     @F.pandas_udf("long")
     def _simhash(hash_arrays: pd.Series) -> pd.Series:
         pows = np.asarray(_POWS, dtype=np.int64)
         out = np.zeros(len(hash_arrays), dtype=np.int64)
+        null = np.zeros(len(hash_arrays), dtype=bool)
         for i, h in enumerate(hash_arrays):
+            if h is None:
+                null[i] = True
+                continue
             h = np.asarray(h, dtype=np.int64)
             if h.size == 0:
+                null[i] = True
                 continue
             bits = (h[:, None] & pows[None, :]) != 0  # (tokens, 63)
             votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 summed)
             out[i] = int(pows[votes >= 0].sum())
-        return pd.Series(out)
+        res = pd.array(out, dtype="Int64")
+        res[null] = pd.NA
+        return pd.Series(res)
 
     hashes = F.transform(F.array_distinct(TX.tokens(text)), lambda t: F.xxhash64(t))
     return _simhash(hashes)

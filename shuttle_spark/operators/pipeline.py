@@ -205,8 +205,16 @@ def mixture_weights(
     per = docs.groupBy(group_col).agg(F.sum(tok).alias("tokens"))
     n_groups = per.agg(F.count("*").alias("n"))
     share = F.col("target").cast("double") / F.col("n")
+    # a group whose docs are all empty has tokens=0: keep-probability 1
+    # (keeping zero-cost docs spends none of the budget) — and under
+    # Spark 4's ANSI-on default a bare share/0 would raise
+    # DIVIDE_BY_ZERO and kill the whole planning query
     weight = F.round(
-        F.least(F.lit(1.0), share / F.col("tokens")), 6
+        F.when(
+            F.col("tokens") > 0,
+            F.least(F.lit(1.0), share / F.col("tokens")),
+        ).otherwise(F.lit(1.0)),
+        6,
     ).alias("weight")
     return (
         per.crossJoin(F.broadcast(n_groups))

@@ -134,8 +134,19 @@ def write_bucketed_table(
             root = spark.catalog.getDatabase(db).locationUri
         else:
             base = table
-            root = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + base)
+            # an unqualified name lives in the CURRENT database, which is
+            # only the warehouse root when that database is 'default'
+            db = spark.catalog.currentDatabase()
+            if db and db != "default":
+                root = spark.catalog.getDatabase(db).locationUri
+            else:
+                root = spark.conf.get("spark.sql.warehouse.dir")
+        # Spark stores managed-table directories under the LOWERCASED
+        # identifier; deleting the raw-cased path would miss the real
+        # location for e.g. 'MyTable' and saveAsTable would still refuse
+        loc = jvm.org.apache.hadoop.fs.Path(
+            root.rstrip("/") + "/" + base.lower()
+        )
         loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
     writer = df.write.format(fmt.lower()).mode(mode).bucketBy(
         n_buckets, *bucket_cols
@@ -230,21 +241,35 @@ def compact(
     if observation is not None:
         out = out.observe(observation, *observed)
     writer = out.write.format(fmt.lower()).mode("overwrite")
+    if fmt.lower() == "csv":
+        # keep the module's CSV convention on BOTH sides of the rewrite:
+        # read() forces header=true, so writing bare rows here would let a
+        # later read consume each file's first data row as a header —
+        # silent one-row-per-file loss
+        writer = writer.option("header", "true")
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(dst_path)
+    return _count_data_files(spark, dst_path)
 
-    dpath = jvm.org.apache.hadoop.fs.Path(dst_path)
-    it = fs.listFiles(dpath, True)
-    written = 0
+
+def _count_data_files(spark: SparkSession, path: str) -> int:
+    """Recursive data-file count under ``path`` (metadata only, `_`/`.`
+    entries excluded), on the FILESYSTEM THE PATH LIVES ON — src and dst
+    of a compaction may be different backends (file:// landing, s3a://
+    warehouse), so the destination count must never reuse the source FS."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    n = 0
     while it.hasNext():
-        f = it.next()
-        name = f.getPath().getName()
+        name = it.next().getPath().getName()
         if not name.startswith("_") and not name.startswith("."):
-            written += 1
-    return written
+            n += 1
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -426,14 +451,4 @@ def zorder_write(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.save(dst_path)
-    jvm = spark._jvm
-    dpath = jvm.org.apache.hadoop.fs.Path(dst_path)
-    fs = dpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(dpath, True)
-    written = 0
-    while it.hasNext():
-        f = it.next()
-        name = f.getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
-            written += 1
-    return written
+    return _count_data_files(spark, dst_path)

@@ -400,3 +400,62 @@ def test_zero_norm_vectors_score_zero_never_nan(spark):
     assert not any(math.isnan(s) for s in ivf.values())
     if 2 in ivf:
         assert ivf[2] == 0.0
+
+
+def test_near_dup_paths_survive_null_and_short_text(spark):
+    """NULL text and sub-n-token docs must not crash any near-dup path
+    (Spark 4 runs ANSI-on: 0/0 raises DIVIDE_BY_ZERO; np.asarray(None)
+    raises TypeError) and must not fabricate pairs: a doc with no grams
+    has no similarity identity on the exact, MinHash, OR SimHash path —
+    exact_dedup owns identical-empty-doc collapsing."""
+    from shuttle_spark.operators import neardup as N
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, None),
+        (4, None),
+        (5, "hi"),
+        (6, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = N.near_dup_pairs_exact(docs, 0.3, reuse=False).collect()
+    mh = N.minhash_near_dup_pairs(docs, 0.3, n_perm=32, bands=8).collect()
+    for pairs in (exact, mh):
+        ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert ids <= {1, 2}, f"gramless docs fabricated pairs: {pairs}"
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+    # SimHash is TOKEN-set based (not n-gram): "hi"/"hi" are identical
+    # one-token docs, so (5, 6) at hamming 0 is correct — only the NULL
+    # docs carry no fingerprint and must never pair
+    sh = N.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    sh_ids = {r["id_a"] for r in sh} | {r["id_b"] for r in sh}
+    assert sh_ids <= {1, 2, 5, 6}, f"NULL docs fabricated pairs: {sh}"
+    assert (5, 6) in {(r["id_a"], r["id_b"]) for r in sh}
+    # simhash: empty/NULL docs carry a NULL fingerprint, real docs don't
+    from pyspark.sql import functions as F
+
+    fps = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", N.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert fps[3] is None and fps[4] is None
+    assert fps[1] is not None
+
+
+def test_mixture_weights_zero_token_group(spark):
+    """A group whose docs are all empty must plan weight 1.0 / expected 0
+    instead of dying on ANSI DIVIDE_BY_ZERO."""
+    from shuttle_spark.operators import pipeline as P
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four"), ("b", ""), ("b", "")],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in P.mixture_weights(docs, 100).collect()}
+    assert got["b"]["weight"] == 1.0
+    assert got["b"]["expected_tokens"] == 0
+    assert 0 < got["a"]["weight"] <= 1.0

@@ -299,3 +299,31 @@ def test_bucket_index_matches_searchsorted(spark):
     ]
     want = np.searchsorted(boundaries, vals, side="right").tolist()
     assert got == want
+
+
+def test_compact_csv_preserves_every_row(spark):
+    """CSV compaction must write headers like the module's own write():
+    read() forces header=true, so headerless compacted files would lose
+    their first data row to header consumption — silently."""
+    import glob
+    import tempfile
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.sources import io as IO
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="csv_compact_")
+    src, dst = base + "/landing", base + "/out"
+    IO.write(c.repartition(8), src, "csv", mode="overwrite")
+    schema = "c_custkey bigint, c_mktsegment string"
+    written = IO.compact(
+        spark, src, dst, fmt="csv", schema=schema, target_file_bytes=1 << 20
+    )
+    assert written >= 1
+    back = IO.read(spark, dst, "csv", schema=schema)
+    assert back.count() == c.count()
+    assert {r["c_custkey"] for r in back.collect()} == {
+        r["c_custkey"] for r in c.collect()
+    }
