@@ -1169,7 +1169,7 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "chunk_text_stats",
-    "WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "WITH norm AS (SELECT doc_id, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
     "  FROM documents),"
     " toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),"
     " chunks AS (SELECT doc_id,"
@@ -1350,7 +1350,7 @@ def q_grouped_agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_NORM_SQL = "LOWER(REGEXP_REPLACE({col}, '\\s+', ' ', 'g'))"
+_NORM_SQL = "TRIM(LOWER(REGEXP_REPLACE({col}, '\\s+', ' ', 'g')))"
 
 
 @contract(
@@ -1428,7 +1428,7 @@ def q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 # ===========================================================================
 
 _NGRAM_ORACLE_BODY = """
-WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t FROM documents),
+WITH norm AS (SELECT doc_id, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t FROM documents),
 toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),
 grams AS (
   SELECT DISTINCT doc_id, w[i.i::BIGINT] || ' ' || w[i.i::BIGINT+1] || ' ' || w[i.i::BIGINT+2] AS g
@@ -1846,7 +1846,7 @@ def _lang_id_oracle() -> str:
         "SELECT lid, COUNT(*) AS cnt FROM ("
         f" SELECT CASE {cases} ELSE 'und' END AS lid FROM ("
         f"  SELECT {scores}, {best} AS best FROM ("
-        "   SELECT ' ' || LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) || ' '"
+        "   SELECT ' ' || TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) || ' '"
         "   AS p FROM documents))) GROUP BY lid"
     )
 
@@ -1862,18 +1862,18 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _QUALITY_SQL = """
-ROUND((
+ROUND(CASE WHEN COALESCE(LENGTH(t), 0) = 0 THEN 0.0 ELSE (
   LEAST(LENGTH(t) / 500.0, 1.0)
   + LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(t), ' '))) / GREATEST(LEN(STRING_SPLIT(TRIM(t), ' ')), 1)
   + 1.0 - LEAST(LENGTH(REGEXP_REPLACE(t, '[^.,;:!?]', '', 'g')) / GREATEST(LENGTH(t), 1) * 10.0, 1.0)
-) / 3.0, 6)
+) / 3.0 END, 6)
 """
 
 
 @contract(
     "quality_score_avg",
     "SELECT lang, " + _oavg(_QUALITY_SQL, "avg_quality", 6)
-    + " FROM (SELECT lang, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    + " FROM (SELECT lang, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
     " FROM documents) GROUP BY lang",
     "B30",
 )
@@ -4419,7 +4419,7 @@ def q_sample(spark: SparkSession, sf: str) -> DataFrame:
 # Word 5-gram relation per document (NOT distinct) over normalized text —
 # shared by the decontamination and repetition oracles.
 _GRAM5_BODY = """
-WITH norm AS (SELECT doc_id, source, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t FROM documents),
+WITH norm AS (SELECT doc_id, source, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t FROM documents),
 toks AS (SELECT doc_id, source, STRING_SPLIT(TRIM(t), ' ') w FROM norm),
 g5 AS (
   SELECT doc_id, source,
@@ -4496,7 +4496,7 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "corpus_cleanse_counts",
-    "WITH norm AS (SELECT lang, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "WITH norm AS (SELECT lang, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
     "  FROM documents),"
     " q AS (SELECT lang, t, " + _QUALITY_SQL + " AS q,"
     "   CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0"
@@ -4624,7 +4624,7 @@ def q_label_centroid(spark: SparkSession, sf: str) -> DataFrame:
 @contract(
     "tfidf_top_terms",
     "WITH norm AS (SELECT doc_id, source,"
-    "   LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS t FROM documents),"
+    "   TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS t FROM documents),"
     " words AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(TRIM(t), ' ')) AS term"
     "  FROM norm),"
     " tf AS (SELECT source, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),"
@@ -5000,7 +5000,7 @@ def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "mixture_weights",
-    "WITH norm AS (SELECT source, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "WITH norm AS (SELECT source, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
     "  FROM documents),"
     " tok AS (SELECT source, CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0"
     "   ELSE LEN(STRING_SPLIT(TRIM(t), ' ')) END AS tk FROM norm),"
@@ -5102,7 +5102,7 @@ def q_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "udtf_chunk_stats",
-    "WITH norm AS (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) t"
+    "WITH norm AS (SELECT doc_id, TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
     "  FROM documents),"
     " toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),"
     " chunks AS (SELECT doc_id,"

@@ -21,9 +21,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def normalize(text: Column) -> Column:
-    """Lowercase + collapse whitespace — the canonical form used by exact
-    dedup (B27), shingling and fingerprinting."""
-    return F.lower(F.regexp_replace(text, r"\s+", " "))
+    """Trim + lowercase + collapse whitespace — the canonical form used by
+    exact dedup (B27), shingling and fingerprinting.  Trim matters for the
+    dedup key: without it, documents differing only in leading/trailing
+    whitespace hash to different keys while every token-level view (tokens,
+    shingles) already treats them as identical content.  The DuckDB twin is
+    contracts._NORM_SQL — change BOTH or neither."""
+    return F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
 def tokens(text: Column) -> Column:
@@ -89,19 +93,26 @@ def lang_id(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Heuristic quality score in [0,1]: rewards mid-length documents, word
-    diversity and low punctuation density.  All built-in expressions."""
+    diversity and low punctuation density.  All built-in expressions.
+    Empty/blank/NULL documents score 0.0 — without the explicit gate,
+    split('') yields [''] (diversity term 1.0) and zero punctuation scores
+    1.0, ranking a blank document at ~0.667, above genuine mid-quality
+    text.  DuckDB twin: contracts._QUALITY_SQL."""
     t = normalize(text)
     n_chars = F.length(t)
-    n_tokens = F.size(F.split(F.trim(t), " "))
+    n_tokens = F.size(F.split(t, " "))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    n_distinct = F.size(F.array_distinct(F.split(F.trim(t), " ")))
+    n_distinct = F.size(F.array_distinct(F.split(t, " ")))
     length_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     diversity_term = n_distinct / F.greatest(n_tokens, F.lit(1))
     punct_term = F.lit(1.0) - F.least(
         n_punct / F.greatest(n_chars, F.lit(1)) * F.lit(10.0), F.lit(1.0)
     )
     return F.round(
-        (length_term + diversity_term + punct_term) / F.lit(3.0), 6
+        F.when(F.coalesce(n_chars, F.lit(0)) == 0, F.lit(0.0)).otherwise(
+            (length_term + diversity_term + punct_term) / F.lit(3.0)
+        ),
+        6,
     )
 
 
@@ -110,11 +121,6 @@ def fingerprint64(text: Column) -> Column:
     rolling-hash document fingerprint of the north star; Spark-side only
     (cross-engine contracts use md5-prefix, see operators/integrity.py)."""
     return F.xxhash64(normalize(text))
-
-
-def md5_prefix40(col: Column) -> Column:
-    """Portable 40-bit hash (shared with integrity module)."""
-    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:

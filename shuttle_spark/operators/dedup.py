@@ -48,12 +48,9 @@ def keep_latest(
     order.  ``order`` must be a total order (include a unique tiebreaker, the
     way the reference tiebreaks on attemptId) for deterministic output.
     """
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    from shuttle_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(df, list(keys), list(order), 1)
 
 
 def upsert(
@@ -79,9 +76,14 @@ def upsert(
 
 
 def normalized_text_key(text: Column) -> Column:
-    """Canonical content key: lowercase, collapse whitespace, md5 (B27).
-    Identical expression exists in the DuckDB oracle."""
-    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    """Canonical content key: md5 of functions.text.normalize (trim +
+    lowercase + collapse whitespace) — ONE normalization rule for dedup
+    keys, shingles and fingerprints, so a rule change can never silently
+    split them.  Identical expression exists in the DuckDB oracle
+    (contracts._NORM_SQL)."""
+    from shuttle_spark.functions import text as TX
+
+    return F.md5(TX.normalize(text))
 
 
 def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -58,14 +58,21 @@ def checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:
 
 def crc32_checksum(df: DataFrame, col: Column, alias: str = "checksum") -> DataFrame:
     """Spark-native CRC32 sum — the literal function family the reference
-    uses (A10/A21); not DuckDB-portable, used intra-engine."""
+    uses (A10/A21); not DuckDB-portable, used intra-engine.  CRC32 terms
+    are 32-bit, so the int64 sum is exact below 2^31 rows (same bound as
+    md5_prefix32); past that use ``checksum`` (DECIMAL accumulator)."""
     return df.agg(F.sum(F.crc32(col.cast("string"))).alias(alias))
 
 
 def xxhash_checksum(df: DataFrame, cols: list[Column], alias: str = "checksum") -> DataFrame:
-    """xxhash64 multi-column row hash, summed (wraps on overflow is fine for
-    equality checks — both sides wrap identically)."""
-    return df.agg(F.sum(F.xxhash64(*cols)).alias(alias))
+    """xxhash64 multi-column row hash folded to 32 bits (pmod 2^32) and
+    summed — exact in an int64 accumulator below 2^31 rows.  A raw sum of
+    uniform 64-bit xxhash terms overflows almost immediately, and under
+    Spark 4's ANSI-on default that is a runtime ARITHMETIC_OVERFLOW that
+    kills the job, not a both-sides-wrap-identically equality check."""
+    return df.agg(
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1 << 32))).alias(alias)
+    )
 
 
 def verify(df: DataFrame, col: Column, expected: int) -> int:

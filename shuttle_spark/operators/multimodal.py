@@ -202,7 +202,15 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 xs = (np.arange(out_w) * w // out_w).astype(int)
                 resized = img[np.ix_(ys, xs)]
                 meta = dict(r["meta"])
-                meta.update(width=out_w, height=out_h, n_bytes=out_w * out_h * 3)
+                # the payload is now RAW RGB whatever the input container
+                # was — leaving format='png' would route the raw bytes
+                # back into the PIL codec on the next decode_bytes call
+                meta.update(
+                    width=out_w,
+                    height=out_h,
+                    n_bytes=out_w * out_h * 3,
+                    format="raw-rgb",
+                )
                 rows.append((int(r["media_id"]), resized.tobytes(), meta))
             yield pd.DataFrame(rows, columns=["media_id", "content", "meta"])
 
@@ -266,7 +274,13 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             for _, r in pdf.iterrows():
                 m = r["meta"]
                 frame_bytes = m["width"] * m["height"] * 3
-                n = max(int(m["n_bytes"]) // frame_bytes, 1)
+                # the PAYLOAD is authoritative for how many frames exist
+                # (stale n_bytes metadata must not fabricate or drop
+                # frames); a declared meta.n_frames CAPS it, so trailing
+                # padding bytes never become garbage frames
+                n_avail = max(len(r["content"]) // frame_bytes, 1)
+                declared = m["n_frames"] if "n_frames" in m else None
+                n = min(int(declared), n_avail) if declared else n_avail
                 for i in range(0, n, every_n):
                     rows.append(
                         (

@@ -295,11 +295,18 @@ def as_of_join(
     100 TB it is exactly one exchange + sort, skew-handled by AQE.
     """
     tag_r, tag_l = (2, 1) if strict else (0, 1)
+    # The carried payload is ONE struct per right row, not per-column
+    # values: last(col, ignorenulls) per column would skip a genuinely
+    # NULL right value and resurrect an OLDER row's value (or stitch
+    # columns from different right rows).  The struct is non-null exactly
+    # on right rows (left rows pad it with NULL via allowMissingColumns),
+    # so last(struct, ignorenulls) picks the most recent right ROW as a
+    # unit and its fields keep their real NULLs.
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(tag_r).alias("__src"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__src", F.lit(tag_l))
     unioned = l.unionByName(r, allowMissingColumns=True)
@@ -309,15 +316,11 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
     out = matched.filter(F.col("__src") == tag_l).select(
         *left.columns,
-        *[F.col(f"__m_{c}").alias(f"{c}_asof") for c in value_cols],
+        *[F.col(f"__m.{c}").alias(f"{c}_asof") for c in value_cols],
     )
     return out
 
@@ -449,6 +452,12 @@ def global_rank(
     bucket = F.lit(len(bounds))
     for i in reversed(range(len(bounds))):
         bucket = F.when(F.col(range_col) <= F.lit(bounds[i]), i).otherwise(bucket)
+    # NULLs sort FIRST under Spark's ascending order, so they need their
+    # own bucket BEFORE bucket 0: in the when-chain NULL <= bound is NULL,
+    # which would fall through to the overflow bucket and break the
+    # bucket-order-extends-global-order invariant (approxQuantile ignores
+    # NULLs, so no boundary ever captures them).
+    bucket = F.when(F.col(range_col).isNull(), F.lit(-1)).otherwise(bucket)
     with_b = df.withColumn("__bucket", bucket)
     # offsets: exclusive running sum over <= `buckets` rows — the one
     # deliberately tiny single-partition window in the engine.

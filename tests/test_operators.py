@@ -459,3 +459,83 @@ def test_mixture_weights_zero_token_group(spark):
     assert got["b"]["weight"] == 1.0
     assert got["b"]["expected_tokens"] == 0
     assert 0 < got["a"]["weight"] <= 1.0
+
+
+def test_as_of_join_null_value_not_resurrected(spark):
+    """A genuinely NULL value on the most recent matching right row must
+    come through as NULL — per-column last(ignorenulls) would resurrect an
+    OLDER row's value (or stitch columns from different right rows); the
+    struct carrier keeps the right ROW atomic."""
+    from shuttle_spark.operators import relational as R
+
+    left = spark.createDataFrame([(1, 3)], "k bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "a"), (1, 2, None, "b")],
+        "k bigint, ts bigint, v double, tag string",
+    )
+    got = R.as_of_join(left, right, ["k"], "ts", "ts", ["v", "tag"]).collect()
+    assert len(got) == 1
+    assert got[0]["v_asof"] is None  # ts=2 row wins; its v IS null
+    assert got[0]["tag_asof"] == "b"  # both fields from the SAME right row
+
+
+def test_global_rank_nulls_first(spark):
+    """NULL range values sort first under Spark's ascending order, so they
+    must land in a bucket BEFORE bucket 0 — the when-chain's overflow
+    bucket would rank them LAST, diverging from ROW_NUMBER."""
+    from pyspark.sql import Window
+
+    from shuttle_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [(None, 10), (1.0, 11), (2.0, 12), (3.0, 13), (4.0, 14)],
+        "x double, id bigint",
+    )
+    ranked = {
+        r["id"]: r["rnk"]
+        for r in R.global_rank(
+            df, "x", [F.col("x"), F.col("id")], alias="rnk", buckets=2
+        ).collect()
+    }
+    w = Window.orderBy(F.col("x"), F.col("id"))
+    expected = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert ranked == expected
+    assert ranked[10] == 1  # the NULL row ranks FIRST
+
+
+def test_xxhash_checksum_survives_ansi_overflow(spark):
+    """Summing raw 64-bit xxhash terms overflows int64 almost immediately
+    and ANSI mode (Spark 4 default) makes that a job-killing exception;
+    the 32-bit fold keeps the sum exact below 2^31 rows."""
+    from shuttle_spark.operators import integrity as I
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("s"))
+    v = I.xxhash_checksum(df, [F.col("s")]).collect()[0][0]
+    assert v is not None and v >= 0
+
+
+def test_normalize_trims_and_quality_empty_is_zero(spark):
+    """Trim is part of the canonical form: docs differing only in edge
+    whitespace share a dedup key.  Blank/NULL docs score quality 0.0, not
+    the ~0.667 the raw formula gives empty strings."""
+    from shuttle_spark.functions import text as TX
+    from shuttle_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "  hello world \n"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        "doc_id",
+        D.normalized_text_key(F.col("text")).alias("k"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["k"] == got[2]["k"]
+    assert got[3]["q"] == 0.0
+    assert got[4]["q"] == 0.0
