@@ -98,6 +98,15 @@ class DFCache:
     def put(self, key: tuple, source: object, df: DataFrame) -> DataFrame:
         from pyspark import StorageLevel
 
+        # replacing an existing key must unpersist the old relation —
+        # silently overwriting leaks its MEMORY_AND_DISK blocks for the
+        # session's lifetime (the eviction loop only sees live entries)
+        old = self._entries.pop(key, None)
+        if old is not None:
+            try:
+                old[1].unpersist()
+            except Exception:
+                pass
         while len(self._entries) >= self.max_size:
             _, old = self._entries.pop(next(iter(self._entries)))
             try:

@@ -21,13 +21,19 @@ class ChunkUDTF:
     starting every 16 tokens over normalized text — the same contract as
     functions/text.token_chunks (one chunk per start offset < n_tokens;
     empty/blank text yields one empty chunk, mirroring the SQL twin's
-    RANGE(0, GREATEST(n,1), 16) start set)."""
+    RANGE(0, GREATEST(n,1), 16) start set; NULL text yields ZERO rows,
+    mirroring chunks(NULL) = NULL -> explode emits nothing)."""
 
     SIZE = 32
     STRIDE = 16
 
     def eval(self, text: str):  # noqa: D102 - UDTF protocol method
-        norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        if text is None:
+            return  # SQL twin: explode(NULL array) -> zero lateral rows
+        # ASCII \s to match the Java regexp in text.normalize — Python's
+        # \s is Unicode-wide by default and would collapse \u00a0 etc.,
+        # silently diverging from the expression-tree twin on non-ASCII
+        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
         toks = norm.split(" ") if norm else []
         for s in range(0, max(len(toks), 1), self.STRIDE):
             yield (" ".join(toks[s : s + self.SIZE]),)

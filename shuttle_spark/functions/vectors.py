@@ -50,6 +50,23 @@ def safe_cosine_kernel(num: "np.ndarray", den: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def masked_query_sims(
+    vecs: pd.Series, q: "np.ndarray", qn: float
+) -> pd.Series:
+    """Cosine of each row vector against a fixed query vector, one numpy
+    matvec per Arrow batch — NULL rows score NULL (np.stack on a None
+    would crash the stage), zero-norm rows score 0.0
+    (safe_cosine_kernel).  Shared by the brute-force and IVF scoring
+    UDFs so the NULL/zero-norm conventions cannot drift between paths."""
+    mask = vecs.isna().to_numpy()
+    out = pd.array([None] * len(vecs), dtype="Float64")
+    if (~mask).any():
+        mat = np.stack(vecs[~mask].to_numpy()).astype(np.float64)
+        den = np.linalg.norm(mat, axis=1) * qn
+        out[~mask] = safe_cosine_kernel(mat @ q, den)
+    return pd.Series(out)
+
+
 def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
     """Cosine similarity of row-aligned vector pairs as ONE numpy einsum per
     Arrow batch (pandas UDF).  Use for bulk pair scoring (candidate
@@ -59,11 +76,18 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
 
     @F.pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.stack(va.to_numpy()).astype(np.float64)
-        B = np.stack(vb.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(safe_cosine_kernel(num, den))
+        # NULL vectors score NULL, like the expression-tree `cosine` —
+        # np.stack(None) would otherwise crash the whole stage on the
+        # first NULL embedding in the corpus
+        mask = (va.isna() | vb.isna()).to_numpy()
+        out = pd.array([None] * len(va), dtype="Float64")
+        if (~mask).any():
+            A = np.stack(va[~mask].to_numpy()).astype(np.float64)
+            B = np.stack(vb[~mask].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            out[~mask] = safe_cosine_kernel(num, den)
+        return pd.Series(out)
 
     return _cos(a, b)
 
@@ -75,5 +99,11 @@ def scale(a: Column, s: Column) -> Column:
 
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize; with unit vectors cosine == dot, which halves the
-    arithmetic of a 100 TB brute-force scan and makes IVF centroids cheap."""
-    return scale(a, F.lit(1.0) / norm2(a))
+    arithmetic of a 100 TB brute-force scan and makes IVF centroids cheap.
+    A zero vector stays a zero vector — 1/0 would raise DIVIDE_BY_ZERO
+    under Spark 4's ANSI default (or yield an all-NULL vector otherwise),
+    violating the module's zero-norm-scores-0.0 convention."""
+    n = norm2(a)
+    return F.when(n == 0, scale(a, F.lit(0.0))).otherwise(
+        scale(a, F.lit(1.0) / n)
+    )

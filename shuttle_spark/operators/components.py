@@ -91,7 +91,22 @@ def connected_components(
     Alternates large-star / small-star until the edge set reaches a fixed
     point (provably O(log n) rounds); at the fixed point every edge is
     (node -> component minimum).
+
+    Node ids must be INTEGRAL (the star contractions order by the id):
+    non-numeric ids are rejected up front — a silent cast('long') would
+    turn string/UUID ids into NULLs, drop every edge, and make the caller
+    (cluster_dedup / cluster_keep_best) return the corpus completely
+    undeduplicated with no error.  Map string ids to dense longs first
+    (xxhash64 for probabilistic, zipWithIndex-style staging for exact).
     """
+    for c in (a_col, b_col):
+        kind = dict(pairs.dtypes).get(c, "")
+        if kind not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise TypeError(
+                f"connected_components needs integral node ids; column"
+                f" {c!r} is {kind!r} — map ids to longs first (xxhash64 /"
+                " a staged dense-id join)"
+            )
     cache_key = (
         pairs.sparkSession.sparkContext.applicationId,
         semantic_key(pairs), a_col, b_col,

@@ -63,10 +63,17 @@ def write_attempt(
 ) -> None:
     """Persist one write attempt under ``path/_app_attempt=N/``.
 
-    Append mode: a retry writes a fresh attempt partition next to the
-    stale one; nothing is overwritten (the append-only discipline of
-    ShufflePartitionUnsafeWriter.java:159-190).  Readers decide which
-    attempt wins — writers never race on the same files.
+    Each attempt writes DIRECTLY into its own ``_app_attempt=N`` directory
+    (not via a shared partitionBy-append at the table root): concurrent
+    attempts therefore never share a ``_temporary`` staging dir, so a
+    zombie attempt's job commit can never delete a live attempt's staged
+    task files mid-write — the append-only discipline of
+    ShufflePartitionUnsafeWriter.java:159-190, made true under real
+    concurrency, not just documented.  The directory name carries the
+    partition value, so Hive partition discovery (and the plan-time
+    pruning in ``read_latest``) is unchanged.  Re-running the SAME attempt
+    id overwrites only that attempt's directory (a retried attempt
+    replaces its own partial output, never a sibling's).
 
     Commit is a FACT, not an inference: after the data write completes, a
     per-attempt ``_COMMITTED`` marker is dropped inside the attempt
@@ -76,20 +83,17 @@ def write_attempt(
     than a guess from file listings.  ``latest_attempt`` gates on the
     marker, so a concurrently-writing attempt that has closed some data
     files (or an object store without ``_temporary`` semantics) can never
-    be misjudged committed.
+    be misjudged committed.  An EMPTY DataFrame still writes a
+    schema-bearing zero-row parquet file (no partitionBy pruning of empty
+    partitions), so a committed empty attempt reads back as 0 rows with a
+    schema instead of failing schema inference.
     """
-    stamped = stamp_lineage(df, app_attempt, write_version)
-    (
-        stamped.write.format(fmt)
-        .mode("append")
-        .partitionBy(ATTEMPT_COL)
-        .save(path)
-    )
+    stamped = stamp_lineage(df, app_attempt, write_version).drop(ATTEMPT_COL)
+    attempt_dir = f"{path}/{ATTEMPT_COL}={int(app_attempt)}"
+    stamped.write.format(fmt).mode("overwrite").save(attempt_dir)
     spark = df.sparkSession
     jvm, _, fs = _fs(spark, path)
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/{ATTEMPT_COL}={int(app_attempt)}/{COMMIT_MARKER}"
-    )
+    marker = jvm.org.apache.hadoop.fs.Path(f"{attempt_dir}/{COMMIT_MARKER}")
     fs.create(marker, True).close()
 
 

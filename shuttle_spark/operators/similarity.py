@@ -34,6 +34,7 @@ from shuttle_spark.functions.vectors import (
     cosine,
     cosine_pairs_vectorized,
     dot,
+    masked_query_sims,
     norm2,
     safe_cosine_kernel,
 )
@@ -68,11 +69,11 @@ def brute_force_topk(
     # broadcast scalar).
     @F.pandas_udf("double")
     def _sim(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        den = np.linalg.norm(mat, axis=1) * qn
-        return pd.Series(safe_cosine_kernel(mat @ qv, den))
+        return masked_query_sims(vecs, qv, qn)
 
     out = embeddings.select(F.col(id_col), _sim(F.col(vec_col)).alias("sim"))
+    # desc is nulls-LAST, so NULL embeddings (sim NULL) never reach the
+    # top-k; zero-norm embeddings score 0.0 (masked_query_sims)
     return out.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
 
 
@@ -405,9 +406,7 @@ def ivf_topk(
 
     @F.pandas_udf("double")
     def _sim(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        den = np.linalg.norm(mat, axis=1) * qn
-        return pd.Series(safe_cosine_kernel(mat @ q, den))
+        return masked_query_sims(vecs, q, qn)
 
     return (
         indexed.filter(F.col("cell").isin(probe))

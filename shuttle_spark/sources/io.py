@@ -98,6 +98,11 @@ def write_partitioned(
     reads.  ``max_records_per_file`` caps file size against skewed partition
     values (the write-side analog of AQE skew splitting)."""
     writer = df.write.format(fmt.lower()).mode(mode).partitionBy(*partition_by)
+    if fmt.lower() == "csv":
+        # module-wide CSV convention: read() forces header=true, so every
+        # CSV writer must emit headers or round-trips silently lose each
+        # file's first data row to header consumption
+        writer = writer.option("header", "true")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     for k, v in options.items():
@@ -168,6 +173,11 @@ def read_stream(
     stream cannot pre-scan to infer).  ``max_files_per_trigger`` is the
     ingestion backpressure knob."""
     reader = spark.readStream.format(fmt.lower()).schema(schema)
+    if fmt.lower() == "csv":
+        # match the batch-side convention (read()/write() always use
+        # headers): without this, each landing file's header line parses
+        # against the schema as one garbage data row per file
+        reader = reader.option("header", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     for k, v in options.items():
@@ -200,9 +210,14 @@ def compact(
     same cure: rewrite into ~``target_file_bytes`` sequential files.
 
     Scale mechanics: file count is derived from the source's actual byte
-    size (cheap FS listing, no data pass).  The rewrite is one
-    ``repartition(n)`` round-robin exchange — no key skew possible — and
-    optional ``sort_within_by`` clusters rows inside each output file so
+    size (cheap FS listing, no data pass).  The rewrite keeps the SCAN
+    wide: a shuffle-free coalesce(n) is used only while n still keeps the
+    cluster busy — coalesce narrows the scan itself to n tasks, so for a
+    small n it would serialize the many-small-files read this operator
+    exists to fix; below that, one round-robin ``repartition(n)`` exchange
+    (no key skew possible) lets every core decode the landing zone while
+    exactly n tasks write.  Optional
+    ``sort_within_by`` clusters rows inside each output file so
     parquet row-group min/max stats prune later scans (data skipping
     without any index).  With ``partition_by`` the layout stays Hive-
     partitioned.  Returns the number of files written.
@@ -230,12 +245,18 @@ def compact(
     n_files = max(1, int(total // target_file_bytes) + (1 if total % target_file_bytes else 0))
 
     df = read(spark, src_path, fmt, schema=schema)
-    # Reducing file count is a NARROW operation: coalesce merges input
-    # splits without a shuffle (no exchange, no hash, no serialization
-    # round-trip).  A full repartition is only needed when GROWING the file
-    # count past the scan's parallelism — rare for compaction.
+    # coalesce(n) is shuffle-free but NARROWS THE SCAN to n tasks (the
+    # merged partitions read their input files serially) — use it only
+    # while n keeps every core busy.  For a small output count, the
+    # round-robin repartition pays one exchange so the scan keeps its
+    # full parallelism; when GROWING past the scan's split count the
+    # exchange is required anyway.
     scan_parts = df.rdd.getNumPartitions()
-    out = df.coalesce(n_files) if n_files <= scan_parts else df.repartition(n_files)
+    min_busy = spark.sparkContext.defaultParallelism
+    if n_files >= scan_parts or n_files < min(min_busy, scan_parts):
+        out = df.repartition(n_files)
+    else:
+        out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     if observation is not None:

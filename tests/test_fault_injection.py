@@ -179,3 +179,41 @@ def test_lineage_premarker_table_falls_back_to_legacy(spark):
     open(f"{path}/{L.ATTEMPT_COL}=0/{L.COMMIT_MARKER}", "w").close()
     assert L.latest_attempt(spark, path) == 0
     assert L.read_latest(spark, path, with_provenance=False).count() == 50
+
+
+def test_lineage_attempts_write_isolated_dirs(spark):
+    """Each attempt writes DIRECTLY into its own _app_attempt=N dir (no
+    shared _temporary staging at the table root), re-running an attempt id
+    overwrites only itself, and a committed EMPTY attempt reads back as 0
+    rows with a schema instead of failing schema inference."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import lineage as L
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+    path = tempfile.mkdtemp(prefix="lineage_iso_") + "/t"
+    L.write_attempt(li.limit(30), path, app_attempt=0)
+    L.write_attempt(li.limit(60), path, app_attempt=1)
+    # re-run of attempt 1 replaces ONLY its own directory
+    L.write_attempt(li, path, app_attempt=1, write_version=1)
+    assert L.read_latest(spark, path, with_provenance=False).count() == 100
+    audit = {
+        r[L.ATTEMPT_COL]: r["rows"]
+        for r in L.audit_stale_rows(spark, path).collect()
+    }
+    assert audit == {0: 30, 1: 100}
+
+    # committed empty attempt: marker exists AND a schema-bearing file
+    empty = tempfile.mkdtemp(prefix="lineage_empty_") + "/t"
+    L.write_attempt(li.filter(F.lit(False)), empty, app_attempt=0)
+    assert L.latest_attempt(spark, empty) == 0
+    back = L.read_latest(spark, empty, with_provenance=False)
+    assert back.count() == 0
+    assert "l_orderkey" in back.columns

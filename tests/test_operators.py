@@ -539,3 +539,101 @@ def test_normalize_trims_and_quality_empty_is_zero(spark):
     assert got[1]["k"] == got[2]["k"]
     assert got[3]["q"] == 0.0
     assert got[4]["q"] == 0.0
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """String/UUID node ids must fail fast: cast('long') would NULL every
+    edge and silently return the corpus undeduplicated."""
+    import pytest
+
+    from shuttle_spark.operators import components as CC
+
+    pairs = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a string, id_b string"
+    )
+    with pytest.raises(TypeError, match="integral node ids"):
+        CC.connected_components(pairs)
+
+
+def test_null_embedding_does_not_crash_scoring(spark):
+    """A NULL embedding anywhere in the corpus must score NULL (dropped by
+    ranking/thresholds), not crash the stage inside np.stack."""
+    from shuttle_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    top = S.brute_force_topk(emb, [1.0, 0.0], 3).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 2]  # NULL ranks last
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "q_id bigint, q_embedding array<double>"
+    )
+    knn = S.knn_join_brute(emb, q, 2).collect()
+    assert {r["vec_id"] for r in knn} == {0, 2}
+
+
+def test_l2_normalize_zero_vector(spark):
+    """Zero vectors stay zero under l2_normalize (no ANSI divide crash,
+    no all-NULL vector)."""
+    from shuttle_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "id bigint, v array<double>"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", V.l2_normalize(F.col("v")).alias("n")).collect()
+    }
+    assert got[1] == [0.0, 0.0]
+    assert abs(got[2][0] - 0.6) < 1e-12 and abs(got[2][1] - 0.8) < 1e-12
+
+
+def test_chunk_udtf_null_matches_sql_twin(spark):
+    """LATERAL chunk_udtf(NULL) emits zero rows, exactly like exploding
+    token_chunks(NULL); empty text still yields the one empty chunk both
+    sides produce."""
+    from shuttle_spark.functions import text as TX
+    from shuttle_spark.functions.udtfs import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "id bigint, text string"
+    )
+    df.createOrReplaceTempView("t_chunk_null")
+    udtf_counts = {
+        r["id"]: r["n"]
+        for r in spark.sql(
+            "SELECT id, COUNT(chunk) AS n FROM t_chunk_null,"
+            " LATERAL chunk_udtf(text) GROUP BY id"
+        ).collect()
+    }
+    twin_counts = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", F.explode_outer(TX.token_chunks(F.col("text"))).alias("c")
+        )
+        .groupBy("id")
+        .agg(F.count("c").alias("n"))
+        .collect()
+    }
+    assert udtf_counts.get(1) is None or udtf_counts[1] == 0
+    assert twin_counts[1] == 0
+    assert udtf_counts[2] == twin_counts[2]
+    assert udtf_counts[3] == twin_counts[3]
+
+
+def test_dfcache_put_overwrite_unpersists_old(spark):
+    """Replacing a cache key must unpersist the previous relation — a
+    silent overwrite pins its blocks for the session's lifetime."""
+    from shuttle_spark.cache import DFCache
+
+    c = DFCache(max_size=4)
+    df1 = spark.range(10).toDF("v")
+    df2 = spark.range(20).toDF("v")
+    p1 = c.put(("k",), None, df1)
+    assert p1.storageLevel.useMemory or p1.storageLevel.useDisk
+    c.put(("k",), None, df2)
+    assert len(c) == 1
+    assert not (p1.storageLevel.useMemory or p1.storageLevel.useDisk)
+    c.clear()
