@@ -34,33 +34,66 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
-    """All data-source filter lists that reached a scan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", explain_formatted(df))
+def pushed_filters(df: DataFrame, fmt: str | None = None) -> list[str]:
+    """All data-source filter lists that reached a scan.  The capture runs
+    to the LAST ``]`` on the line: a non-greedy/negated-class match would
+    stop at the first ``]`` inside an ``In(x, [1,2,3])`` filter, dropping
+    every filter after it and corrupting the In — misreporting the exact
+    pushdown witness this module exists to provide."""
+    if fmt is None:
+        fmt = explain_formatted(df)
+    return re.findall(r"PushedFilters: \[(.*)\]", fmt)
 
 
-def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column names each scan actually reads (column-pruning witness)."""
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", explain_formatted(df))
-    return [
-        [c.split(":")[0].strip() for c in s.split(",") if c.strip()]
-        for s in schemas
-    ]
+def read_schema_columns(
+    df: DataFrame, fmt: str | None = None
+) -> list[list[str]]:
+    """TOP-LEVEL column names each scan actually reads (column-pruning
+    witness).  Greedy to the last ``>`` on the line so nested struct
+    ReadSchemas don't truncate at the inner ``>``; the split counts only
+    depth-0 commas, so a nested field's members never leak in as phantom
+    top-level columns."""
+    if fmt is None:
+        fmt = explain_formatted(df)
+    schemas = re.findall(r"ReadSchema: struct<(.*)>", fmt)
+    out: list[list[str]] = []
+    for sch in schemas:
+        cols, depth, cur = [], 0, ""
+        for ch in sch:
+            if ch == "," and depth == 0:
+                cols.append(cur)
+                cur = ""
+                continue
+            depth += ch in "<(" 
+            depth -= ch in ">)"
+            cur += ch
+        cols.append(cur)
+        out.append([c.split(":")[0].strip() for c in cols if c.strip()])
+    return out
 
 
-def count_exchanges(df: DataFrame) -> int:
+def count_exchanges(df: DataFrame, plan: str | None = None) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded) — the
-    number the whole reference system exists to serve; fewer is better."""
-    plan = executed_plan(df)
-    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+    number the whole reference system exists to serve; fewer is better.
+    RoundRobinPartitioning (keyless repartition) IS a full-table shuffle
+    and counts; a regex listing only hash/range/Single would let an
+    accidental round-robin exchange through every budget."""
+    if plan is None:
+        plan = executed_plan(df)
+    return len(
+        re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", plan)
+    )
 
 
 def audit(df: DataFrame) -> dict[str, object]:
-    """One-call plan summary for a query under tuning."""
+    """One-call plan summary for a query under tuning.  The plan strings
+    are fetched ONCE and threaded through the helpers — each refetch is a
+    JVM explainString plus the full tree over py4j (the measured tree-cost
+    lesson), which would quintuple the price inside test loops."""
     plan = executed_plan(df)
     fmt = explain_formatted(df)
     return {
-        "exchanges": count_exchanges(df),
+        "exchanges": count_exchanges(df, plan),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
@@ -74,8 +107,8 @@ def audit(df: DataFrame) -> dict[str, object]:
         "python_stages": plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")
         + plan.count("FlatMapGroupsInPandas"),
-        "pushed_filters": pushed_filters(df),
-        "scan_columns": read_schema_columns(df),
+        "pushed_filters": pushed_filters(df, fmt),
+        "scan_columns": read_schema_columns(df, fmt),
     }
 
 

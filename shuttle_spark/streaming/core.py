@@ -139,9 +139,21 @@ def events_stream(
     reader = spark.readStream.schema(events_raw_schema(sf_dir))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(stream_dir)
-    # Same ts normalization as catalog.load_table so stream == batch.
-    return normalize_events_ts(df)
+    # The NTZ->TIMESTAMP cast inside normalize_events_ts resolves the
+    # session timezone at ANALYSIS time, i.e. right here — pin UTC for the
+    # build exactly like the batch twin (catalog.load_table), else a
+    # driver-created session in another zone shifts stream timestamps
+    # against batch and breaks the module's stream == batch protocol.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = normalize_events_ts(reader.parquet(stream_dir))
+    finally:
+        if prev_tz is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return df
 
 
 def windowed_agg_stream(
@@ -580,9 +592,19 @@ def run_upsert_sink(
         last_batch["v"] = batch_id
         root, fs = _fs()
         incoming = batch_df.select(*sel_cols)
-        # newest committed predecessor (strictly older than this batch —
-        # a replayed batch must not read its own partial output)
-        preds = [v for v in _versions(fs, root) if v < batch_id]
+        # newest COMMITTED predecessor (strictly older than this batch —
+        # a replayed batch must not read its own partial output, and a
+        # crash-truncated or stale uncommitted version dir must never be
+        # merged into new state: same _SUCCESS gate as the read-back path)
+        jvm = spark._jvm
+        preds = [
+            v
+            for v in _versions(fs, root)
+            if v < batch_id
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/v{v}/_SUCCESS")
+            )
+        ]
         if preds:
             incoming = spark.read.parquet(f"{path}/v{preds[-1]}").unionByName(
                 incoming

@@ -23,6 +23,12 @@ from shuttle_spark.testing import compare, duckdb_views
 
 
 def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
+    unknown = set(only) - set(REGISTRY)
+    if unknown:
+        # a misspelled name would otherwise skip silently and the gate
+        # would print ALL GREEN having run nothing
+        print(f"unknown contract name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_session("check-contracts")
     con = duckdb_views(sf_dir)
     failures = 0

@@ -45,6 +45,8 @@ def _geomean(vals: list[float]) -> float:
 
 
 def _median(vals: list[float]) -> float:
+    if not vals:
+        return 0.0
     s = sorted(vals)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
@@ -113,7 +115,15 @@ def main() -> None:
         have = [lb for lb in labels if lb in pts]
         if len(have) < 3:
             continue
-        ratios = {lb: pts[lb]["ratio"] for lb in have}
+        # a null ratio (bench_scale writes null when the oracle time is 0)
+        # is a missing cell, not a crash in sort/format/geomean
+        ratios = {
+            lb: pts[lb]["ratio"]
+            for lb in have
+            if pts[lb].get("ratio") is not None
+        }
+        if len(ratios) < 3:
+            continue
         rows.append((name, ratios, pts))
     # sort by each row's largest-SF ratio ascending (best scale first);
     # a query may be missing the top point (oracle infeasible there)
@@ -193,7 +203,11 @@ def main() -> None:
         )
     for agg_name, agg in (("geomean", _geomean), ("median", _median)):
         cells = " | ".join(
-            f"**{agg([r[1][lb] for r in rows if lb in r[1]]):.1f}x**"
+            (
+                f"**{agg(vs):.1f}x**"
+                if (vs := [r[1][lb] for r in rows if lb in r[1]])
+                else "—"
+            )
             for lb in labels
         )
         lines.append(f"| **{agg_name}** | {cells} | |")
