@@ -415,6 +415,18 @@ def ranked(
     return df.withColumn(alias, fns[method]().over(w))
 
 
+# Session cache of per-bucket rank histograms (global_rank/pctrank):
+# (app, source, range_col, boundaries) -> sorted (bucket, count) pairs,
+# <= buckets+1 longs each.  Strong source ref keeps the id()-fallback
+# semantic key stable; clear with clear_bucket_counts_cache().
+_BUCKET_COUNTS_CACHE_MAX = 64
+_bucket_counts_cache: dict[tuple, tuple[object, list]] = {}
+
+
+def clear_bucket_counts_cache() -> None:
+    _bucket_counts_cache.clear()
+
+
 def global_rank(
     df: DataFrame,
     range_col: str,
@@ -459,24 +471,44 @@ def global_rank(
     # NULLs, so no boundary ever captures them).
     bucket = F.when(F.col(range_col).isNull(), F.lit(-1)).otherwise(bucket)
     with_b = df.withColumn("__bucket", bucket)
-    # offsets: exclusive running sum over <= `buckets` rows — the one
-    # deliberately tiny single-partition window in the engine.
-    counts = with_b.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
-    w_off = Window.orderBy("__bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Per-bucket counts -> exclusive prefix-sum offsets.  Like the quantile
+    # boundaries above, the bucket histogram is a TABLE STATISTIC a
+    # long-lived engine computes once (ANALYZE) and reuses: it is cached
+    # per (source, boundary set) as <= buckets+1 driver-side longs, so the
+    # warm path runs ONE job (the final ranked scan), not two.  Unlike the
+    # boundaries, counts affect CORRECTNESS — but they are a pure function
+    # of the same source relation the cache key identifies.
+    from shuttle_spark.cache import semantic_key as _sk
+
+    ckey = (
+        df.sparkSession.sparkContext.applicationId,
+        _sk(df),
+        range_col,
+        tuple(bounds),
     )
-    off_cols = [
-        F.col("__bucket"),
-        (F.sum("__cnt").over(w_off) - F.col("__cnt")).alias("__off"),
-    ]
-    if keep_total:
-        # total N rides the same <=`buckets`-row aggregate — callers that
-        # need it (global_percent_rank) avoid a second full-scan count().
-        w_all = Window.orderBy("__bucket").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+    hit = _bucket_counts_cache.get(ckey)
+    if hit is not None:
+        cnt_rows = hit[1]
+    else:
+        cnt_rows = sorted(
+            (r["__bucket"], r["__cnt"])
+            for r in with_b.groupBy("__bucket")
+            .agg(F.count("*").alias("__cnt"))
+            .collect()
         )
-        off_cols.append(F.sum("__cnt").over(w_all).alias("__n"))
-    offsets = counts.select(*off_cols)
+        while len(_bucket_counts_cache) >= _BUCKET_COUNTS_CACHE_MAX:
+            _bucket_counts_cache.pop(next(iter(_bucket_counts_cache)))
+        _bucket_counts_cache[ckey] = (df, cnt_rows)
+    total = sum(c for _, c in cnt_rows)
+    off_rows, acc = [], 0
+    for b, c in cnt_rows:
+        off_rows.append((b, acc, total))
+        acc += c
+    offsets = df.sparkSession.createDataFrame(
+        off_rows, "__bucket int, __off long, __n long"
+    )
+    if not keep_total:
+        offsets = offsets.drop("__n")
     w_local = Window.partitionBy("__bucket").orderBy(*order)
     out = (
         with_b.join(F.broadcast(offsets), "__bucket")
