@@ -574,3 +574,102 @@ def test_fuzz_date_arithmetic(spark, duck, expr, n, filters):
         f" FROM orders{_where(filters)} GROUP BY 1"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 11: null-aware membership  (B14's null-aware anti join — NOT IN
+# over a subquery that may produce NULLs is three-valued-logic territory:
+# one NULL in the list annihilates every NOT IN row)
+# ---------------------------------------------------------------------------
+
+@given(
+    neg=st.booleans(),
+    inject_null=st.booleans(),
+    bal=st.integers(-900, 9000),
+    mod=st.integers(2, 9),
+)
+@FUZZ
+def test_fuzz_null_aware_membership(spark, duck, neg, inject_null, bal, mod):
+    """IN / NOT IN over a correlated-free subquery, with and without NULLs
+    injected into the membership list (every mod-th custkey nulled).  The
+    same SQL text runs on both engines — Spark plans NOT IN as a
+    null-aware anti join whose semantics (empty result once the list
+    holds a NULL) both engines must state identically."""
+    member = (
+        f"CASE WHEN c_custkey % {mod} = 0 THEN NULL ELSE c_custkey END"
+        if inject_null
+        else "c_custkey"
+    )
+    op = "NOT IN" if neg else "IN"
+    sql = (
+        f"SELECT COUNT(*) AS cnt,"
+        f" COALESCE(MIN(o_orderkey), -1) AS min_key FROM orders"
+        f" WHERE o_custkey {op}"
+        f" (SELECT {member} FROM customer WHERE c_acctbal < {bal})"
+    )
+    load_table(spark, SF, "orders").createOrReplaceTempView("orders")
+    load_table(spark, SF, "customer").createOrReplaceTempView("customer")
+    srows = canon_rows([tuple(r) for r in spark.sql(sql).collect()])
+    orows = canon_rows(duck.execute(sql).fetchall())
+    assert srows == orows, f"mismatch for: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Mode 12: string-function pipelines  (B19 string functions — position
+# origins, negative starts, NULL propagation, concat_ws NULL-skipping)
+# ---------------------------------------------------------------------------
+
+_STR_EXPRS = {
+    "substr_pos": (
+        lambda n: F.substring("o_orderpriority", (n % 5) + 1, 3),
+        lambda n: f"SUBSTR(o_orderpriority, {(n % 5) + 1}, 3)",
+    ),
+    "substr_neg": (
+        lambda n: F.substring("o_orderpriority", -((n % 4) + 1), 2),
+        lambda n: f"SUBSTR(o_orderpriority, -{(n % 4) + 1}, 2)",
+    ),
+    "lpad": (
+        lambda n: F.lpad(F.col("o_orderstatus"), (n % 6) + 1, "*"),
+        lambda n: f"LPAD(o_orderstatus, {(n % 6) + 1}, '*')",
+    ),
+    "replace": (
+        lambda n: F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_" * ((n % 2) + 1))
+        ),
+        lambda n: f"REPLACE(o_orderpriority, '-', '{'_' * ((n % 2) + 1)}')",
+    ),
+    "concat_ws": (
+        lambda n: F.concat_ws("|", "o_orderstatus", "o_orderpriority"),
+        lambda n: "CONCAT_WS('|', o_orderstatus, o_orderpriority)",
+    ),
+    "instr": (
+        lambda n: F.instr(F.col("o_orderpriority"), "E").cast("int"),
+        lambda n: "CAST(INSTR(o_orderpriority, 'E') AS INT)",
+    ),
+    "upper_trim": (
+        lambda n: F.upper(F.trim(F.col("o_orderpriority"))),
+        lambda n: "UPPER(TRIM(o_orderpriority))",
+    ),
+}
+
+
+@given(
+    expr=st.sampled_from(sorted(_STR_EXPRS)),
+    n=st.integers(0, 40),
+    filters=_filters(),
+)
+@FUZZ
+def test_fuzz_string_functions(spark, duck, expr, n, filters):
+    """String-function pipelines grouped and counted: 1-based positions,
+    negative starts (both engines count from the end), NULL propagation,
+    and CONCAT_WS's NULL-skipping must agree exactly."""
+    orders = _apply(load_table(spark, SF, "orders"), filters)
+    scol, ssql = _STR_EXPRS[expr]
+    sdf = orders.groupBy(scol(n).alias("s")).agg(
+        F.count("*").alias("cnt"), F.min("o_orderkey").alias("min_key")
+    )
+    sql = (
+        f"SELECT {ssql(n)} AS s, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key"
+        f" FROM orders{_where(filters)} GROUP BY 1"
+    )
+    _check(sdf, duck, sql)
