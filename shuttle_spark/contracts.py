@@ -116,9 +116,21 @@ def _fixture_dir(sf: str, kind: str, table: str) -> str:
         f"shuttle_{kind}_{os.path.basename(sf.rstrip('/'))}_",
     )
     cur = prefix + tag
+    # Stale GENERATIONS are cleaned up age-gated (>2h): a concurrently
+    # running sibling process of the same vintage must never have its live
+    # fixture rmtree'd mid-read, while dirs from a previous testdata
+    # generation are hours old by the time a new one exists.  Fixture
+    # BUILDS assume one writer per generation (the driver's gate is a
+    # single process; concurrent ad-hoc harnesses share the built result).
+    import time as _time
+
     for d in _glob.glob(prefix + "*"):
         if d != cur:
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                if _time.time() - os.path.getmtime(d) > 7200:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
     return cur
 
 
@@ -132,11 +144,28 @@ def _scratch_dir(spark: SparkSession, sf: str, kind: str) -> str:
     import os
     import tempfile
 
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
     app = spark.sparkContext.applicationId.replace("-", "_")[-12:]
-    return os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(),
-        f"shuttle_{kind}_{os.path.basename(sf.rstrip('/'))}_{app}",
+        f"shuttle_{kind}_{os.path.basename(sf.rstrip('/'))}_",
     )
+    cur = base + app
+    # age-gated GC of other sessions' sink copies (>2h old): without it
+    # every session leaks a full table copy per sink kind into /tmp; the
+    # age gate keeps the no-delete-a-live-sibling guarantee (harness
+    # processes live minutes, not hours)
+    for d in _glob.glob(base + "*"):
+        if d != cur:
+            try:
+                if _time.time() - os.path.getmtime(d) > 7200:
+                    _shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+    return cur
 
 
 def _readback_checksum(df: DataFrame, key_col) -> int:

@@ -33,7 +33,9 @@ class ChunkUDTF:
         # ASCII \s to match the Java regexp in text.normalize — Python's
         # \s is Unicode-wide by default and would collapse \u00a0 etc.,
         # silently diverging from the expression-tree twin on non-ASCII
-        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+        # .strip(" ") not .strip(): Python's bare strip is Unicode-wide
+        # and would eat the NBSP the Java/DuckDB TRIM keeps
+        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" ")
         toks = norm.split(" ") if norm else []
         for s in range(0, max(len(toks), 1), self.STRIDE):
             yield (" ".join(toks[s : s + self.SIZE]),)

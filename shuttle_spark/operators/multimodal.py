@@ -280,7 +280,14 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 # padding bytes never become garbage frames
                 n_avail = max(len(r["content"]) // frame_bytes, 1)
                 declared = m["n_frames"] if "n_frames" in m else None
-                n = min(int(declared), n_avail) if declared else n_avail
+                # `is not None`, not truthiness: a DECLARED zero-frame
+                # clip must emit zero frames, not fabricate one from
+                # padding bytes
+                n = (
+                    min(int(declared), n_avail)
+                    if declared is not None
+                    else n_avail
+                )
                 for i in range(0, n, every_n):
                     rows.append(
                         (

@@ -477,7 +477,13 @@ def global_rank(
     # per (source, boundary set) as <= buckets+1 driver-side longs, so the
     # warm path runs ONE job (the final ranked scan), not two.  Unlike the
     # boundaries, counts affect CORRECTNESS — but they are a pure function
-    # of the same source relation the cache key identifies.
+    # of the same source relation the cache key identifies.  Like every
+    # session cache here (grams, pairs, IVF), the key is the ANALYZED PLAN,
+    # so it assumes in-session-immutable sources (write-once corpus): after
+    # rewriting a table at the same path in-session, call
+    # clear_bucket_counts_cache() — stale counts with fresh data would rank
+    # silently wrong, which is worse than the stale-but-consistent reads
+    # the persisted-DataFrame caches degrade to.
     from shuttle_spark.cache import semantic_key as _sk
 
     ckey = (

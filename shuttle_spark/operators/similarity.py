@@ -130,14 +130,21 @@ def add_lsh_bands(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (mat @ planes.T) >= 0  # (batch, n_planes)
-        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
-        # fully vectorized: (batch, bands, bits) @ (bits,) -> (batch, bands)
-        # — a per-row Python loop here would dominate the corpus-wide
-        # signature pass, not the matmul
-        keys = signs.reshape(len(mat), bands, bits_per_band) @ weights
-        return pd.Series(keys.tolist())
+        # NULL embedding -> NULL bands (posexplode emits nothing; the
+        # row never joins) — np.stack(None) would crash the stage
+        mask = vecs.isna().to_numpy()
+        out = [None] * len(vecs)
+        if (~mask).any():
+            mat = np.stack(vecs[~mask].to_numpy())  # (batch, dim)
+            signs = (mat @ planes.T) >= 0  # (batch, n_planes)
+            weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+            # fully vectorized: (batch, bands, bits) @ (bits,) ->
+            # (batch, bands) — a per-row Python loop here would dominate
+            # the corpus-wide signature pass, not the matmul
+            keys = signs.reshape(len(mat), bands, bits_per_band) @ weights
+            for i, k in zip(np.nonzero(~mask)[0], keys.tolist()):
+                out[i] = k
+        return pd.Series(out)
 
     return df.withColumn("bands", band_keys(F.col(vec_col)))
 
@@ -357,7 +364,10 @@ def ivf_build(
         hit = _ivf_cache.get(key)
         if hit is not None and key in _ivf_cents:
             return hit, _ivf_cents[key].copy()
-    sample = df.select(vec_col)
+    # NULL embeddings carry no training signal and np.stack(None) would
+    # crash the collect — drop them from the SAMPLE only (the corpus keeps
+    # its rows; they get a NULL cell below and never match a probe)
+    sample = df.select(vec_col).filter(F.col(vec_col).isNotNull())
     if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=_SEED)
     mat = np.stack(
@@ -375,8 +385,14 @@ def ivf_build(
 
     @F.pandas_udf(T.IntegerType())
     def nearest_cell(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        return pd.Series(_nearest_centroid(m, cents).astype(np.int32))
+        # NULL embedding -> NULL cell: excluded by every probe's cell
+        # filter, consistent with the NULL-scores-NULL scoring convention
+        mask = vecs.isna().to_numpy()
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if (~mask).any():
+            m = np.stack(vecs[~mask].to_numpy()).astype(np.float64)
+            out[~mask] = _nearest_centroid(m, cents).astype(np.int32)
+        return pd.Series(out)
 
     indexed = df.withColumn("cell", nearest_cell(F.col(vec_col)))
     if reuse:

@@ -253,9 +253,11 @@ def compact(
     # exchange is required anyway.
     scan_parts = df.rdd.getNumPartitions()
     min_busy = spark.sparkContext.defaultParallelism
-    if n_files >= scan_parts or n_files < min(min_busy, scan_parts):
+    if n_files > scan_parts or n_files < min(min_busy, scan_parts):
         out = df.repartition(n_files)
     else:
+        # includes n_files == scan_parts: coalesce is a free no-op there,
+        # where repartition would pay a full exchange for nothing
         out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)

@@ -68,10 +68,13 @@ def test_full_outer_rewrite_exact_under_null_prices(spark):
 
 
 def test_fixture_dir_tracks_source_fingerprint(tmp_path):
-    """_fixture_dir must change (and delete the stale sibling) when the
-    source table's bytes/mtime change — a regenerated testdata dir can
-    never resurrect a fixture built from the previous corpus."""
+    """_fixture_dir must change when the source table's bytes/mtime change
+    — a regenerated testdata dir can never resurrect a fixture built from
+    the previous corpus.  Stale generations are cleaned AGE-GATED (>2h):
+    a same-vintage sibling process must never lose its live fixture, so a
+    fresh stale dir survives and an hours-old one is removed."""
     import os
+    import time
 
     import shuttle_spark.contracts as C
 
@@ -84,9 +87,15 @@ def test_fixture_dir_tracks_source_fingerprint(tmp_path):
     # same source -> same dir, still on disk
     assert C._fixture_dir(str(sf), "unittest", "lineitem") == d1
     assert os.path.isdir(d1)
-    # regenerate the source -> new dir, stale fixture deleted on sight
+    # regenerate the source -> new dir; the FRESH stale sibling survives
+    # (could belong to a live same-vintage process)
     t.write_bytes(b"y" * 101)
     os.utime(t, ns=(1, 1))
     d2 = C._fixture_dir(str(sf), "unittest", "lineitem")
     assert d2 != d1
+    assert os.path.exists(d1)
+    # ...but an hours-old stale generation is removed on sight
+    old = time.time() - 3 * 3600
+    os.utime(d1, (old, old))
+    assert C._fixture_dir(str(sf), "unittest", "lineitem") == d2
     assert not os.path.exists(d1)

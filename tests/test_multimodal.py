@@ -155,3 +155,29 @@ def test_real_decoder_swap_is_structurally_identical(spark):
     got_fake = sorted(map(tuple, M.decode_stats(raw).collect()))
     got_real = sorted(map(tuple, M.decode_stats(png_media).collect()))
     assert got_fake == got_real
+
+
+def test_sample_frames_declared_zero_frames(spark):
+    """A DECLARED zero-frame clip emits zero frames — truthiness on the
+    declaration would fall back to byte-derived counting and fabricate a
+    frame from padding."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import multimodal as M
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(3)
+    vid = M.synthesize_media(docs, kind="video", width=4, height=4)
+    vid = vid.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.kind"),
+            F.col("meta.format"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.col("meta.sample_rate"),
+            F.lit(0).alias("n_frames"),
+            F.col("meta.n_bytes"),
+        ),
+    )
+    assert M.sample_frames(vid, every_n=1).count() == 0

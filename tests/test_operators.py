@@ -571,6 +571,18 @@ def test_null_embedding_does_not_crash_scoring(spark):
     )
     knn = S.knn_join_brute(emb, q, 2).collect()
     assert {r["vec_id"] for r in knn} == {0, 2}
+    # IVF: NULL embeddings get a NULL cell (excluded by probe filters),
+    # training drops them — no np.stack crash anywhere
+    indexed, cents = S.ivf_build(emb, dim=2, n_cells=2, reuse=False)
+    cells = {r["vec_id"]: r["cell"] for r in indexed.collect()}
+    assert cells[1] is None and cells[0] is not None
+    ivf = S.ivf_topk(indexed, cents, [1.0, 0.0], 3, n_probe=2).collect()
+    assert 1 not in {r["vec_id"] for r in ivf}
+    # LSH banding: NULL embedding emits no bands, so no candidate pairs
+    pairs = S.cosine_near_dup_pairs(
+        emb, 2, 0.5, exact=False, n_planes=8, bands=8
+    ).collect()
+    assert all(1 not in (r["id_a"], r["id_b"]) for r in pairs)
 
 
 def test_l2_normalize_zero_vector(spark):
