@@ -4227,6 +4227,75 @@ def q_full_outer_null_prices(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "scd2_intervals",
+    "WITH ordered AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id,"
+    "   LAG(event_type) OVER (PARTITION BY user_id"
+    "    ORDER BY ts::TIMESTAMP, event_id) AS prev FROM events),"
+    " runs AS (SELECT user_id, ts, event_type,"
+    "   SUM(CASE WHEN prev IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END)"
+    "    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run"
+    "  FROM ordered),"
+    " iv AS (SELECT user_id, run, event_type, MIN(ts) AS valid_from"
+    "  FROM runs GROUP BY 1, 2, 3),"
+    " hist AS (SELECT user_id, event_type, valid_from,"
+    "   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)"
+    "    AS valid_to FROM iv)"
+    " SELECT event_type, COUNT(*) AS n_intervals,"
+    "  COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_open,"
+    "  CAST(SUM(epoch_us(valid_from)) AS BIGINT) AS sum_from_us"
+    " FROM hist GROUP BY 1",
+    "B17",
+    "ext",
+)
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-2 change history (relational.scd2_intervals): the events log
+    collapsed into per-user validity intervals — one row per run of equal
+    event_type, valid_from = the run's first event time, valid_to = the
+    next run's start (NULL while current).  Summarized per event_type
+    (interval count, open-interval count, epoch-µs checksum of the
+    interval starts) so the gate pins run-collapsing, interval bounds,
+    and the null-safe change comparison.  One hash exchange on user_id
+    serves all three window passes."""
+    ev = load_table(spark, sf, "events")
+    hist = R.scd2_intervals(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+    return hist.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.count_if(F.col("valid_to").isNull()).alias("n_open"),
+        F.sum(F.unix_micros("valid_from")).alias("sum_from_us"),
+    )
+
+
+@contract(
+    "funnel_stages",
+    "WITH mins AS (SELECT user_id,"
+    "   MIN(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) AS t0,"
+    "   MIN(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END) AS t1,"
+    "   MIN(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) AS t2,"
+    "   MIN(CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END) AS t3"
+    "  FROM events GROUP BY 1),"
+    " d AS (SELECT CASE"
+    "   WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2 THEN 4"
+    "   WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 3"
+    "   WHEN t0 IS NOT NULL AND t1 > t0 THEN 2"
+    "   WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS depth FROM mins)"
+    " SELECT depth, COUNT(*) AS n_keys FROM d GROUP BY 1",
+    "B6",
+    "ext",
+)
+def q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (relational.funnel_stages): per user the
+    furthest view -> click -> signup -> purchase stage reached, each
+    stage's FIRST occurrence strictly after the previous stage's first
+    occurrence; the contract pins the depth histogram.  One conditional
+    aggregation per user + a tiny second aggregate — no joins, no
+    windows, no per-stage passes."""
+    ev = load_table(spark, sf, "events")
+    return R.funnel_stages(
+        ev, ["view", "click", "signup", "purchase"], "user_id", "ts"
+    ).withColumn("depth", F.col("depth").cast("int"))
+
+
+@contract(
     "gap_fill_hours",
     "WITH sparse AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
     "  COUNT(*) AS cnt FROM events GROUP BY 1, 2),"

@@ -552,3 +552,91 @@ def global_percent_rank(
         (F.col("__rn") - 1).cast("double")
         / F.greatest(F.col("__n") - 1, F.lit(1)).cast("double"),
     ).drop("__rn", "__n")
+
+
+# ---------------------------------------------------------------------------
+# Change history (SCD-2) and event funnels — the two table shapes every
+# warehouse asks of a keyed event log, composed from one keyed window
+# each (no extension point in the reference's operator list: its engine
+# serves these as plain window/agg dataflows, which is what these plan to).
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse a keyed change
+    log into validity intervals — one row per RUN of equal ``attr``
+    values, with ``valid_from`` (first ts of the run) and ``valid_to``
+    (start of the next run, NULL while current).
+
+    Plan: one hash exchange on ``key`` feeds all three window passes
+    (change flag via lag, run id via running sum, valid_to via lead) —
+    Spark reuses the partitioning, so at 100 TB this is a single shuffle
+    of the change log however long the history.  ``tiebreak`` (a unique
+    column) makes same-timestamp changes deterministic.  NULL attr values
+    form their own runs (null-safe change comparison)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = F.when(
+        F.lag(attr).over(w).eqNullSafe(F.col(attr)), F.lit(0)
+    ).otherwise(F.lit(1))
+    run = F.sum(changed).over(
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = df.select(
+        F.col(key), F.col(ts_col), F.col(attr), run.alias("__run")
+    ).groupBy(key, "__run", attr).agg(F.min(ts_col).alias("valid_from"))
+    w_runs = Window.partitionBy(key).orderBy("valid_from")
+    return runs.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the furthest stage reached with
+    each stage's FIRST occurrence strictly after the previous stage's
+    (classic conversion funnel).  Returns one row per funnel depth
+    (stage index 1..n) with the number of keys whose furthest stage is
+    exactly that deep; depth 0 counts keys that never hit stage 1.
+
+    Plan: one conditional aggregation per key (min ts per stage — a
+    single hash exchange on the key), then the strictly-increasing chain
+    is evaluated as a row-local expression and the depth histogram is a
+    tiny second aggregate.  No joins, no windows, no per-stage passes —
+    the shape that survives a 100 TB event log."""
+    mins = events.groupBy(key).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(
+                f"__t{i}"
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    depth = F.lit(0)
+    reached = None
+    for i in range(len(stages)):
+        cond = F.col(f"__t{i}").isNotNull()
+        if i > 0:
+            cond = cond & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+        reached = cond if reached is None else (reached & cond)
+        depth = F.when(reached, F.lit(i + 1)).otherwise(depth)
+    return (
+        mins.select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count("*").alias("n_keys"))
+    )

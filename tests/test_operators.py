@@ -649,3 +649,55 @@ def test_dfcache_put_overwrite_unpersists_old(spark):
     assert len(c) == 1
     assert not (p1.storageLevel.useMemory or p1.storageLevel.useDisk)
     c.clear()
+
+
+def test_scd2_intervals_semantics(spark):
+    """Run-collapsing with NULL-safe change detection: equal-value runs
+    collapse to one interval, NULL attr forms its own runs, valid_to
+    chains to the next run's start and stays NULL while current."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(hours=h), v, i)
+        for i, (h, v) in enumerate(
+            [(0, "a"), (1, "a"), (2, "b"), (3, None), (4, None), (5, "a")]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, ts timestamp, v string, eid bigint"
+    )
+    iv = sorted(
+        (
+            (r["v"], r["valid_from"].hour, r["valid_to"].hour if r["valid_to"] else None)
+            for r in R.scd2_intervals(df, "k", "ts", "v", tiebreak="eid").collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert iv == [("a", 0, 2), ("b", 2, 3), (None, 3, 5), ("a", 5, None)]
+
+
+def test_funnel_stages_strict_order(spark):
+    """Depth counts keys by furthest stage with strictly-increasing FIRST
+    occurrences: a user whose stage-2 first occurrence precedes stage-1's
+    stops at depth 1."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    t = lambda h: b + dt.timedelta(hours=h)
+    rows = [
+        # user 1: full funnel in order -> depth 3
+        (1, t(0), "A"), (1, t(1), "B"), (1, t(2), "C"),
+        # user 2: B before A -> depth 1
+        (2, t(0), "B"), (2, t(1), "A"),
+        # user 3: never A -> depth 0
+        (3, t(0), "B"), (3, t(1), "C"),
+        # user 4: A then C (no B) -> depth 1
+        (4, t(0), "A"), (4, t(1), "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = {
+        r["depth"]: r["n_keys"]
+        for r in R.funnel_stages(df, ["A", "B", "C"]).collect()
+    }
+    assert got == {3: 1, 1: 2, 0: 1}
