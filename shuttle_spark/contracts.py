@@ -4296,6 +4296,28 @@ def q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "cohort_retention",
+    "WITH act AS (SELECT user_id,"
+    "   CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk FROM events),"
+    " coh AS (SELECT user_id, wk,"
+    "   MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM act)"
+    " SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS INT)"
+    "  AS age_weeks, COUNT(DISTINCT user_id) AS n_active"
+    " FROM coh GROUP BY 1, 2",
+    "B17",
+    "ext",
+)
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention (relational.cohort_retention): cohort =
+    Monday of each user's first active week, n_active = distinct cohort
+    members active at each week age.  One key-partition window + one
+    small distinct-count exchange; the oracle recomputes the identical
+    matrix."""
+    ev = load_table(spark, sf, "events")
+    return R.cohort_retention(ev, "user_id", "ts")
+
+
+@contract(
     "gap_fill_hours",
     "WITH sparse AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
     "  COUNT(*) AS cnt FROM events GROUP BY 1, 2),"

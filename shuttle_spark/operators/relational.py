@@ -640,3 +640,31 @@ def funnel_stages(
         .groupBy("depth")
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+def cohort_retention(
+    events: DataFrame, key: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = the Monday of each key's
+    FIRST active week; ``age_weeks`` = whole weeks between the cohort
+    week and each later active week; ``n_active`` = distinct keys of the
+    cohort active at that age (age 0 row == cohort size).
+
+    Plan: one window min over the key partition derives the cohort per
+    row (one hash exchange on the key), activity weeks are row-local
+    truncations, and the final distinct-count is the second — much
+    smaller — exchange on (cohort, age).  No self-join of the event log
+    against its own firsts, which is the naive formulation's second full
+    shuffle."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    act = events.select(F.col(key), wk.alias("__wk"))
+    act = act.withColumn(
+        "cohort", F.min("__wk").over(Window.partitionBy(key))
+    )
+    return (
+        act.withColumn(
+            "age_weeks", (F.datediff("__wk", "cohort") / 7).cast("int")
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.countDistinct(key).alias("n_active"))
+    )

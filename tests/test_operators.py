@@ -701,3 +701,30 @@ def test_funnel_stages_strict_order(spark):
         for r in R.funnel_stages(df, ["A", "B", "C"]).collect()
     }
     assert got == {3: 1, 1: 2, 0: 1}
+
+
+def test_cohort_retention_semantics(spark):
+    """Cohort = Monday of the first active week; ages count whole weeks;
+    a key active twice in one week counts once per (cohort, age) cell."""
+    import datetime as dt
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, mon + dt.timedelta(days=1)),        # cohort W0, age 0
+        (1, mon + dt.timedelta(days=8)),        # age 1
+        (1, mon + dt.timedelta(days=9)),        # same week -> still age 1
+        (2, mon + dt.timedelta(days=2)),        # cohort W0, age 0 only
+        (3, mon + dt.timedelta(days=7)),        # cohort W1, age 0
+        (3, mon + dt.timedelta(days=21)),       # age 2
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (str(r["cohort"]), r["age_weeks"]): r["n_active"]
+        for r in R.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
