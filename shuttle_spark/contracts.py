@@ -4318,6 +4318,29 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "triangle_count",
+    "WITH e0 AS (SELECT DISTINCT GREATEST(a, b) AS a, LEAST(a, b) AS b"
+    "  FROM (SELECT o_custkey % 97 AS a, o_orderkey % 89 AS b FROM orders)"
+    "  WHERE a <> b)"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles"
+    " FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a"
+    "  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b",
+    "ext",
+)
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Global triangle count (components.triangle_count) over a
+    deterministic projected graph (order/customer key residues): the
+    degree-oriented two-join dataflow whose out-degree bound keeps hub
+    nodes from exploding the wedge join.  The oracle counts the same
+    triangles with the canonical i>j>k three-way join."""
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 97).alias("id_a"),
+        (F.col("o_orderkey") % 89).alias("id_b"),
+    )
+    return CC.triangle_count(o)
+
+
+@contract(
     "gap_fill_hours",
     "WITH sparse AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
     "  COUNT(*) AS cnt FROM events GROUP BY 1, 2),"

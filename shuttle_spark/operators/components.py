@@ -198,3 +198,62 @@ def cluster_keep_best(
     )
     kept = df.join(winners, id_col, "left_semi")
     return unclustered.unionByName(kept)
+
+
+def triangle_count(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Global triangle count over an undirected edge set (one row:
+    ``n_triangles``) — the classic two-join dataflow, degree-oriented so
+    no triangle is counted twice and no hub explodes.
+
+    Each undirected edge is oriented from its LOWER-degree endpoint to
+    the higher (ties by id), which bounds every node's out-degree by
+    O(sqrt(E)) on any graph — the standard compact-forward guarantee —
+    so the wedge join (out-neighbors joined on the shared source) stays
+    polynomial on skewed degree distributions where a naive orientation
+    explodes on hub nodes.  Wedges are closed by one semi-join against
+    the oriented edge set.  Two hash exchanges total; AQE skew-splits a
+    residual hot source."""
+    e = _canon(
+        pairs.select(
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+        )
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+            )
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+            .alias("st")
+        )
+        .select("st.s", "st.t")
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("u"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("v"))
+    wedges = w1.join(w2, "s").filter(F.col("u") < F.col("v"))
+    # BOTH directions of every oriented edge, column ORDER (u, v) in each
+    # branch — unionAll is positional, so a reversed select that merely
+    # renames columns would silently union the same direction twice and
+    # miss every closure whose edge is oriented v->u
+    undirected = oriented.select(
+        F.col("s").alias("u"), F.col("t").alias("v")
+    ).unionAll(
+        oriented.select(F.col("t").alias("u"), F.col("s").alias("v"))
+    )
+    closed = wedges.join(undirected, ["u", "v"], "left_semi")
+    return closed.agg(F.count("*").alias("n_triangles"))

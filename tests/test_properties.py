@@ -372,3 +372,39 @@ def test_fuzzy_string_join_matches_bruteforce(spark, strings, tau):
         for r in N.fuzzy_string_join(ldf, rdf, tau=tau).collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_count_matches_reference(spark, edges):
+    """Degree-oriented triangle count equals the brute-force common-
+    neighbor count on arbitrary small graphs (incl. the empty graph,
+    hubs, and degree ties — the orientation's tie-break territory)."""
+    from shuttle_spark.operators import components as CC
+
+    canon = {(max(a, b), min(a, b)) for a, b in edges}
+    if canon:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in canon], "id_a long, id_b long"
+        )
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = CC.triangle_count(pairs).collect()[0][0]
+    adj: dict[int, set] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = sum(len(adj[a] & adj[b]) for a, b in canon) // 3
+    assert got == ref
