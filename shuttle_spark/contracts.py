@@ -4242,7 +4242,8 @@ def q_full_outer_null_prices(spark: SparkSession, sf: str) -> DataFrame:
     "    AS valid_to FROM iv)"
     " SELECT event_type, COUNT(*) AS n_intervals,"
     "  COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_open,"
-    "  CAST(SUM(epoch_us(valid_from)) AS BIGINT) AS sum_from_us"
+    "  CAST(SUM(epoch_us(valid_from) % 4294967296) AS BIGINT)"
+    "   AS sum_from_folded"
     " FROM hist GROUP BY 1",
     "B17",
     "ext",
@@ -4252,8 +4253,8 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     collapsed into per-user validity intervals — one row per run of equal
     event_type, valid_from = the run's first event time, valid_to = the
     next run's start (NULL while current).  Summarized per event_type
-    (interval count, open-interval count, epoch-µs checksum of the
-    interval starts) so the gate pins run-collapsing, interval bounds,
+    (interval count, open-interval count, 32-bit-folded epoch checksum
+    of the interval starts) so the gate pins run-collapsing, interval bounds,
     and the null-safe change comparison.  One hash exchange on user_id
     serves all three window passes."""
     ev = load_table(spark, sf, "events")
@@ -4261,7 +4262,12 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     return hist.groupBy("event_type").agg(
         F.count("*").alias("n_intervals"),
         F.count_if(F.col("valid_to").isNull()).alias("n_open"),
-        F.sum(F.unix_micros("valid_from")).alias("sum_from_us"),
+        # 32-bit-folded epoch terms (integrity-module convention): a raw
+        # epoch-µs sum overflows int64 once a group holds ~10^4 intervals
+        # — found live by the sf0.1 bench under ANSI mode
+        F.sum(F.pmod(F.unix_micros("valid_from"), F.lit(1 << 32))).alias(
+            "sum_from_folded"
+        ),
     )
 
 
