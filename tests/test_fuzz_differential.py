@@ -38,8 +38,12 @@ from shuttle_spark.testing import canon_rows, duckdb_views
 
 SF = "/root/testdata/sf0.001"
 
+import os
+
+# FUZZ_EXAMPLES overrides the per-mode example budget (default 70 keeps CI
+# time bounded; deep sweeps set hundreds — the search is the product).
 FUZZ = settings(
-    max_examples=70,
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES", "70")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
