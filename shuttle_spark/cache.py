@@ -37,6 +37,31 @@ def semantic_key(df: DataFrame) -> tuple:
         return ("id", id(df))
 
 
+def source_fingerprint(df: DataFrame) -> tuple:
+    """Cheap freshness token for correctness-bearing statistic caches: a
+    hash over the source scan's file list with each file's (size, mtime).
+    Rewriting a table at the same path in-session changes the fingerprint,
+    so stale statistics are never served against fresh data (the risk the
+    plan-identity key alone cannot see — the rewritten table has the SAME
+    analyzed plan).  Driver-side metadata only: ``inputFiles()`` is the
+    listing Spark already performs to plan the scan, and the result is
+    folded to one int so wide tables don't bloat cache keys.  Returns
+    ``("nofp",)`` for non-file sources or on any listing failure — no
+    worse than the plain plan key."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        acc = 0
+        for uri in sorted(files):
+            path = uri[7:] if uri.startswith("file://") else uri
+            st = os.stat(path)
+            acc = hash((acc, path, st.st_size, st.st_mtime_ns))
+        return ("fp", len(files), acc)
+    except Exception:
+        return ("nofp",)
+
+
 # Session-scoped approxQuantile boundary cache.  Range-bucketed operators
 # (global_rank / global_percent_rank, zorder_value) spend one full-scan job
 # per call computing quantile boundaries whose exact values only affect
@@ -69,6 +94,8 @@ def approx_quantiles_cached(
     )
     hit = _quantile_cache.get(key)
     if hit is not None:
+        self_touch = _quantile_cache.pop(key)  # LRU touch: re-insert on hit
+        _quantile_cache[key] = self_touch
         return hit[1]
     bounds = df.approxQuantile(list(cols), list(probs), err)
     while len(_quantile_cache) >= _QUANTILE_CACHE_MAX:
@@ -78,14 +105,25 @@ def approx_quantiles_cached(
 
 
 def clear_quantile_cache() -> None:
+    """Pairs with ``relational.clear_bucket_counts_cache()`` on in-session
+    table rewrites: boundaries only steer balance (stale is safe), but
+    clearing both keeps the statistic caches mutually consistent."""
     _quantile_cache.clear()
 
 
 class DFCache:
-    """LRU cache of persisted DataFrames keyed by (source identity, params)."""
+    """LRU cache of persisted DataFrames keyed by (source identity, params).
 
-    def __init__(self, max_size: int = 8) -> None:
+    ``storage_level`` defaults to MEMORY_AND_DISK; caches holding fan-out
+    relations much larger than their source (e.g. the exploded per-token
+    relation, 100-200x the document count) should pass ``"DISK_ONLY"`` so a
+    hot staged relation never crowds working executor memory — spilling a
+    cheap-to-recompute explosion to disk costs far less than evicting live
+    shuffle/agg pages at scale."""
+
+    def __init__(self, max_size: int = 8, storage_level: str = "MEMORY_AND_DISK") -> None:
         self.max_size = max_size
+        self.storage_level = storage_level
         self._entries: dict[tuple, tuple[object, DataFrame]] = {}
 
     def get(self, key: tuple) -> DataFrame | None:
@@ -113,7 +151,7 @@ class DFCache:
                 old.unpersist()
             except Exception:
                 pass
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.persist(getattr(StorageLevel, self.storage_level))
         self._entries[key] = (source, df)
         return df
 

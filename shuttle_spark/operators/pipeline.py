@@ -38,7 +38,12 @@ from shuttle_spark.functions import text as TX
 # opens with "tokenize the corpus" — a real pipeline materializes that
 # relation once and fans out, so the engine does too.  MEMORY_AND_DISK
 # persisted, LRU-bounded; keys carry the source plan's semantic hash.
-_words_cache = DFCache(max_size=4)
+# The exploded (doc, token) relation is 100-200x the document count; at
+# large SF four memory-resident copies would dominate executor storage for
+# a relation that is cheap to recompute relative to its size.  DISK_ONLY +
+# a 2-corpus cap keeps the staging win (skip re-tokenization) without
+# competing with shuffle/agg memory (ADVICE r5).
+_words_cache = DFCache(max_size=2, storage_level="DISK_ONLY")
 _gram_cache = DFCache(max_size=4)
 
 

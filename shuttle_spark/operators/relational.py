@@ -485,10 +485,18 @@ def global_rank(
     # silently wrong, which is worse than the stale-but-consistent reads
     # the persisted-DataFrame caches degrade to.
     from shuttle_spark.cache import semantic_key as _sk
+    from shuttle_spark.cache import source_fingerprint as _fp
 
+    # The key also carries a source-file freshness fingerprint (size+mtime
+    # fold): rewriting a table at the same path in-session changes the
+    # fingerprint and misses the cache, so stale counts can never rank
+    # fresh data silently wrong.  clear_bucket_counts_cache() remains the
+    # manual escape hatch for non-file sources (fingerprint degrades to a
+    # constant there).
     ckey = (
         df.sparkSession.sparkContext.applicationId,
         _sk(df),
+        _fp(df),
         range_col,
         tuple(bounds),
     )
@@ -592,7 +600,11 @@ def scd2_intervals(
     runs = df.select(
         F.col(key), F.col(ts_col), F.col(attr), run.alias("__run")
     ).groupBy(key, "__run", attr).agg(F.min(ts_col).alias("valid_from"))
-    w_runs = Window.partitionBy(key).orderBy("valid_from")
+    # Order the interval chain by the run id, not valid_from: two runs of a
+    # key can share a first timestamp (same-ts events split across a change
+    # boundary, tiebroken only by ``tiebreak``), and __run is the unique
+    # strictly-increasing sequence that valid_from is monotone over.
+    w_runs = Window.partitionBy(key).orderBy("__run")
     return runs.select(
         key,
         attr,
