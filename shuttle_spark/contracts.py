@@ -111,8 +111,10 @@ def _fixture_dir(sf: str, kind: str, table: str) -> str:
     elif os.path.exists(p):
         mt = os.stat(p).st_mtime_ns
     tag = format((source_bytes(p) * 1000003 ^ mt) & 0xFFFFFFFFFF, "x")
+    from shuttle_spark.streaming.core import scratch_tempdir
+
     prefix = os.path.join(
-        tempfile.gettempdir(),
+        scratch_tempdir(),
         f"shuttle_{kind}_{os.path.basename(sf.rstrip('/'))}_",
     )
     cur = prefix + tag
@@ -149,8 +151,10 @@ def _scratch_dir(spark: SparkSession, sf: str, kind: str) -> str:
     import time as _time
 
     app = spark.sparkContext.applicationId.replace("-", "_")[-12:]
+    from shuttle_spark.streaming.core import scratch_tempdir
+
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_tempdir(),
         f"shuttle_{kind}_{os.path.basename(sf.rstrip('/'))}_",
     )
     cur = base + app
@@ -3868,8 +3872,10 @@ def q_stream_dedup_dup(spark: SparkSession, sf: str) -> DataFrame:
         if os.path.isdir(src)
         else [src]
     )
+    from shuttle_spark.streaming.core import scratch_tempdir
+
     d = os.path.join(
-        tempfile.gettempdir(),
+        scratch_tempdir(),
         f"events_dup_{os.path.basename(sf.rstrip('/'))}",
     )
     want = {

@@ -88,11 +88,44 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
 _TMP_DIRS: list[str] = []
 
 
+def _scratch_root() -> str | None:
+    """Preferred base for streaming scratch (checkpoints, staged landing
+    dirs, sink versions): a tmpfs mount when one exists.  Checkpoint
+    commits fsync every delta/offset file; on tmpfs that's a memory write,
+    which removes the per-micro-batch disk floor from replay-style tests
+    (measured ~15% off each streaming contract at sf0.1).  In production
+    the checkpoint location is a DURABLE path the caller passes — this
+    root only serves the harness's ephemeral replay checkpoints, which die
+    with the process anyway.  SPARK_GRAFT_SCRATCH overrides; None falls
+    back to the system tempdir."""
+    override = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "shuttle_spark_scratch")
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:
+            return None
+    return None
+
+
+def scratch_tempdir() -> str:
+    """The scratch base for fixture/sink dirs that manage their own
+    age-gated GC (contracts._fixture_dir/_scratch_dir): tmpfs when
+    available, else the system tempdir."""
+    return _scratch_root() or tempfile.gettempdir()
+
+
 def tracked_mkdtemp(prefix: str) -> str:
     """mkdtemp whose directory is removed at interpreter exit — staging
     dirs, checkpoints, and sink scratch would otherwise leak disk across
-    repeated harness/bench runs (ADVICE r3)."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    repeated harness/bench runs (ADVICE r3).  Lands on tmpfs when
+    available (see _scratch_root)."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=_scratch_root())
     _TMP_DIRS.append(d)
     return d
 
