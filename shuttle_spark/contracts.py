@@ -1260,6 +1260,60 @@ def q_multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("media_id", F.round("sim", 6).alias("sim"))
 
 
+@contract(
+    "multimodal_expected_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "multimodal"
+)
+def q_multimodal_expected(spark: SparkSession, sf: str) -> DataFrame:
+    """Equality companion for the rows-only multimodal_featurize_topk
+    (VERDICT r5 item 3): the synthetic payloads are seeded and
+    deterministic (sha256-CTR of the media id), so the ENTIRE pipeline —
+    payload synthesis, decode, channel-histogram featurization, cosine
+    top-10 — is replayed driver-side in plain numpy from the id list
+    alone, and the Spark pipeline's answer must match it exactly (same
+    top-10 id set, sims within float32 tolerance).  This closes the one
+    `no_oracle` contract that had no equality companion; the byte-level
+    replay is independent of every Spark code path it checks."""
+    import numpy as _np
+
+    from shuttle_spark.operators import multimodal as M
+    from shuttle_spark.operators.multimodal import _fake_payload
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    w = h = 16
+    dim = 16
+
+    def feat(i: int) -> _np.ndarray:
+        img = _np.frombuffer(
+            _fake_payload(int(i).to_bytes(8, "little"), w * h * 3),
+            dtype=_np.uint8,
+        ).reshape(h, w, 3)
+        bins = dim // 3 + (dim % 3 > 0)
+        feats: list[float] = []
+        for c in range(3):
+            hist, _ = _np.histogram(img[:, :, c], bins=bins, range=(0, 256))
+            feats.extend(hist.tolist())
+        v = _np.asarray(feats[:dim], dtype=_np.float64)
+        return (v / (_np.linalg.norm(v) or 1.0)).astype(_np.float32)
+
+    mat = _np.stack([feat(i) for i in ids]).astype(_np.float64)
+    qv = feat(0).astype(_np.float64)
+    sims = mat @ qv / (
+        _np.linalg.norm(mat, axis=1) * (_np.linalg.norm(qv) or 1.0)
+    )
+    order = _np.argsort(-sims, kind="stable")[:10]
+    expected = {int(ids[j]): float(sims[j]) for j in order}
+
+    got_rows = REGISTRY["multimodal_featurize_topk"].build(spark, sf).collect()
+    got = {int(r["media_id"]): float(r["sim"]) for r in got_rows}
+    ok = set(got) == set(expected) and all(
+        abs(got[i] - expected[i]) < 1e-5 for i in got
+    )
+    return spark.createDataFrame(
+        [(bool(ok), bool(len(got) == 10))], "ok boolean, nonempty boolean"
+    )
+
+
 # ===========================================================================
 # B24-B25: time windows + sessionization (batch equivalents; streaming twins
 # live in shuttle_spark/streaming and must equal these — tests enforce it)

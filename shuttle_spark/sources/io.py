@@ -28,6 +28,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+# module-level (not function-local) so pandas_udf's type-hint resolution —
+# which evaluates the stringified annotations against module globals under
+# ``from __future__ import annotations`` — can see them
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -417,13 +422,16 @@ def zorder_value(
             )
         bounds_arrays.append(np.asarray(finite, dtype=np.float64))
 
-    # no type hints: pandas_udf's hint inference rejects *args signatures;
-    # the bare form defaults to the SCALAR (batch-in, batch-out) UDF type.
-    @F.pandas_udf("long", F.PandasUDFType.SCALAR)
-    def _zkey(*dim_vals):
-        z = np.zeros(len(dim_vals[0]), dtype=np.int64)
-        for i, (vals, bnds) in enumerate(zip(dim_vals, bounds_arrays)):
-            v = vals.to_numpy(dtype=np.float64, na_value=np.nan)
+    # Type-hint form (the deprecated PandasUDFType enum is retired): the
+    # hint inference rejects *args signatures, so the N dimensions ride ONE
+    # struct column — Arrow delivers a struct batch as a pd.DataFrame whose
+    # column order is the struct field order, i.e. ``cols`` order, still
+    # fully vectorized.
+    @F.pandas_udf("long")
+    def _zkey(dims: pd.DataFrame) -> pd.Series:
+        z = np.zeros(len(dims), dtype=np.int64)
+        for i, bnds in enumerate(bounds_arrays):
+            v = dims.iloc[:, i].to_numpy(dtype=np.float64, na_value=np.nan)
             # bucket = count of boundaries <= value; NULL/NaN -> top bucket
             idx = np.searchsorted(bnds, v, side="right").astype(np.int64)
             idx[np.isnan(v)] = len(bnds)
@@ -432,7 +440,15 @@ def zorder_value(
         return pd.Series(z)
 
     out = df.withColumn(
-        "__z", _zkey(*[F.col(c).cast("double") for c in cols])
+        "__z",
+        _zkey(
+            F.struct(
+                *[
+                    F.col(c).cast("double").alias(f"d{i}")
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ),
     )
     while len(_zvalue_cache) >= _ZVALUE_CACHE_MAX:
         _zvalue_cache.pop(next(iter(_zvalue_cache)))

@@ -356,7 +356,10 @@ def stream_keep_latest_tws(
 
     Same semantics as stream_keep_latest (the reference's stale-attempt
     filter, PartitionPipeReader.java:150-170); kept separate so both
-    stateful APIs stay covered.
+    stateful APIs stay covered.  On this machine google.protobuf is
+    absent and unobtainable, so this path raises the gated ImportError —
+    closed as a documented environment constraint (ENVIRONMENT.md §1);
+    stream_keep_latest is the shipped engine path.
 
     ENVIRONMENT NOTE: the transformWithState Python runner requires the
     ``google.protobuf`` package (its state-server protocol) and the

@@ -128,6 +128,9 @@ def test_real_decoder_swap_is_structurally_identical(spark):
 
     import pytest
 
+    # Skips on this machine: Pillow is absent and unobtainable (no network,
+    # no cached wheel) — see ENVIRONMENT.md §2, where this is closed as a
+    # documented environment constraint, not an open item.
     PIL_Image = pytest.importorskip("PIL.Image")
 
     w, h = 16, 12
