@@ -3194,6 +3194,55 @@ def q_ivf_full_probe(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+_IVF_PART_BUILT: set[tuple[str, str]] = set()
+
+
+@contract(
+    "ivf_partitioned_probe",
+    "SELECT TRUE AS pruned, TRUE AS match_mem, TRUE AS nonempty",
+    "B29",
+    "sink",
+)
+def q_ivf_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end assert of the IVF pruned-scan story (VERDICT r5 item 5):
+    the indexed corpus is WRITTEN OUT ``partitionBy('cell')`` — the layout
+    ivf_topk's docstring claims turns probes into partition-pruned scans —
+    then probed through the parquet read, and the executed plan must show
+    PartitionFilters on ``cell`` (the probe's 4-of-8 cell list applied at
+    planning time, the engine analog of the reference's partition-file
+    locality, ShuffleFileUtils.java:33-45).  ``match_mem`` pins that the
+    pruned-scan probe returns exactly the in-memory index's answer, so
+    pruning changes cost, never results.  The partitioned copy is written
+    once per session (app-scoped scratch, same discipline as the other
+    sink fixtures); warm runs measure discovery + pruned probe."""
+    import os
+
+    emb = load_table(spark, sf, "embeddings")
+    indexed, cents = S.ivf_build(emb, dim=64, n_cells=8)
+    out = _scratch_dir(spark, sf, "ivfpart")
+    key = (spark.sparkContext.applicationId, out)
+    if key not in _IVF_PART_BUILT or not os.path.isdir(out):
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(out)
+        _IVF_PART_BUILT.add(key)
+    back = spark.read.parquet(out)
+    qv = query_vector(spark, sf, 7)
+    probed = S.ivf_topk(back, cents, qv, k=10, n_probe=4)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    after = plan.split("PartitionFilters: [", 1)
+    pruned = len(after) == 2 and "cell" in after[1][:200]
+    mem = [
+        (int(r["vec_id"]), round(float(r["sim"]), 6))
+        for r in S.ivf_topk(indexed, cents, qv, k=10, n_probe=4).collect()
+    ]
+    got = [
+        (int(r["vec_id"]), round(float(r["sim"]), 6)) for r in probed.collect()
+    ]
+    return spark.createDataFrame(
+        [(bool(pruned), bool(got == mem), bool(len(got) == 10))],
+        "pruned boolean, match_mem boolean, nonempty boolean",
+    )
+
+
 @contract("ivf_partial_probe_recall_ok", "SELECT TRUE AS ok", "B29")
 def q_ivf_partial_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Property: probing 4 of 8 IVF cells recovers >= 7 of the true top-10

@@ -72,6 +72,11 @@ QUERIES = [
     "tpch_q21_shape",
     "tpch_q8_shape",
     "pii_scrub_counts",
+    # round-6 (VERDICT r5 item 8): the skew story — AQE skew-split join +
+    # salting fold — measured on the curve, not asserted.  The synthetic
+    # hot key grows with SF, so this is the row that shows whether the
+    # skew plan's scaling survives data growth.
+    "skew_join_agg",
 ]
 
 
