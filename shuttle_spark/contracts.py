@@ -3752,8 +3752,8 @@ def _pii_scrub_agg(injected: DataFrame) -> DataFrame:
 
 @contract("stream_pii_scrub", _PII_SCRUB_SQL, "B30", "ext")
 def q_stream_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
-    """PII scrubbing as a STREAM stage: the corpus arrives in 4 micro-
-    batches, each injected + scrubbed map-side in-flight (scrub_pii is
+    """PII scrubbing as a STREAM stage: the corpus arrives in 2 micro-
+    batches of 2 files, each injected + scrubbed map-side in-flight (scrub_pii is
     row-local, so it rides any streaming pipeline with zero state), the
     replayed output is aggregated and must hash-match the all-at-once
     batch oracle — stream == batch for stateless stages, proven rather
@@ -3769,7 +3769,7 @@ def q_stream_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id bigint, text string, lang string, source string,"
             " n_chars bigint"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)  # 4 files -> 2 real micro-batches (VERDICT r5 item 2)
         .parquet(d)
     )
     scrubbed = P.scrub_pii(_pii_inject(docs_stream))
@@ -5297,7 +5297,12 @@ def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
 
     out = tracked_mkdtemp("upsert_sink_")
     state = run_upsert_sink(
-        events_stream_multi(spark, sf, n_files=4),
+        # 4 files in 2 micro-batches: the cross-batch merge (predecessor
+        # version read -> union -> keep-latest -> new version) still runs,
+        # at half the per-batch fixed cost (VERDICT r5 item 2); the
+        # batch-by-batch crash windows are pinned in
+        # tests/test_fault_injection.py with fine-grained triggers
+        events_stream_multi(spark, sf, n_files=4, files_per_trigger=2),
         out,
         shuffle_partitions=4,
     )
@@ -5346,8 +5351,8 @@ def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     "llm",
 )
 def q_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Daily-ingest decontamination as a STREAM: the corpus arrives in 4
-    micro-batches, each batch decontaminated against the fixed benchmark
+    """Daily-ingest decontamination as a STREAM: the corpus arrives in 2
+    micro-batches of 2 files, each batch decontaminated against the fixed benchmark
     set and appended exactly-once (per-batch versioned dirs); the
     accumulated clean corpus must count-match the all-at-once batch
     oracle.  Decontamination against a static benchmark is per-document,
@@ -5366,7 +5371,7 @@ def q_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.schema(
             "doc_id bigint, text string, lang string, source string, n_chars bigint"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)  # 4 files -> 2 real micro-batches (VERDICT r5 item 2)
         .parquet(d)
         .filter(F.col("doc_id") % 97 != 0)
     )

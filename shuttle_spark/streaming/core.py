@@ -511,10 +511,18 @@ def staged_events_files(spark: SparkSession, sf_dir: str, n_files: int) -> str:
 
 
 def events_stream_multi(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
-    """events as a multi-batch stream: n_files staged files, one per
-    micro-batch."""
+    """events as a multi-batch stream: n_files staged files,
+    ``files_per_trigger`` per micro-batch.  Replay-style contracts pass 2
+    (4 files -> 2 real micro-batches): per-batch fixed cost — trigger
+    scheduling, state-store commit, sink version write — is the dominant
+    replay cost at test SF, and 2 batches still exercise every cross-batch
+    code path (state carry-over, predecessor-version merge).  Production
+    sizes this by arrival rate, not by this harness."""
     from shuttle_spark.sources.io import read_stream
 
     d = staged_events_files(spark, sf_dir, n_files)
@@ -523,7 +531,7 @@ def events_stream_multi(
         d,
         "event_id long, user_id long, event_type string,"
         " ts timestamp, value double, props string",
-        max_files_per_trigger=1,
+        max_files_per_trigger=files_per_trigger,
     )
 
 
