@@ -46,7 +46,19 @@ SKIP: set[str] = set()
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_session("shuttle-bench")
+    # Shuffle partitions sized to the benchmark's data, not the test
+    # default: partition count is a per-deployment dial (the session
+    # docstring's "at 100 TB you raise initialPartitionNum, not rewrite
+    # queries" — and at 17 MB you lower it).  At sf0.1 every shuffled
+    # relation is well under one advisory partition per core; 8 reduce
+    # partitions measured ~23% off the comparable-subset wall vs 32 (fewer
+    # per-stage tasks for the same plans — pure scheduling, zero plan
+    # change; AQE still splits skew).  Scan parallelism is governed by
+    # file splits, not this.  SPARK_GRAFT_SHUFFLE_PARTITIONS overrides.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    spark = get_session(
+        "shuttle-bench", **{"spark.sql.shuffle.partitions": shuffle}
+    )
 
     # Warm-up: JVM, parquet footer caches, Arrow lanes.
     REGISTRY["agg_tpch_q1"].build(spark, sf_dir).collect()

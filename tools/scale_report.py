@@ -94,6 +94,17 @@ RESIDUALS = """
   recursive-CTE transitive closure) run to completion — 124 s vs the
   engine's 18 s log-round star joins (0.1x).  The superlinearity argument
   is now a measured cell, not an extrapolation.
+- `skew_join_agg` (round-6 row, VERDICT r5 item 8): Spark's ABSOLUTE wall
+  scales ~linearly with the replicated input (0.9 s -> 15.7 s across the
+  1000x range, with the contract's fixed x20 fan-out making sf10 a
+  1.2B-row join input), and the AQE skew-split fires at every point
+  (skew=true asserted in-contract).  The RATIO rises with SF because the
+  row compares a deliberately pessimized stress harness — broadcast
+  suppressed so the exchange materializes the skew, plan assert riding
+  the query — against DuckDB's plain vectorized join of the same fold;
+  it is a property row on the curve for scaling evidence, not a
+  head-to-head (bench_ratio.py excludes it from the comparable subset
+  for the same reason).
 
 Caveats stated plainly: this is local[32] single-node Spark against an
 excellent single-node columnar engine on MB-GB data; the curve, not any
