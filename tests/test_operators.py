@@ -728,3 +728,67 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_scd2_intervals_tied_first_timestamps_deterministic(spark):
+    """ADVICE r5: two runs of one key sharing a FIRST timestamp (same-ts
+    events split across a change boundary, tiebroken only by event id)
+    must chain valid_to deterministically — the interval chain orders by
+    the run id, which is strictly increasing even when valid_from ties.
+    Asserted twice over different physical layouts (repartitioned input),
+    which flushed the old valid_from-ordered lead window's
+    nondeterminism."""
+    import datetime as dt
+
+    ts0 = dt.datetime(2024, 1, 1)
+    ts1 = dt.datetime(2024, 1, 1, 1)
+    # key 1: run 'a' (eid 0) and run 'b' (eid 1) BOTH start at ts0, then
+    # 'a' again at ts1 -> three runs, the first two sharing valid_from
+    rows = [(1, ts0, "a", 0), (1, ts0, "b", 1), (1, ts1, "a", 2)]
+    df = spark.createDataFrame(
+        rows, "k bigint, ts timestamp, v string, eid bigint"
+    )
+    want = [("a", ts0, ts0), ("b", ts0, ts1), ("a", ts1, None)]
+
+    for layout in (df, df.repartition(7), df.repartition(3, "eid")):
+        got = sorted(
+            (
+                (r["v"], r["valid_from"], r["valid_to"])
+                for r in R.scd2_intervals(
+                    layout, "k", "ts", "v", tiebreak="eid"
+                ).collect()
+            ),
+            key=lambda t: (t[1], t[2] or dt.datetime.max),
+        )
+        assert got == want, got
+
+
+def test_global_rank_bucket_cache_survives_table_rewrite(spark, tmp_path):
+    """ADVICE r5: the bucket-count histogram is correctness-bearing; the
+    cache key carries a source-file freshness fingerprint, so rewriting a
+    table at the same path in-session must MISS the cache and re-rank the
+    fresh data (the plan-identity key alone cannot see the rewrite)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+
+    def write(n):
+        spark.range(n).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("u")
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    write(100)
+    r1 = R.global_rank(
+        spark.read.parquet(p), "v", [F.col("v"), F.col("u")], alias="rk"
+    )
+    assert r1.agg(F.max("rk")).collect()[0][0] == 100
+    _time.sleep(0.05)  # distinct mtime_ns for the rewrite
+    write(250)
+    r2 = R.global_rank(
+        spark.read.parquet(p), "v", [F.col("v"), F.col("u")], alias="rk"
+    )
+    # a stale cached histogram would produce max rank 100 (or garbage
+    # offsets); the fingerprint forces a fresh count of the 250-row table
+    assert r2.agg(F.max("rk")).collect()[0][0] == 250
