@@ -416,11 +416,12 @@ def ranked(
 
 
 # Session cache of per-bucket rank histograms (global_rank/pctrank):
-# (app, source, range_col, boundaries) -> sorted (bucket, count) pairs,
-# <= buckets+1 longs each.  Strong source ref keeps the id()-fallback
-# semantic key stable; clear with clear_bucket_counts_cache().
+# (app, source, range_col, boundaries) -> (source df, sorted (bucket,
+# count) pairs <= buckets+1 longs, memoized offsets local relation).
+# Strong source ref keeps the id()-fallback semantic key stable; clear
+# with clear_bucket_counts_cache().
 _BUCKET_COUNTS_CACHE_MAX = 64
-_bucket_counts_cache: dict[tuple, tuple[object, list]] = {}
+_bucket_counts_cache: dict[tuple, tuple[object, list, object]] = {}
 
 
 def clear_bucket_counts_cache() -> None:
@@ -461,15 +462,27 @@ def global_rank(
     # table statistic: the warm path runs 2 jobs (bucket-count aggregate +
     # final ranked scan), not 3.
     bounds = sorted(set(approx_quantiles_cached(df, [range_col], probs, 0.001)[0]))
-    bucket = F.lit(len(bounds))
-    for i in reversed(range(len(bounds))):
-        bucket = F.when(F.col(range_col) <= F.lit(bounds[i]), i).otherwise(bucket)
+    # One parsed CASE expression, not a chain of F.when calls: building a
+    # 32-deep when-tree costs ~60 py4j round trips PER QUERY BUILD (each
+    # when/otherwise is a JVM call), a measurable slice of the warm path
+    # for a plan whose execution is a single job.  The SQL string is one
+    # parse.  Boundary literals carry the D suffix so they stay DOUBLE
+    # (Spark parses bare decimals as DECIMAL), matching the F.lit(float)
+    # semantics of the quantile values.
+    #
     # NULLs sort FIRST under Spark's ascending order, so they need their
-    # own bucket BEFORE bucket 0: in the when-chain NULL <= bound is NULL,
-    # which would fall through to the overflow bucket and break the
-    # bucket-order-extends-global-order invariant (approxQuantile ignores
-    # NULLs, so no boundary ever captures them).
-    bucket = F.when(F.col(range_col).isNull(), F.lit(-1)).otherwise(bucket)
+    # own bucket BEFORE bucket 0: NULL <= bound is NULL, which would fall
+    # through to the overflow bucket and break the bucket-order-extends-
+    # global-order invariant (approxQuantile ignores NULLs, so no boundary
+    # ever captures them).
+    arms = " ".join(
+        f"WHEN `{range_col}` <= {b!r}D THEN {i}"
+        for i, b in enumerate(bounds)
+    )
+    bucket = F.expr(
+        f"CASE WHEN `{range_col}` IS NULL THEN -1 {arms}"
+        f" ELSE {len(bounds)} END"
+    )
     with_b = df.withColumn("__bucket", bucket)
     # Per-bucket counts -> exclusive prefix-sum offsets.  Like the quantile
     # boundaries above, the bucket histogram is a TABLE STATISTIC a
@@ -502,7 +515,7 @@ def global_rank(
     )
     hit = _bucket_counts_cache.get(ckey)
     if hit is not None:
-        cnt_rows = hit[1]
+        cnt_rows, offsets = hit[1], hit[2]
     else:
         cnt_rows = sorted(
             (r["__bucket"], r["__cnt"])
@@ -510,17 +523,21 @@ def global_rank(
             .agg(F.count("*").alias("__cnt"))
             .collect()
         )
+        # The exclusive prefix-sum offsets relation (<= buckets+1 local
+        # rows) is a pure function of the cached counts, so the DataFrame
+        # itself is memoized alongside them — a warm build re-plans zero
+        # local relations.
+        total = sum(c for _, c in cnt_rows)
+        off_rows, acc = [], 0
+        for b, c in cnt_rows:
+            off_rows.append((b, acc, total))
+            acc += c
+        offsets = df.sparkSession.createDataFrame(
+            off_rows, "__bucket int, __off long, __n long"
+        )
         while len(_bucket_counts_cache) >= _BUCKET_COUNTS_CACHE_MAX:
             _bucket_counts_cache.pop(next(iter(_bucket_counts_cache)))
-        _bucket_counts_cache[ckey] = (df, cnt_rows)
-    total = sum(c for _, c in cnt_rows)
-    off_rows, acc = [], 0
-    for b, c in cnt_rows:
-        off_rows.append((b, acc, total))
-        acc += c
-    offsets = df.sparkSession.createDataFrame(
-        off_rows, "__bucket int, __off long, __n long"
-    )
+        _bucket_counts_cache[ckey] = (df, cnt_rows, offsets)
     if not keep_total:
         offsets = offsets.drop("__n")
     w_local = Window.partitionBy("__bucket").orderBy(*order)

@@ -275,6 +275,26 @@ def test_zorder_write_bounds_both_dims(spark, tmp_path):
     assert len(zx) >= 16  # enough row groups for the property to mean much
 
 
+def test_murmur3_matches_spark_hash(spark):
+    """_murmur3_int32 must be bit-identical to Spark's Murmur3 over
+    IntegerType (seed 42) — zorder_write's deterministic slice placement
+    (`_partition_token`) relies on predicting HashPartitioning exactly.
+    Covers negative values and the full-int32 edge."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.sources.io import _murmur3_int32, _partition_token
+
+    vals = list(range(40)) + [-1, -7, 2**31 - 1, -(2**31)]
+    rows = spark.createDataFrame(
+        [(v,) for v in vals], "v int"
+    ).select("v", F.hash("v").alias("h")).collect()
+    for r in rows:
+        assert _murmur3_int32(r["v"]) == r["h"]
+    for n in (2, 3, 4, 7, 16, 64):
+        for t in range(n):
+            assert _murmur3_int32(_partition_token(t, n)) % n == t
+
+
 def test_bucket_index_matches_searchsorted(spark):
     """The hand-rendered binary-search CASE tree must agree with
     numpy.searchsorted(side='right') — count of boundaries <= value —
