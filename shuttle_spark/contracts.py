@@ -5473,6 +5473,133 @@ def q_udtf_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
 # ---------------------------------------------------------------------------
+# Round-6 analytics additions: graph scoring, per-group anomaly census,
+# user-journey transition matrix, mixture-diversity index.  Each follows the
+# float discipline up top (integer quantization before any aggregate; shared
+# IEEE expression trees; no transcendentals).
+# ---------------------------------------------------------------------------
+
+_PR_EDGES = (
+    "SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 89 AS dst"
+    " FROM orders WHERE o_custkey % 97 <> o_orderkey % 89"
+)
+
+
+@contract(
+    "pagerank_scores",
+    "WITH e AS (" + _PR_EDGES + "),"
+    " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+    " n AS (SELECT COUNT(*) AS n FROM nodes),"
+    " od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),"
+    " s0 AS (SELECT node, ROUND(1.0 / n.n, 9) AS score FROM nodes CROSS JOIN n),"
+    " i1 AS (SELECT dst AS node, SUM(CAST(ROUND(score / od * 1e9) AS BIGINT)) / 1e9 AS infl"
+    "   FROM e JOIN s0 ON s0.node = e.src JOIN od ON od.src = e.src GROUP BY 1),"
+    " s1 AS (SELECT nodes.node, ROUND((1.0 - 0.85) / n.n + 0.85 * COALESCE(infl, 0), 9) AS score"
+    "   FROM nodes CROSS JOIN n LEFT JOIN i1 ON i1.node = nodes.node),"
+    " i2 AS (SELECT dst AS node, SUM(CAST(ROUND(score / od * 1e9) AS BIGINT)) / 1e9 AS infl"
+    "   FROM e JOIN s1 ON s1.node = e.src JOIN od ON od.src = e.src GROUP BY 1),"
+    " s2 AS (SELECT nodes.node, ROUND((1.0 - 0.85) / n.n + 0.85 * COALESCE(infl, 0), 9) AS score"
+    "   FROM nodes CROSS JOIN n LEFT JOIN i2 ON i2.node = nodes.node),"
+    " i3 AS (SELECT dst AS node, SUM(CAST(ROUND(score / od * 1e9) AS BIGINT)) / 1e9 AS infl"
+    "   FROM e JOIN s2 ON s2.node = e.src JOIN od ON od.src = e.src GROUP BY 1),"
+    " s3 AS (SELECT nodes.node, ROUND((1.0 - 0.85) / n.n + 0.85 * COALESCE(infl, 0), 9) AS score"
+    "   FROM nodes CROSS JOIN n LEFT JOIN i3 ON i3.node = nodes.node)"
+    " SELECT node, ROUND(score, 6) AS score FROM s3",
+    "ext",
+)
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank (components.pagerank) over the same
+    deterministic projected order graph the triangle contract uses, taken
+    directed (customer residue -> orderkey residue): per round one
+    edge-score equi-join + one hash agg on dst, scores localCheckpoint-ed
+    so lineage stays flat.  The oracle unrolls the identical quantized
+    recurrence three times; every inflow sum is a scaled-long sum, so
+    both engines round identical integers."""
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 97).alias("src"),
+        (F.col("o_orderkey") % 89).alias("dst"),
+    )
+    return CC.pagerank(o, iters=3, damping=0.85)
+
+
+@contract(
+    "group_outliers_zscore",
+    "WITH v AS (SELECT l_returnflag, l_linestatus,"
+    "   CAST(ROUND(l_extendedprice) AS BIGINT) AS ui FROM lineitem),"
+    " s AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,"
+    "   CAST(SUM(ui) AS BIGINT) AS s1, CAST(SUM(ui * ui) AS BIGINT) AS s2"
+    "  FROM v GROUP BY 1, 2),"
+    " m AS (SELECT l_returnflag, l_linestatus, n_rows,"
+    "   CAST(s1 AS DOUBLE) / n_rows AS mean,"
+    "   SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_rows)"
+    "     / (n_rows - 1)) AS std FROM s)"
+    " SELECT v.l_returnflag, v.l_linestatus, MIN(m.n_rows) AS n_rows,"
+    "  COUNT(*) FILTER (WHERE ABS(v.ui - m.mean) > 2 * m.std) AS n_outliers,"
+    "  ROUND(MIN(m.mean), 6) AS mean_value, ROUND(MIN(m.std), 6) AS std_value"
+    " FROM v JOIN m USING (l_returnflag, l_linestatus) GROUP BY 1, 2",
+    "ext",
+)
+def q_group_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score outlier census (relational.group_outliers_zscore)
+    on lineitem prices: exact integer moments per group, stats broadcast
+    back for the row-level test — two map-side passes, zero fact-table
+    shuffles.  All float arithmetic is over identical integer-derived
+    doubles in both engines, so even the |z| > 2 boundary is bit-stable."""
+    li = load_table(spark, sf, "lineitem")
+    return R.group_outliers_zscore(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", z=2.0
+    )
+
+
+@contract(
+    "event_transitions",
+    "WITH seq AS (SELECT user_id, event_type AS from_type,"
+    "   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "    AS to_type FROM events),"
+    " mat AS (SELECT from_type, to_type, COUNT(*) AS n_transitions"
+    "  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)"
+    " SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,"
+    "  ROUND(CAST(n_transitions AS DOUBLE)"
+    "    / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p"
+    " FROM mat",
+    "B17",
+    "ext",
+)
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix
+    (relational.event_transition_matrix): one key-partition window (lead
+    tiebroken by event_id — the scd2 determinism lesson) then a hash agg
+    onto the tiny |types|^2 matrix; row-normalized probabilities are
+    integer-ratio doubles windowed over the aggregated relation."""
+    ev = load_table(spark, sf, "events")
+    return R.event_transition_matrix(ev)
+
+
+@contract(
+    "source_lang_gini",
+    "WITH c AS (SELECT source, lang, COUNT(*) AS cnt"
+    "  FROM documents GROUP BY 1, 2),"
+    " w AS (SELECT source, lang, cnt,"
+    "   SUM(cnt) OVER (PARTITION BY source) AS tot FROM c)"
+    " SELECT source, CAST(MIN(tot) AS BIGINT) AS n_docs,"
+    "  COUNT(*) AS n_classes,"
+    "  ROUND(1.0 - SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / tot)"
+    "    * (CAST(cnt AS DOUBLE) / tot) * 1e12) AS BIGINT)) / 1e12, 6) AS gini"
+    " FROM w GROUP BY 1",
+    "ext",
+    "llm",
+)
+def q_source_lang_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source language-diversity Gini impurity
+    (pipeline.group_diversity_gini): one tiny (source, lang) hash agg, a
+    window row-total over it, and a per-source summary — the fact table
+    is scanned once and never shuffled.  Gini (no log) keeps the float
+    path libm-free; squared probabilities are scaled-long summed."""
+    docs = load_table(spark, sf, "documents")
+    return P.group_diversity_gini(docs, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,
 # so the first 50 are curated to cover every SURVEY §2.B family at least once

@@ -40,7 +40,12 @@ from shuttle_spark.cache import DFCache, semantic_key
 # pair relation is itself session-cached (neardup._pairs_cache returns a
 # stable DataFrame object), so clustering and cluster-dedup contracts share
 # one converged iteration instead of re-running it.
-_cc_cache = DFCache(max_size=4)
+_cc_cache = DFCache(max_size=6)
+
+# (app, edges identity, cols) -> |V| for pagerank: a driver-side scalar
+# statistic cached beside the staged relations (bounded; oldest-out).
+_PR_N_CACHE_MAX = 16
+_pr_n_cache: dict[tuple, int] = {}
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -273,3 +278,107 @@ def triangle_count(
     )
     closed = wedges.join(undirected, ["u", "v"], "left_semi")
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: ``(node, score)``
+    for every node appearing as an endpoint — the web-graph quality-weight
+    operator of a crawl-derived training pipeline (harmonic/centrality
+    weighting of crawl hosts before sampling).
+
+    Power iteration as the classic Pregel-free dataflow: per round, one
+    equi-join of the score vector against the (deduped) edge relation on
+    ``src`` and one hash aggregate on ``dst``.  Both sides shuffle on node
+    id — at scale this is two exchanges per round over relations that are
+    each O(E) and O(V), never node-materialized on the driver; each round's
+    score vector is ``localCheckpoint``-ed like the CC rounds above so
+    lineage (and re-planning cost) stays flat in ``iters``.
+
+    Cross-engine determinism (the contract discipline of contracts.py):
+    every float that enters an aggregate is first quantized to ``scale``
+    decimals and summed as a scaled long, so inflow sums are
+    association-free; scores are re-quantized each round.  Dangling-node
+    mass is deliberately NOT redistributed — both engines apply the same
+    ``(1-d)/N + d * inflow`` recurrence, which is the contract-pinned
+    definition (and the common simplification when scores are used as
+    relative quality weights, not a probability distribution).
+    """
+    m = float(10 ** scale)
+    # The degree-annotated edge relation and the node set are consumed
+    # every round; stage them per session (same discipline as the CC pair
+    # and oriented-triangle relations above).  |V| rides along as a driver
+    # scalar — one count job on first build, a bounded statistic exactly
+    # like the CC convergence signature.
+    key = (
+        edges.sparkSession.sparkContext.applicationId,
+        semantic_key(edges),
+        src_col,
+        dst_col,
+    )
+    e = _cc_cache.get(key + ("pr_edges",))
+    nodes = _cc_cache.get(key + ("pr_nodes",))
+    n = _pr_n_cache.get(key)
+    if e is None or nodes is None or n is None:
+        raw = (
+            edges.select(
+                F.col(src_col).cast("long").alias("src"),
+                F.col(dst_col).cast("long").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        deg = raw.groupBy("src").agg(F.count("*").alias("__od"))
+        e = _cc_cache.put(key + ("pr_edges",), edges, raw.join(deg, "src"))
+        nodes = _cc_cache.put(
+            key + ("pr_nodes",),
+            edges,
+            raw.select(F.col("src").alias("node"))
+            .union(raw.select(F.col("dst").alias("node")))
+            .distinct(),
+        )
+        n = nodes.count()
+        while len(_pr_n_cache) >= _PR_N_CACHE_MAX:
+            _pr_n_cache.pop(next(iter(_pr_n_cache)))
+        _pr_n_cache[key] = n
+    # Both constants stay IN-PLAN (Catalyst constant-folds them) so the
+    # quantization uses Spark's ROUND semantics, never Python's banker's
+    # rounding — the oracle folds the identical expressions in DuckDB.
+    # NOT pre-rounded: the recurrence rounds once per iteration, after the
+    # teleport + inflow sum, exactly as the oracle's unrolled SQL does.
+    teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    scores = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), scale).alias("score")
+    )
+    for it in range(iters):
+        contribs = e.join(
+            scores.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("score") / F.col("__od") * m)
+            .cast("long")
+            .alias("__c"),
+        )
+        inflow = contribs.groupBy("node").agg(
+            (F.sum("__c") / F.lit(m)).alias("__infl")
+        )
+        scores = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.round(
+                teleport + damping * F.coalesce(F.col("__infl"), F.lit(0.0)),
+                scale,
+            ).alias("score"),
+        )
+        # Lineage grows linearly in rounds; a checkpoint every few rounds
+        # bounds re-planning cost without paying one materialization JOB
+        # per round — for shallow fixed-iteration runs the whole recurrence
+        # executes as a single job over the staged relations.
+        if (it + 1) % 5 == 0 and it + 1 < iters:
+            scores = scores.localCheckpoint(eager=False)
+    return scores.select("node", F.round("score", 6).alias("score"))

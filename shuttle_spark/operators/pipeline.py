@@ -27,7 +27,7 @@ Scale posture (the 100 TB question):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from shuttle_spark.cache import DFCache, semantic_key
@@ -295,3 +295,47 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(text_col, scrubbed)
+
+
+def group_diversity_gini(
+    df: DataFrame, group_col: str = "source", class_col: str = "lang"
+) -> DataFrame:
+    """Per-group class-diversity census: ``(group, n_docs, n_classes,
+    gini)`` where gini is the Gini impurity ``1 - sum(p_c^2)`` of the
+    class distribution inside the group — the mixture-diversity check a
+    training pipeline runs per source/shard (a crawl source whose language
+    mix collapsed to one class shows gini ~0).
+
+    Plan: one hash aggregate to the (group, class) counts — map-side
+    partial, one exchange of a tiny relation — then a window row-total
+    over that already-aggregated relation and a second tiny aggregate to
+    the per-group summary.  The fact table is scanned once and shuffled
+    never (the exchange carries |groups|x|classes| rows).
+
+    Determinism: probabilities are integer-count ratios (identical IEEE
+    doubles in both engines); the sum of squared probabilities is
+    quantized per term to 12 decimals and summed as scaled longs, so it
+    is association-free — Gini was chosen over entropy here precisely
+    because it needs no transcendental (log) whose last-ulp behavior
+    differs across libm implementations."""
+    c = df.groupBy(group_col, class_col).agg(F.count("*").alias("__cnt"))
+    tot = Window.partitionBy(group_col)
+    c = c.select(
+        group_col,
+        class_col,
+        "__cnt",
+        F.sum("__cnt").over(tot).alias("__tot"),
+    )
+    p = F.col("__cnt").cast("double") / F.col("__tot")
+    return (
+        c.groupBy(group_col)
+        .agg(
+            F.first("__tot").alias("n_docs"),
+            F.count("*").alias("n_classes"),
+            F.round(
+                1.0
+                - F.sum(F.round(p * p * 1e12).cast("long")) / F.lit(1e12),
+                6,
+            ).alias("gini"),
+        )
+    )

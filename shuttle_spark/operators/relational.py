@@ -697,3 +697,109 @@ def cohort_retention(
         .groupBy("cohort", "age_weeks")
         .agg(F.countDistinct(key).alias("n_active"))
     )
+
+
+def group_outliers_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    z: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier census: for each key group, the row
+    count, the count of rows whose quantized value sits more than ``z``
+    sample standard deviations from the group mean, and the (rounded)
+    mean/std themselves — the per-source anomaly screen of a data-quality
+    sweep (is one crawl shard's doc-length distribution broken?).
+
+    Plan: two passes over the fact table, ZERO shuffles of it.  Pass one
+    computes exact integer moments (n, sum, sum-of-squares of the
+    integer-quantized value) per group — map-side partial aggregates, one
+    tiny exchange of the group stats.  The stats relation (|groups| rows)
+    is broadcast back for the row-level |x - mean| > z*std test, and pass
+    two re-aggregates map-side.  The window formulation would shuffle the
+    whole fact table on the group key instead; the join-back is the
+    100 TB plan.
+
+    Cross-engine determinism: the value is quantized to integers BEFORE
+    any arithmetic, so moments are exact longs; mean/std/threshold are
+    then identical IEEE expressions of identical integers in both engines
+    — no association-sensitive float aggregate anywhere.  (Dial: the
+    sum-of-squares long overflows at sum(v^2) >= 2^63 — v ~1e5 over
+    ~6e8 rows; quantize coarser for bigger data.)
+    """
+    v = (F.col(value) if isinstance(value, str) else value).alias("__v")
+    keys = list(keys)
+    q = df.select(*keys, F.round(v).cast("long").alias("__ui"))
+    stats = q.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("__ui").alias("__s1"),
+        F.sum(F.col("__ui") * F.col("__ui")).alias("__s2"),
+    )
+    stats = stats.select(
+        *keys,
+        "n_rows",
+        (F.col("__s1").cast("double") / F.col("n_rows")).alias("__mean"),
+        F.sqrt(
+            (
+                F.col("__s2").cast("double")
+                - F.col("__s1").cast("double") * F.col("__s1") / F.col("n_rows")
+            )
+            / (F.col("n_rows") - 1)
+        ).alias("__std"),
+    )
+    return (
+        q.join(F.broadcast(stats), keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.count_if(
+                F.abs(F.col("__ui") - F.col("__mean"))
+                > F.lit(z) * F.col("__std")
+            ).alias("n_outliers"),
+            F.round(F.first("__mean"), 6).alias("mean_value"),
+            F.round(F.first("__std"), 6).alias("std_value"),
+        )
+    )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    ``(from_type, to_type, n_transitions, p)`` where ``p`` is the
+    row-normalized transition probability — the user-journey summary that
+    complements ``funnel_stages`` (which pins ONE ordered path; this pins
+    the whole digraph).
+
+    Plan: one key-partition window (the only fact-table exchange; same
+    shape as sessionize/cohort) derives each row's successor via
+    ``lead`` ordered by (ts, tiebreak) — the tiebreak keeps same-timestamp
+    runs deterministic, the scd2 lesson — then a hash aggregate onto the
+    tiny |types|^2 matrix, where row totals and probabilities are
+    window-computed over the already-aggregated relation (no second pass
+    over the facts).  Probabilities are integer-ratio doubles — identical
+    in both engines, no float-sum drift."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tiebreak))
+    seq = events.select(
+        F.col(key),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    mat = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return mat.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(row_tot),
+            6,
+        ).alias("p"),
+    )

@@ -792,3 +792,132 @@ def test_global_rank_bucket_cache_survives_table_rewrite(spark, tmp_path):
     # a stale cached histogram would produce max rank 100 (or garbage
     # offsets); the fingerprint forces a fresh count of the 250-row table
     assert r2.agg(F.max("rk")).collect()[0][0] == 250
+
+
+# ---------------------------------------------------------------------------
+# Round-6 analytics operators: pagerank / outlier census / transition
+# matrix / diversity index.
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges, iters=3, d=0.85):
+    """Pure-Python replay of the quantized recurrence (tolerance-compared:
+    Python round() is banker's vs the engine's half-up, a <=1e-9 delta)."""
+    edges = sorted(set((a, b) for a, b in edges if a != b))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    od = {}
+    for a, _ in edges:
+        od[a] = od.get(a, 0) + 1
+    s = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(iters):
+        infl = {v: 0 for v in nodes}
+        for a, b in edges:
+            infl[b] += int(round(s[a] / od[a] * 1e9))
+        s = {
+            v: round((1.0 - d) / n + d * (infl[v] / 1e9), 9) for v in nodes
+        }
+    return {v: round(s[v], 6) for v in nodes}
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star graph accumulates the inflow; scores match a pure
+    Python replay of the identical quantized recurrence."""
+    from shuttle_spark.operators import components as CC
+
+    edges = [(1, 2), (3, 2), (4, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.score for r in CC.pagerank(df, iters=3).collect()}
+    want = _py_pagerank(edges, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+    assert max(got, key=got.get) == 2
+
+
+def test_pagerank_deep_iterations_and_warm_cache(spark):
+    """iters past the checkpoint cadence still executes (lineage-bound
+    branch), and a semantically identical fresh edge frame hits the staged
+    base relations with identical output."""
+    from shuttle_spark.operators import components as CC
+
+    edges = [(i, (i * 7) % 23) for i in range(60)]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    deep = {r.node: r.score for r in CC.pagerank(df1, iters=11).collect()}
+    want = _py_pagerank(edges, iters=11)
+    for v in want:
+        assert abs(deep[v] - want[v]) < 2e-6
+    df2 = spark.createDataFrame(edges, "src long, dst long")
+    again = {r.node: r.score for r in CC.pagerank(df2, iters=11).collect()}
+    assert again == deep
+
+
+def test_group_outliers_zscore_planted(spark):
+    """A planted far-out value is the group's only outlier; a tight group
+    has none; moments match numpy's two-pass formulas."""
+    import math
+
+    rows = [("a", 10.0)] * 20 + [("a", 1000.0)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r.g: r
+        for r in R.group_outliers_zscore(df, ["g"], "v", z=2.0).collect()
+    }
+    vals = [10] * 20 + [1000]
+    n = len(vals)
+    mean = sum(vals) / n
+    std = math.sqrt(
+        (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+    )
+    assert out["a"].n_rows == 21
+    assert out["a"].n_outliers == 1  # only the planted 1000
+    assert abs(out["a"].mean_value - round(mean, 6)) < 1e-9
+    assert abs(out["a"].std_value - round(std, 6)) < 1e-9
+    assert out["b"].n_rows == 10 and out["b"].n_outliers == 0
+    assert out["b"].std_value == 0.0
+
+
+def test_event_transition_matrix_semantics(spark):
+    """Hand-checked bigram counts and row-normalized probabilities; a
+    same-timestamp pair is ordered by the event_id tiebreak."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: a -> b -> a   (ties: the two t0+1s events order by id)
+        (1, t0, 10, "a"),
+        (1, t0 + sec, 11, "b"),
+        (1, t0 + sec, 12, "a"),
+        # user 2: a -> b
+        (2, t0, 20, "a"),
+        (2, t0 + sec, 21, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in R.event_transition_matrix(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1.0),  # both users: a then b
+        ("b", "a"): (1, 1.0),  # user 1's tiebroken second step
+    }
+
+
+def test_group_diversity_gini_bounds(spark):
+    """Single-class group -> gini 0; uniform two-class -> 0.5; counts per
+    group are exact."""
+    from shuttle_spark.operators import pipeline as P
+
+    rows = (
+        [("s1", "en")] * 8
+        + [("s2", "en")] * 5
+        + [("s2", "de")] * 5
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r.source: r for r in P.group_diversity_gini(df).collect()}
+    assert out["s1"].n_docs == 8 and out["s1"].n_classes == 1
+    assert out["s1"].gini == 0.0
+    assert out["s2"].n_docs == 10 and out["s2"].n_classes == 2
+    assert abs(out["s2"].gini - 0.5) < 1e-9
