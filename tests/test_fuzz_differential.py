@@ -677,3 +677,184 @@ def test_fuzz_string_functions(spark, duck, expr, n, filters):
         f" FROM orders{_where(filters)} GROUP BY 1"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 12: per-group z-score outlier census  (round-6 — the exact-moment
+# broadcast-back operator; fuzzes the claim that every float in the
+# pipeline is an identical integer-derived IEEE expression in both
+# engines, including the |z| boundary itself)
+# ---------------------------------------------------------------------------
+
+@given(
+    keys=st.sampled_from(
+        [("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
+    ),
+    value=st.sampled_from(["l_extendedprice", "l_quantity"]),
+    z=st.sampled_from([1.0, 1.5, 2.0, 3.0]),
+    key_mod=st.integers(2, 9),
+)
+@FUZZ
+def test_fuzz_group_outliers(spark, duck, keys, value, z, key_mod):
+    from shuttle_spark.operators import relational as R
+
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_orderkey") % key_mod != 0
+    )
+    sdf = R.group_outliers_zscore(li, list(keys), value, z=z)
+    kl = ", ".join(keys)
+    sql = (
+        f"WITH v AS (SELECT {kl}, CAST(ROUND({value}) AS BIGINT) AS ui"
+        f"  FROM lineitem WHERE l_orderkey % {key_mod} <> 0),"
+        f" s AS (SELECT {kl}, COUNT(*) AS n_rows,"
+        f"  CAST(SUM(ui) AS BIGINT) AS s1, CAST(SUM(ui * ui) AS BIGINT) AS s2"
+        f"  FROM v GROUP BY ALL),"
+        f" m AS (SELECT {kl}, n_rows, CAST(s1 AS DOUBLE) / n_rows AS mean,"
+        f"  SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_rows)"
+        f"    / (n_rows - 1)) AS std FROM s)"
+        f" SELECT {', '.join('v.' + k for k in keys)}, MIN(m.n_rows) AS n_rows,"
+        f"  COUNT(*) FILTER (WHERE ABS(v.ui - m.mean) > {z} * m.std)"
+        f"   AS n_outliers,"
+        f"  ROUND(MIN(m.mean), 6) AS mean_value, ROUND(MIN(m.std), 6)"
+        f"   AS std_value"
+        f" FROM v JOIN m USING ({kl}) GROUP BY ALL"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 13: Markov transition matrix  (round-6 — lead() tie determinism
+# under arbitrary event-type subsets and key partitions: sparser sequences
+# make same-timestamp adjacency MORE likely, stressing the tiebreak)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@given(
+    types=st.lists(
+        st.sampled_from(_EVENT_TYPES), unique=True, min_size=2, max_size=5
+    ),
+    user_mod=st.integers(1, 5),
+)
+@FUZZ
+def test_fuzz_event_transitions(spark, duck, types, user_mod):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("event_type").isin(types) & (F.col("user_id") % user_mod == 0)
+    )
+    sdf = R.event_transition_matrix(ev)
+    tl = ", ".join(f"'{t}'" for t in types)
+    sql = (
+        f"WITH f AS (SELECT * FROM events WHERE event_type IN ({tl})"
+        f"  AND user_id % {user_mod} = 0),"
+        f" seq AS (SELECT user_id, event_type AS from_type,"
+        f"  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f"   AS to_type FROM f),"
+        f" mat AS (SELECT from_type, to_type, COUNT(*) AS n_transitions"
+        f"  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)"
+        f" SELECT from_type, to_type, CAST(n_transitions AS BIGINT)"
+        f"   AS n_transitions,"
+        f"  ROUND(CAST(n_transitions AS DOUBLE)"
+        f"    / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p"
+        f" FROM mat"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 14: diversity Gini  (round-6 — scaled-long squared-probability sums
+# under swapped group/class roles and row subsets)
+# ---------------------------------------------------------------------------
+
+@given(
+    roles=st.sampled_from([("source", "lang"), ("lang", "source")]),
+    doc_mod=st.integers(1, 7),
+)
+@FUZZ
+def test_fuzz_diversity_gini(spark, duck, roles, doc_mod):
+    from shuttle_spark.operators import pipeline as P
+
+    g, c = roles
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % doc_mod == 0
+    )
+    sdf = P.group_diversity_gini(docs, g, c)
+    sql = (
+        f"WITH f AS (SELECT * FROM documents WHERE doc_id % {doc_mod} = 0),"
+        f" cnts AS (SELECT {g}, {c}, COUNT(*) AS cnt FROM f GROUP BY 1, 2),"
+        f" w AS (SELECT {g}, {c}, cnt,"
+        f"  SUM(cnt) OVER (PARTITION BY {g}) AS tot FROM cnts)"
+        f" SELECT {g}, CAST(MIN(tot) AS BIGINT) AS n_docs,"
+        f"  COUNT(*) AS n_classes,"
+        f"  ROUND(1.0 - SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / tot)"
+        f"    * (CAST(cnt AS DOUBLE) / tot) * 1e12) AS BIGINT)) / 1e12, 6)"
+        f"   AS gini"
+        f" FROM w GROUP BY 1"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 15: pagerank recurrence  (round-6 — the quantized power iteration
+# under varying graph shapes, iteration depths, and damping factors; the
+# oracle is UNROLLED programmatically so every spec gets an exact SQL twin.
+# Heavier per example than the other modes — iterative multi-stage jobs —
+# so the example budget is smaller.)
+# ---------------------------------------------------------------------------
+
+def _pagerank_sql(p: int, q: int, iters: int, d: float) -> str:
+    cte = [
+        f"e AS (SELECT DISTINCT o_custkey % {p} AS src,"
+        f" o_orderkey % {q} AS dst FROM orders"
+        f" WHERE o_custkey % {p} <> o_orderkey % {q})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1)",
+        "s0 AS (SELECT node, ROUND(1.0 / n.n, 9) AS score"
+        " FROM nodes CROSS JOIN n)",
+    ]
+    for k in range(1, iters + 1):
+        cte.append(
+            f"i{k} AS (SELECT dst AS node,"
+            f" SUM(CAST(ROUND(score / od * 1e9) AS BIGINT)) / 1e9 AS infl"
+            f" FROM e JOIN s{k-1} ON s{k-1}.node = e.src"
+            f" JOIN od ON od.src = e.src GROUP BY 1)"
+        )
+        cte.append(
+            f"s{k} AS (SELECT nodes.node,"
+            f" ROUND((1.0 - {d!r}) / n.n + {d!r} * COALESCE(infl, 0), 9)"
+            f" AS score FROM nodes CROSS JOIN n"
+            f" LEFT JOIN i{k} ON i{k}.node = nodes.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(cte)
+        + f" SELECT node, ROUND(score, 6) AS score FROM s{iters}"
+    )
+
+
+FUZZ_HEAVY = settings(
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES_HEAVY", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    p=st.sampled_from([13, 29, 61, 97]),
+    q=st.sampled_from([11, 37, 89]),
+    iters=st.integers(1, 4),
+    d=st.sampled_from([0.85, 0.5]),
+)
+@FUZZ_HEAVY
+def test_fuzz_pagerank(spark, duck, p, q, iters, d):
+    from shuttle_spark.operators import components as CC
+
+    o = load_table(spark, SF, "orders").select(
+        (F.col("o_custkey") % p).alias("src"),
+        (F.col("o_orderkey") % q).alias("dst"),
+    )
+    sdf = CC.pagerank(o, iters=iters, damping=d)
+    _check(sdf, duck, _pagerank_sql(p, q, iters, d))
