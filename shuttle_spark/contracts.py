@@ -5652,6 +5652,15 @@ def q_source_lang_gini(spark: SparkSession, sf: str) -> DataFrame:
 # stream_upsert_sink (B8 keeps keep_latest + stream_keep_latest +
 # upsert-family in FULL).  Every displaced contract still runs in
 # tests/tools and ships in CORRECTNESS_FULL_r{N}.json.
+#
+# Round-6 additions rotated in the SAME round they shipped (closing the
+# record-keeping gap the last two verdicts flagged for new operators):
+# pagerank_scores, group_outliers_zscore, event_transitions,
+# source_lang_gini displace second-or-later representatives —
+# cluster_keep_best (B28 keeps ngram_jaccard_pairs + minhash_recall_ok +
+# fuzzy_join_names), quantize_embeddings (B29 keeps topk_cosine),
+# pii_scrub_counts (B30 keeps decontaminate_counts), stream_stream_join
+# (B24/25 keep stream_window_agg + stream_keep_latest + sessionize).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -5662,18 +5671,18 @@ _DRIVER_PRIORITY = [
     "window_cumsum", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
-    "quantize_embeddings", "approx_percentile_ok", "hll_sketch_merge_ok",
+    "pagerank_scores", "approx_percentile_ok", "hll_sketch_merge_ok",
     "checksum_lineitem", "lineage_audit", "zorder_roundtrip_checksum",
     "scd2_intervals", "funnel_stages", "cohort_retention",
     "triangle_count", "as_of_join_events", "range_join_bands",
     "runtime_filter_join", "gap_fill_hours",
     "sessionize", "stream_window_agg",
-    "stream_keep_latest", "stream_stream_join",
+    "stream_keep_latest", "group_outliers_zscore",
     "fuzzy_join_names", "pandas_udf_bucket", "exact_dedup_docs",
-    "ngram_jaccard_pairs", "cluster_keep_best",
+    "ngram_jaccard_pairs", "event_transitions",
     "tpch_q21_shape", "minhash_recall_ok",
     "decontaminate_counts",
-    "pii_scrub_counts",
+    "source_lang_gini",
 ]
 
 
