@@ -5599,6 +5599,29 @@ def q_source_lang_gini(spark: SparkSession, sf: str) -> DataFrame:
     return P.group_diversity_gini(docs, "source", "lang")
 
 
+@contract(
+    "sample_k_per_group",
+    "SELECT source, doc_id FROM"
+    " (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source"
+    "   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'),"
+    "    1, 8))::BIGINT, doc_id) AS rn FROM documents) WHERE rn <= 5",
+    "ext",
+    "llm",
+)
+def q_sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fixed-k per-group sampling
+    (relational.sample_k_per_group): exactly min(5, |group|) docs per
+    source by seeded md5 order — Spark plans the rank filter as
+    WindowGroupLimit (map-side partial top-k before the exchange), so the
+    shuffle carries <= k rows per group per partition at any scale.  The
+    oracle replays the identical hash order; the result is id-exact, not
+    just count-exact."""
+    docs = load_table(spark, sf, "documents")
+    return R.sample_k_per_group(docs, ["source"], "doc_id", k=5, seed=7).select(
+        "source", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

@@ -803,3 +803,41 @@ def event_transition_matrix(
             6,
         ).alias("p"),
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    k: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly ``min(k, |group|)``
+    rows per key group, chosen by a seeded content hash — the "sample k
+    docs per source for eval" pipeline op.  Unlike ``sampleBy`` (Bernoulli
+    — group sizes vary run-to-run and can be 0), the hash order makes the
+    sample exact-size, reproducible across engines, partitionings, and
+    reruns, and refreshable by bumping ``seed``.
+
+    Plan: rank-filter over a (keys)-partitioned window ordered by
+    ``md5(id:seed)`` — Spark 3.5+ plans this as WindowGroupLimit, a
+    map-side partial top-k per group BEFORE the exchange, so the shuffle
+    carries at most ``k`` rows per group per input partition, not the
+    fact table.  The hash tie-breaks by id, so duplicate ids cannot make
+    the cut order ambiguous."""
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    sort_key = md5_prefix32(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(str(seed))
+        )
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(sort_key, F.col(id_col))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -921,3 +921,33 @@ def test_group_diversity_gini_bounds(spark):
     assert out["s1"].gini == 0.0
     assert out["s2"].n_docs == 10 and out["s2"].n_classes == 2
     assert abs(out["s2"].gini - 0.5) < 1e-9
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    """Exactly min(k, |group|) rows per group; the chosen id set is
+    invariant under repartitioning (hash order, not physical order) and
+    changes with the seed; the rank filter plans as WindowGroupLimit
+    (map-side partial top-k before the exchange)."""
+    from shuttle_spark.plans.audit import executed_plan
+
+    rows = [(g, i) for g in ("x", "y") for i in range(40)] + [("z", 0)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = R.sample_k_per_group(df, ["g"], "id", k=3, seed=7)
+    got = sorted((r.g, r.id) for r in out.collect())
+    sizes = {}
+    for g, _ in got:
+        sizes[g] = sizes.get(g, 0) + 1
+    assert sizes == {"x": 3, "y": 3, "z": 1}
+    again = sorted(
+        (r.g, r.id)
+        for r in R.sample_k_per_group(
+            df.repartition(13), ["g"], "id", k=3, seed=7
+        ).collect()
+    )
+    assert again == got
+    reseeded = sorted(
+        (r.g, r.id)
+        for r in R.sample_k_per_group(df, ["g"], "id", k=3, seed=8).collect()
+    )
+    assert reseeded != got  # 6 of 80 ids re-chosen identically is ~never
+    assert "WindowGroupLimit" in executed_plan(out)
