@@ -5531,8 +5531,9 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     "  FROM v GROUP BY 1, 2),"
     " m AS (SELECT l_returnflag, l_linestatus, n_rows,"
     "   CAST(s1 AS DOUBLE) / n_rows AS mean,"
-    "   SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_rows)"
-    "     / (n_rows - 1)) AS std FROM s)"
+    "   CASE WHEN n_rows > 1 THEN"
+    "    SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_rows)"
+    "     / (n_rows - 1)) END AS std FROM s)"
     " SELECT v.l_returnflag, v.l_linestatus, MIN(m.n_rows) AS n_rows,"
     "  COUNT(*) FILTER (WHERE ABS(v.ui - m.mean) > 2 * m.std) AS n_outliers,"
     "  ROUND(MIN(m.mean), 6) AS mean_value, ROUND(MIN(m.std), 6) AS std_value"

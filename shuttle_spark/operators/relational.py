@@ -739,12 +739,21 @@ def group_outliers_zscore(
         *keys,
         "n_rows",
         (F.col("__s1").cast("double") / F.col("n_rows")).alias("__mean"),
-        F.sqrt(
-            (
-                F.col("__s2").cast("double")
-                - F.col("__s1").cast("double") * F.col("__s1") / F.col("n_rows")
-            )
-            / (F.col("n_rows") - 1)
+        # Single-row groups get NULL std (not 0/0 = NaN): NULL propagates
+        # cleanly through the |z| comparison (0 outliers) and the rounded
+        # output in BOTH engines, where NaN hash/order semantics diverge —
+        # the degenerate-input convention of SCALING.md.
+        F.when(
+            F.col("n_rows") > 1,
+            F.sqrt(
+                (
+                    F.col("__s2").cast("double")
+                    - F.col("__s1").cast("double")
+                    * F.col("__s1")
+                    / F.col("n_rows")
+                )
+                / (F.col("n_rows") - 1)
+            ),
         ).alias("__std"),
     )
     return (

@@ -710,8 +710,9 @@ def test_fuzz_group_outliers(spark, duck, keys, value, z, key_mod):
         f"  CAST(SUM(ui) AS BIGINT) AS s1, CAST(SUM(ui * ui) AS BIGINT) AS s2"
         f"  FROM v GROUP BY ALL),"
         f" m AS (SELECT {kl}, n_rows, CAST(s1 AS DOUBLE) / n_rows AS mean,"
-        f"  SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_rows)"
-        f"    / (n_rows - 1)) AS std FROM s)"
+        f"  CASE WHEN n_rows > 1 THEN"
+        f"   SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_rows)"
+        f"    / (n_rows - 1)) END AS std FROM s)"
         f" SELECT {', '.join('v.' + k for k in keys)}, MIN(m.n_rows) AS n_rows,"
         f"  COUNT(*) FILTER (WHERE ABS(v.ui - m.mean) > {z} * m.std)"
         f"   AS n_outliers,"

@@ -951,3 +951,17 @@ def test_sample_k_per_group_exact_and_stable(spark):
     )
     assert reseeded != got  # 6 of 80 ids re-chosen identically is ~never
     assert "WindowGroupLimit" in executed_plan(out)
+
+
+def test_group_outliers_single_row_group_null_std(spark):
+    """Degenerate-input convention: a 1-row group reports NULL std/0
+    outliers, not 0/0 = NaN (NaN hash/order semantics diverge
+    cross-engine; NULL propagates identically)."""
+    df = spark.createDataFrame(
+        [("solo", 42.0), ("pair", 1.0), ("pair", 3.0)], "g string, v double"
+    )
+    out = {r.g: r for r in R.group_outliers_zscore(df, ["g"], "v").collect()}
+    assert out["solo"].n_rows == 1
+    assert out["solo"].std_value is None
+    assert out["solo"].n_outliers == 0
+    assert out["pair"].std_value is not None
