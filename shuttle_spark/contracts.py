@@ -5623,6 +5623,38 @@ def q_sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "semantic_dedup_kept",
+    "WITH s AS (SELECT vec_id, embedding,"
+    "  GREATEST(list_max(list_transform(embedding,"
+    "   x -> ABS(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s"
+    " FROM embeddings WHERE embedding IS NOT NULL),"
+    " q AS (SELECT vec_id, list_transform(embedding,"
+    "   x -> FLOOR(CAST(x AS DOUBLE) / s + 0.5)) AS qv FROM s),"
+    " n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),"
+    " dom AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b"
+    "  ON a.vec_id < b.vec_id"
+    "  AND list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) >= 0.4)"
+    " SELECT vec_id, label FROM embeddings"
+    " WHERE vec_id NOT IN (SELECT vec_id FROM dom)",
+    "B29",
+    "llm",
+)
+def q_semantic_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDedup-style semantic deduplication
+    (similarity.semantic_dedup): keep a vector iff no LOWER-id vector has
+    quantized-cosine >= 0.4 — id-exact against a full O(n^2) DuckDB twin.
+    Exactness rides the int8 quantization: dot and norms are exact
+    integers in both engines (every intermediate < 2^53), so the final
+    sim is ONE correctly-rounded sqrt + divide of identical ints — no
+    threshold straddle is possible.  Gate path is the size-guarded
+    broadcast int-matmul kernel; the 100 TB path is exact=False (sign-LSH
+    banded candidates + the same integer verify join-local), superset-
+    tested in tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.4).select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

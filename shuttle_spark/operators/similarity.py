@@ -554,3 +554,141 @@ def quantized_dot_topk(
         .orderBy(F.desc("qsim"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup-style semantic deduplication: drop any vector whose quantized
+# cosine to a LOWER-id vector clears the threshold ("greedy keep-by-id").
+# ---------------------------------------------------------------------------
+
+
+def semantic_dominated_ids(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+    max_rows: int = EXACT_ALL_PAIRS_MAX_ROWS,
+) -> DataFrame:
+    """Ids dominated by a lower-id semantic near-duplicate (one column,
+    ``id_col``): v is dominated iff some u with u.id < v.id has
+    quantized-cosine(u, v) >= threshold.
+
+    Similarity runs on the int8-quantized vectors (``quantize_int8``), NOT
+    raw floats, for two reasons:
+
+    * **bit-stable cross-engine agreement** — the dot product and the two
+      squared norms are exact integers (|q| <= 127, 64 dims -> every
+      intermediate < 2^53, so even a float summation of them is exact in
+      any order), and ``idot / sqrt(n2a * n2b)`` is then one correctly-
+      rounded division of one correctly-rounded sqrt: the sim an oracle
+      computes from the same ints is the same double, so threshold
+      membership can be gated exactly, with no rounded-boundary straddle.
+    * **this is the representation a 100 TB corpus would score in
+      anyway** — 4x less candidate-shuffle bandwidth (cf. SemDedup,
+      Abbas et al. 2023; the reference has no embedding ops, this is
+      LLM-pipeline surface).
+
+    Per-vector quantization scale cancels out of the cosine, so the scale
+    column is never read.
+
+    exact=True (gate / oracle path): broadcast-matrix block matmul over the
+    quantized ints — the `_exact_all_pairs` kernel shape, size-guarded at
+    ``max_rows`` (raises, never OOMs).  exact=False (scale path): sign-LSH
+    banded candidates (hash-partitioned equi-join, never all-pairs) with
+    the same integer verify join-local; recall tracked by the
+    ``semantic_dedup`` LSH-vs-exact superset test (tests/test_similarity).
+    """
+    quant = quantize_int8(embeddings, id_col, vec_col).filter(
+        F.col("qvec").isNotNull()
+    )
+    if not exact:
+        cand = lsh_candidate_pairs(
+            embeddings.filter(F.col(vec_col).isNotNull()),
+            dim,
+            id_col,
+            vec_col,
+            n_planes,
+            bands,
+        )
+        qa = quant.select(
+            F.col(id_col).alias("id_a"), F.col("qvec").alias("qv_a")
+        )
+        qb = quant.select(
+            F.col(id_col).alias("id_b"), F.col("qvec").alias("qv_b")
+        )
+        idot = F.aggregate(
+            F.zip_with(F.col("qv_a"), F.col("qv_b"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e.cast("long"),
+        ).cast("double")
+        n2 = lambda c: F.aggregate(  # noqa: E731
+            F.transform(F.col(c), lambda e: e * e),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e.cast("long"),
+        ).cast("double")
+        scored = (
+            cand.select("id_a", "id_b")
+            .join(qa, "id_a")
+            .join(qb, "id_b")
+            .select(
+                "id_b",
+                (idot / F.sqrt(n2("qv_a") * n2("qv_b"))).alias("sim"),
+            )
+        )
+        return (
+            scored.filter(F.col("sim") >= F.lit(float(threshold)))
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+
+    local = quant.select(id_col, "qvec").limit(max_rows + 1).toPandas()
+    if len(local) > max_rows:
+        raise ValueError(
+            f"semantic dedup exact path exceeds max_rows={max_rows}; use "
+            "exact=False (LSH candidates + integer verify)"
+        )
+    ids_np = local[id_col].to_numpy(dtype=np.int64)
+    qmat = np.stack(local["qvec"].to_numpy()).astype(np.int64)
+    n2_all = (qmat * qmat).sum(axis=1)  # exact int64
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids_np, qmat, n2_all))
+    out_schema = T.StructType([T.StructField(id_col, T.LongType())])
+
+    def batches(it):
+        all_ids, all_q, all_n2 = bc.value
+        for pdf in it:
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rq = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            rn2 = (rq * rq).sum(axis=1)
+            idot = rq @ all_q.T  # exact int64
+            # same expression the SQL oracle evaluates on the same exact
+            # ints: one correctly-rounded sqrt + divide -> bit-identical
+            sims = idot / np.sqrt(rn2[:, None].astype(np.float64) * all_n2[None, :])
+            dominated = ((all_ids[None, :] < row_ids[:, None]) & (sims >= threshold)).any(
+                axis=1
+            )
+            yield pd.DataFrame({id_col: row_ids[dominated]})
+
+    return quant.select(id_col, "qvec").mapInPandas(batches, out_schema)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup: keep each vector iff no lower-id
+    vector is a quantized-cosine near-duplicate at ``threshold``.  The
+    survivor set is deterministic (id order, not arrival order) and
+    idempotent to re-runs; dedup is an anti-join against the dominated-id
+    relation, so the corpus itself is scanned once and never collected."""
+    dominated = semantic_dominated_ids(
+        embeddings, threshold, id_col, vec_col, exact=exact, **kwargs
+    )
+    return embeddings.join(dominated, id_col, "left_anti")

@@ -965,3 +965,48 @@ def test_group_outliers_single_row_group_null_std(spark):
     assert out["solo"].std_value is None
     assert out["solo"].n_outliers == 0
     assert out["pair"].std_value is not None
+
+
+def test_semantic_dedup_greedy_by_id_and_null_safe(spark):
+    """SemDedup keep rule: v survives iff NO lower-id vector clears the
+    quantized-cosine threshold — so a duplicate of a *dropped* vector is
+    still dropped (domination is by raw id order, not by survivor set),
+    and a NULL embedding can never dominate nor be dropped."""
+    from shuttle_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),  # dup of 0 -> dropped
+        (2, [0.98, 0.02, 0.0, 0.0]),  # dup of 1 (dropped) AND 0 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),  # novel -> kept
+        (4, None),  # NULL embedding -> kept, never scored
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept = sorted(
+        r.vec_id for r in S.semantic_dedup(emb, threshold=0.9).collect()
+    )
+    assert kept == [0, 3, 4]
+
+
+def test_semantic_dedup_lsh_path_is_superset_of_exact(spark):
+    """The scale path (sign-LSH candidates + the same integer verify) may
+    MISS dominating pairs but never invent them: its survivor set is a
+    superset of the exact path's, and both paths agree that every exact
+    survivor survives.  Run on the real embeddings table so the hyperplane
+    signatures see realistic geometry."""
+    from shuttle_spark.catalog import load_table
+    from shuttle_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    kept_exact = {
+        r.vec_id for r in S.semantic_dedup(emb, threshold=0.4).collect()
+    }
+    kept_lsh = {
+        r.vec_id
+        for r in S.semantic_dedup(emb, threshold=0.4, exact=False).collect()
+    }
+    assert kept_exact <= kept_lsh
+    n = emb.count()
+    assert len(kept_exact) < n  # threshold chosen to actually dedup
+    # LSH at (32 planes, 8 bands) should still find most dominators here
+    assert len(kept_lsh) - len(kept_exact) <= (n - len(kept_exact)) * 0.5
