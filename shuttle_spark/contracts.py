@@ -5655,6 +5655,29 @@ def q_semantic_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     return S.semantic_dedup(emb, threshold=0.4).select("vec_id", "label")
 
 
+@contract(
+    "repeated_span_docs",
+    "WITH g AS (SELECT UNNEST(generate_series(0, 4096)) AS g),"
+    " w AS (SELECT DISTINCT doc_id, substr(text, (g*16)+1, 32) AS win"
+    "   FROM documents, g WHERE g*16 <= length(text) - 32),"
+    " shared AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1)"
+    " SELECT doc_id, source FROM documents WHERE doc_id IN"
+    "  (SELECT doc_id FROM w WHERE win IN (SELECT win FROM shared))",
+    "B27",
+    "llm",
+)
+def q_repeated_span_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-span detection (dedup.repeated_span_doc_ids): docs
+    sharing an aligned 32-char window at stride 16 with another doc —
+    verbatim-copy dedup's detection half, id-exact vs the oracle's
+    replayed window grid.  Pure JVM transform/substr explode, distinct
+    (doc, win) with map-side collapse, HAVING>1 windows semi-joined back;
+    every stage hash-partitions on the window key."""
+    docs = load_table(spark, sf, "documents")
+    hit = D.repeated_span_doc_ids(docs, width=32, stride=16)
+    return docs.join(hit, "doc_id", "left_semi").select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

@@ -96,3 +96,62 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("__key", normalized_text_key(F.col(text_col))).dropDuplicates(
         ["__key"]
     ).drop("__key")
+
+
+def aligned_span_windows(
+    df: DataFrame,
+    width: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (id, win) relation of aligned fixed-width character windows
+    over ``text_col`` (1 window per ``stride`` chars; docs shorter than
+    ``width`` emit nothing).
+
+    This is the exact-substring analog of shingling (cf. Lee et al. 2022's
+    suffix-array substring dedup; the Spark-native rendition is aligned
+    windows meeting in a hash shuffle — the same candidate-generation shape
+    as MinHash banding, but EXACT on the window text).  The window
+    expression is a pure JVM transform/substr tree over a sequence — no
+    Python, no UDF.  Scale note: the exploded relation is ~width/stride x
+    the corpus text bytes; at 100 TB group on ``xxhash64(win)`` instead of
+    the raw window to halve shuffle bytes (the oracle-matching contract
+    keeps the raw window, which at width 32 is the same size as an md5
+    hex anyway)."""
+    txt = F.col(text_col)
+    wins = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length(txt) - F.lit(width)) / F.lit(stride)).cast("int"),
+        ),
+        lambda g: txt.substr(g * stride + 1, F.lit(width)),
+    )
+    return (
+        df.filter(F.length(txt) >= width)
+        .select(F.col(id_col), F.explode(wins).alias("win"))
+        .dropDuplicates([id_col, "win"])
+    )
+
+
+def repeated_span_doc_ids(
+    docs: DataFrame,
+    width: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids of documents sharing an aligned ``width``-char exact window with
+    at least one OTHER document — the detection half of verbatim-copy
+    dedup (boilerplate, mirrored pages, license blocks).
+
+    Plan: explode -> distinct (id, win) (partial+final hash agg, map-side
+    collapse) -> windows with >=2 holders -> semi-join back.  Both
+    aggregations and the semi-join hash-partition on the window key, so
+    skew concentrates only on truly viral spans (bounded by HAVING>1
+    output size, not input size)."""
+    wins = aligned_span_windows(docs, width, stride, text_col, id_col)
+    shared = (
+        wins.groupBy("win").count().filter(F.col("count") > 1).select("win")
+    )
+    return wins.join(shared, "win", "left_semi").select(id_col).distinct()

@@ -1010,3 +1010,28 @@ def test_semantic_dedup_lsh_path_is_superset_of_exact(spark):
     assert len(kept_exact) < n  # threshold chosen to actually dedup
     # LSH at (32 planes, 8 bands) should still find most dominators here
     assert len(kept_lsh) - len(kept_exact) <= (n - len(kept_exact)) * 0.5
+
+
+def test_repeated_span_detection_is_aligned_and_width_gated(spark):
+    """Aligned-window semantics pinned: two docs sharing a 32-char span
+    that starts on the stride grid in BOTH are detected; a doc whose copy
+    of the span sits off-grid is NOT (this operator trades the
+    suffix-array's any-offset guarantee for a pure hash-shuffle plan —
+    the docstring says so, this test makes the trade visible); docs
+    shorter than the window emit nothing."""
+    from shuttle_spark.operators import dedup as D
+
+    span = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345"  # exactly 32 chars
+    rows = [
+        (1, span + "x" * 16),          # span at offset 0 (aligned)
+        (2, "y" * 16 + span),          # span at offset 16 (aligned)
+        (3, "z" * 5 + span),           # span at offset 5 (off-grid)
+        (4, "short"),                  # < width -> no windows
+        (5, "q" * 64),                 # unique content
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hit = sorted(
+        r.doc_id
+        for r in D.repeated_span_doc_ids(docs, width=32, stride=16).collect()
+    )
+    assert hit == [1, 2]
