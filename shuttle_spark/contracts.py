@@ -5678,6 +5678,50 @@ def q_repeated_span_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.join(hit, "doc_id", "left_semi").select("doc_id", "source")
 
 
+@contract(
+    "ewma_anomalies",
+    "WITH e AS (SELECT event_id, user_id, ts,"
+    "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents"
+    " FROM events WHERE value IS NOT NULL),"
+    " l AS (SELECT event_id, user_id, cents,"
+    "  LAG(cents,1) OVER w AS l1, LAG(cents,2) OVER w AS l2,"
+    "  LAG(cents,3) OVER w AS l3, LAG(cents,4) OVER w AS l4,"
+    "  LAG(cents,5) OVER w AS l5, LAG(cents,6) OVER w AS l6,"
+    "  LAG(cents,7) OVER w AS l7, LAG(cents,8) OVER w AS l8"
+    " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+    " f AS (SELECT event_id, user_id, cents,"
+    "  COALESCE(l1*128,0)+COALESCE(l2*64,0)+COALESCE(l3*32,0)"
+    "  +COALESCE(l4*16,0)+COALESCE(l5*8,0)+COALESCE(l6*4,0)"
+    "  +COALESCE(l7*2,0)+COALESCE(l8,0) AS wsum,"
+    "  (CASE WHEN l1 IS NULL THEN 0 ELSE 128 END)"
+    "  +(CASE WHEN l2 IS NULL THEN 0 ELSE 64 END)"
+    "  +(CASE WHEN l3 IS NULL THEN 0 ELSE 32 END)"
+    "  +(CASE WHEN l4 IS NULL THEN 0 ELSE 16 END)"
+    "  +(CASE WHEN l5 IS NULL THEN 0 ELSE 8 END)"
+    "  +(CASE WHEN l6 IS NULL THEN 0 ELSE 4 END)"
+    "  +(CASE WHEN l7 IS NULL THEN 0 ELSE 2 END)"
+    "  +(CASE WHEN l8 IS NULL THEN 0 ELSE 1 END) AS denom,"
+    "  l4 IS NOT NULL AS scored FROM l)"
+    " SELECT event_id, user_id, cents, wsum, denom FROM f"
+    " WHERE scored AND ABS(cents*denom - wsum) > 10000*denom",
+    "B17",
+    "ext",
+)
+def q_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA anomaly detection (relational.ewma_deviants): flag
+    events deviating > $100 from the dyadic-weighted mean of their 8
+    predecessors.  The FIR weights are powers of two over integer cents,
+    so wsum/denom are exact int64 and the threshold is an integer
+    cross-multiplication — id-exact cross-engine with zero float
+    comparisons.  One window (8 lags share a frame) = one exchange on
+    user_id + one sort."""
+    ev = load_table(spark, sf, "events")
+    out = R.ewma_deviants(
+        ev, ["user_id"], ["ts", "event_id"], "value", threshold_cents=10000
+    )
+    return out.select("event_id", "user_id", "cents", "wsum", "denom")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

@@ -850,3 +850,64 @@ def sample_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ewma_deviants(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    threshold_cents: int,
+    window: int = 8,
+    min_lags: int = 4,
+) -> DataFrame:
+    """Per-key EWMA anomaly detection with an all-integer arithmetic path:
+    flag a row whose value deviates from the exponentially-weighted mean of
+    its previous ``window`` values by more than ``threshold_cents``.
+
+    The EWMA is a dyadic FIR filter — weight 2^(window-j) on lag j — over
+    the value scaled to integer cents, so the weighted sum ``wsum`` and the
+    weight total ``denom`` are EXACT int64 in any engine and any execution
+    order, and the anomaly predicate |x - wsum/denom| > T is evaluated as
+    the integer cross-multiplication |x*denom - wsum| > T*denom: no float
+    is ever compared, so threshold membership cannot straddle between
+    engines (the discipline of contracts.py's scaled-long sums, applied to
+    a recurrence).  Rows with fewer than ``min_lags`` predecessors are not
+    scored; NULL values are excluded from the series entirely (they would
+    otherwise be ambiguous with not-enough-history NULL lags).
+
+    Plan: ONE window (all ``window`` lags share a frame) = one hash
+    exchange on the keys + one sort — per-key state never leaves the JVM,
+    and at 100 TB the shuffle is the unavoidable series-partitioning one.
+    Scale knob: ``window`` is a column-count constant, not a frame scan.
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).withColumn("__cents", cents)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    lags = [F.lag("__cents", j).over(w) for j in range(1, window + 1)]
+    weights = [1 << (window - j) for j in range(1, window + 1)]
+    wsum = sum(
+        (F.coalesce(lag * F.lit(wt), F.lit(0)) for lag, wt in zip(lags, weights)),
+        F.lit(0).cast("long"),
+    )
+    denom = sum(
+        (
+            F.when(lag.isNull(), F.lit(0)).otherwise(F.lit(wt))
+            for lag, wt in zip(lags, weights)
+        ),
+        F.lit(0).cast("long"),
+    )
+    scored = base.select(
+        *df.columns,
+        F.col("__cents").alias("cents"),
+        wsum.alias("wsum"),
+        denom.alias("denom"),
+        lags[min_lags - 1].isNotNull().alias("__scored"),
+    )
+    return scored.filter(
+        F.col("__scored")
+        & (
+            F.abs(F.col("cents") * F.col("denom") - F.col("wsum"))
+            > F.lit(int(threshold_cents)) * F.col("denom")
+        )
+    ).drop("__scored")

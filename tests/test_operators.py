@@ -1035,3 +1035,45 @@ def test_repeated_span_detection_is_aligned_and_width_gated(spark):
         for r in D.repeated_span_doc_ids(docs, width=32, stride=16).collect()
     )
     assert hit == [1, 2]
+
+
+def test_ewma_deviants_integer_semantics(spark):
+    """Constructed series pins the EWMA contract: rows with < min_lags
+    history are never scored, NULL values drop out of the series (the
+    successor's lags skip them), a flat series flags nothing, and a spike
+    after stable history is flagged via the integer cross-multiplication
+    (no float ever compared)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: stable $1.00 x5 then a $200 spike -> spike flagged
+    for i in range(5):
+        rows.append((i, 1, t0 + dt.timedelta(minutes=i), 1.0))
+    rows.append((5, 1, t0 + dt.timedelta(minutes=5), 200.0))
+    # user 2: flat series -> nothing flagged
+    for i in range(6):
+        rows.append((10 + i, 2, t0 + dt.timedelta(minutes=i), 7.0))
+    # user 3: huge spike but only 3 predecessors -> below min_lags, unscored
+    for i in range(3):
+        rows.append((20 + i, 3, t0 + dt.timedelta(minutes=i), 1.0))
+    rows.append((23, 3, t0 + dt.timedelta(minutes=3), 500.0))
+    # user 4: NULL value mid-series is excluded, history still accrues
+    vals4 = [2.0, 2.0, None, 2.0, 2.0, 300.0]
+    for i, v in enumerate(vals4):
+        rows.append((30 + i, 4, t0 + dt.timedelta(minutes=i), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in R.ewma_deviants(
+            df, ["user_id"], ["ts", "event_id"], "value", threshold_cents=10000
+        ).collect()
+    }
+    assert set(out) == {5, 35}
+    r5 = out[5]
+    assert (r5.cents, r5.denom) == (20000, 128 + 64 + 32 + 16 + 8)
+    assert r5.wsum == 100 * r5.denom  # flat $1 history
+    # user 4: the NULL row never became a lag — denom reflects 4 real lags
+    assert out[35].denom == 128 + 64 + 32 + 16
