@@ -339,3 +339,62 @@ def group_diversity_gini(
             ).alias("gini"),
         )
     )
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document a 0-based ``bin_id``
+    inside its group such that consecutive docs (in ``id_col`` order) fill
+    a bin until adding the next would exceed ``budget`` — the sample-
+    packing step that turns a ragged corpus into fixed-token-budget
+    training sequences (wasted pad tokens are the single biggest training-
+    throughput tax on unpacked data).
+
+    The fill recurrence is inherently sequential per group (bin boundaries
+    depend on every predecessor), so this is one of the few legitimate
+    ``applyInPandas`` operators: Spark hash-partitions the groups (one
+    exchange), each group packs in-memory in id order, and nothing ever
+    reaches the driver.  Determinism: the packing order is the id order,
+    not arrival order, so output is invariant to partitioning and reruns.
+    An oversized doc (> budget) gets a bin of its own — it still closes
+    the running bin exactly like any non-fitting doc.
+
+    Scale note (100 TB): parallelism == |groups|, so the group key must be
+    sharded finer than `source` at scale — pack within (source, shard)
+    where shard = hash(id) % k picks the tradeoff between parallelism and
+    cross-shard padding waste; bin ids then namespace per shard.  A group
+    must fit one executor's memory (ids + sizes only — the TEXT need not
+    ride this relation; join it back by id at write time).
+    """
+    import pandas as pd
+
+    out_fields = df.select(group_col, id_col, size_col).schema.fields
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    out_schema = schema_str + ", bin_id bigint"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy()
+        bins = []
+        b, cum = 0, 0
+        for n in sizes:
+            n = int(n)
+            if cum > 0 and cum + n > budget:
+                b += 1
+                cum = n
+            else:
+                cum += n
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return (
+        df.select(group_col, id_col, size_col)
+        .groupBy(group_col)
+        .applyInPandas(pack, out_schema)
+    )

@@ -235,3 +235,37 @@ def test_quantized_topk_matches_exact_on_separated_data(spark):
         r.vec_id for r in S.quantized_dot_topk(quant, q0.qvec, q0.q_scale, 5).collect()
     }
     assert len(exact & approx) >= 4
+
+
+def test_pack_greedy_bins_semantics_and_invariance(spark):
+    """Greedy fill pinned on constructed sizes: bins close exactly when the
+    next doc would overflow, an oversized doc takes a bin alone (and closes
+    the running bin), every doc appears exactly once, and the assignment is
+    invariant to input partitioning (packing order is id order)."""
+    from shuttle_spark.operators import pipeline as P
+
+    rows = [
+        ("a", 1, 500),   # bin 0 (cum 500)
+        ("a", 2, 400),   # bin 0 (cum 900)
+        ("a", 3, 200),   # bin 1 (900+200 > 1000)
+        ("a", 4, 1500),  # oversized -> bin 2 alone
+        ("a", 5, 100),   # bin 3 (1500+100 > 1000)
+        ("b", 9, 1000),  # exactly budget -> bin 0
+        ("b", 10, 1),    # bin 1
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = {
+        (r.source, r.doc_id): r.bin_id
+        for r in P.pack_greedy_bins(df, "source", "doc_id", "n_chars", 1000).collect()
+    }
+    assert got == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2, ("a", 5): 3,
+        ("b", 9): 0, ("b", 10): 1,
+    }
+    rep = {
+        (r.source, r.doc_id): r.bin_id
+        for r in P.pack_greedy_bins(
+            df.repartition(7), "source", "doc_id", "n_chars", 1000
+        ).collect()
+    }
+    assert rep == got
