@@ -5817,6 +5817,18 @@ def q_pack_greedy_bins(spark: SparkSession, sf: str) -> DataFrame:
 # fuzzy_join_names), quantize_embeddings (B29 keeps topk_cosine),
 # pii_scrub_counts (B30 keeps decontaminate_counts), stream_stream_join
 # (B24/25 keep stream_window_agg + stream_keep_latest + sessionize).
+#
+# Round-6 late additions, same-round rotation: semantic_dedup_kept,
+# repeated_span_docs, ewma_anomalies, pack_greedy_bins displace
+# second-or-later representatives — tpch_q21_shape (B12 keeps
+# join_3way_agg + bucketed_join_agg + skew_join_agg + runtime_filter_join,
+# plus broadcast_join_agg for B13; all 22 TPC-H shapes stay FULL-gated),
+# minhash_recall_ok (B28 keeps ngram_jaccard_pairs + fuzzy_join_names;
+# the recall property stays FULL-gated), approx_percentile_ok (B22 keeps
+# hll_sketch_merge_ok), stream_keep_latest (B8 keeps keep_latest; the
+# streaming surface keeps stream_window_agg + the FULL-gated replays).
+# pack_greedy_bins joins pandas_udf_bucket as B26's grouped-map
+# (applyInPandas) representative beside the scalar pandas_udf one.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -5827,16 +5839,16 @@ _DRIVER_PRIORITY = [
     "window_cumsum", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
-    "pagerank_scores", "approx_percentile_ok", "hll_sketch_merge_ok",
+    "pagerank_scores", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "checksum_lineitem", "lineage_audit", "zorder_roundtrip_checksum",
     "scd2_intervals", "funnel_stages", "cohort_retention",
     "triangle_count", "as_of_join_events", "range_join_bands",
     "runtime_filter_join", "gap_fill_hours",
     "sessionize", "stream_window_agg",
-    "stream_keep_latest", "group_outliers_zscore",
+    "ewma_anomalies", "group_outliers_zscore",
     "fuzzy_join_names", "pandas_udf_bucket", "exact_dedup_docs",
     "ngram_jaccard_pairs", "event_transitions",
-    "tpch_q21_shape", "minhash_recall_ok",
+    "repeated_span_docs", "pack_greedy_bins",
     "decontaminate_counts",
     "source_lang_gini",
 ]
