@@ -859,3 +859,177 @@ def test_fuzz_pagerank(spark, duck, p, q, iters, d):
     )
     sdf = CC.pagerank(o, iters=iters, damping=d)
     _check(sdf, duck, _pagerank_sql(p, q, iters, d))
+
+
+# ---------------------------------------------------------------------------
+# Mode 15: EWMA anomaly detection  (round-6 late — the integer FIR path
+# under arbitrary window lengths, weights regenerated per spec: the SQL
+# twin is UNROLLED programmatically, so the lag-chain recurrence has an
+# exact oracle at every generated point, the pagerank pattern applied to
+# a window recurrence)
+# ---------------------------------------------------------------------------
+
+
+def _ewma_sql(window: int, min_lags: int, thr: int, user_mod: int) -> str:
+    lags = ", ".join(
+        f"LAG(cents,{j}) OVER w AS l{j}" for j in range(1, window + 1)
+    )
+    wsum = " + ".join(
+        f"COALESCE(l{j}*{1 << (window - j)}, 0)" for j in range(1, window + 1)
+    )
+    denom = " + ".join(
+        f"(CASE WHEN l{j} IS NULL THEN 0 ELSE {1 << (window - j)} END)"
+        for j in range(1, window + 1)
+    )
+    return (
+        f"WITH e AS (SELECT event_id, user_id, ts,"
+        f"  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents"
+        f" FROM events WHERE value IS NOT NULL"
+        f"  AND user_id % {user_mod} = 0),"
+        f" l AS (SELECT event_id, user_id, cents, {lags}"
+        f" FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        f" f AS (SELECT event_id, user_id, cents, {wsum} AS wsum,"
+        f"  {denom} AS denom, l{min_lags} IS NOT NULL AS scored FROM l)"
+        f" SELECT event_id, user_id, cents, wsum, denom FROM f"
+        f" WHERE scored AND ABS(cents*denom - wsum) > {thr}*denom"
+    )
+
+
+@given(
+    window=st.integers(2, 10),
+    min_lags_frac=st.integers(1, 100),
+    thr=st.sampled_from([1000, 3000, 5000, 10000, 20000]),
+    user_mod=st.integers(1, 4),
+)
+@FUZZ
+def test_fuzz_ewma_anomalies(spark, duck, window, min_lags_frac, thr, user_mod):
+    from shuttle_spark.operators import relational as R
+
+    min_lags = 1 + (min_lags_frac * window) // 101
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") % user_mod == 0)
+    sdf = R.ewma_deviants(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        threshold_cents=thr,
+        window=window,
+        min_lags=min_lags,
+    ).select("event_id", "user_id", "cents", "wsum", "denom")
+    _check(sdf, duck, _ewma_sql(window, min_lags, thr, user_mod))
+
+
+# ---------------------------------------------------------------------------
+# Mode 16: greedy sequence packing  (round-6 late — the sequential fill
+# recurrence vs a parameterized recursive CTE: budgets straddle the doc
+# size distribution so bins range from 1-doc to dozens-of-docs)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    budget=st.sampled_from([64, 300, 700, 2048, 10000]),
+    doc_mod=st.integers(1, 5),
+    key=st.sampled_from(["source", "lang"]),
+)
+@FUZZ
+def test_fuzz_pack_greedy_bins(spark, duck, budget, doc_mod, key):
+    from shuttle_spark.operators import pipeline as P
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % doc_mod == 0
+    )
+    sdf = P.pack_greedy_bins(docs, key, "doc_id", "n_chars", budget).select(
+        key, "doc_id", "bin_id"
+    )
+    sql = (
+        f"WITH RECURSIVE s AS ("
+        f" SELECT {key}, doc_id, n_chars,"
+        f"  ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY doc_id) AS rn"
+        f" FROM documents WHERE doc_id % {doc_mod} = 0),"
+        f" r AS ("
+        f" SELECT {key}, doc_id, rn, CAST(0 AS BIGINT) AS bin_id,"
+        f"  n_chars AS cum FROM s WHERE rn = 1"
+        f" UNION ALL"
+        f" SELECT s.{key}, s.doc_id, s.rn,"
+        f"  CASE WHEN r.cum + s.n_chars > {budget} THEN r.bin_id + 1"
+        f"   ELSE r.bin_id END,"
+        f"  CASE WHEN r.cum + s.n_chars > {budget} THEN s.n_chars"
+        f"   ELSE r.cum + s.n_chars END"
+        f" FROM r JOIN s ON s.{key} = r.{key} AND s.rn = r.rn + 1)"
+        f" SELECT {key}, doc_id, bin_id FROM r"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 17: repeated-span detection  (round-6 late — window grid geometry:
+# width/stride combinations change which windows exist at all, so the
+# explode/distinct/HAVING chain is exercised at every alignment)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    width=st.sampled_from([8, 12, 16, 24, 32]),
+    stride_frac=st.sampled_from([1, 2, 4]),
+    doc_mod=st.integers(1, 3),
+)
+@FUZZ
+def test_fuzz_repeated_spans(spark, duck, width, stride_frac, doc_mod):
+    from shuttle_spark.operators import dedup as D
+
+    stride = max(1, width // stride_frac)
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % doc_mod == 0
+    )
+    sdf = D.repeated_span_doc_ids(
+        docs, width=width, stride=stride
+    ).select("doc_id")
+    sql = (
+        f"WITH g AS (SELECT UNNEST(generate_series(0, 4096)) AS g),"
+        f" w AS (SELECT DISTINCT doc_id,"
+        f"   substr(text, (g*{stride})+1, {width}) AS win"
+        f"  FROM documents, g WHERE doc_id % {doc_mod} = 0"
+        f"   AND g*{stride} <= length(text) - {width}),"
+        f" shared AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1)"
+        f" SELECT DISTINCT doc_id FROM w WHERE win IN (SELECT win FROM shared)"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 18: semantic dedup  (round-6 late — threshold sweep over the
+# integer-exact quantized cosine: every generated tau is a straddle
+# probe, and corpus subsets change which lower-id vector dominates)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    tau_pct=st.integers(30, 60),
+    vec_mod=st.integers(1, 4),
+)
+@FUZZ_HEAVY
+def test_fuzz_semantic_dedup(spark, duck, tau_pct, vec_mod):
+    from shuttle_spark.operators import similarity as S
+
+    tau = tau_pct / 100.0
+    emb = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") % vec_mod == 0
+    )
+    sdf = S.semantic_dedup(emb, threshold=tau).select("vec_id")
+    sql = (
+        f"WITH s AS (SELECT vec_id, embedding,"
+        f"  GREATEST(list_max(list_transform(embedding,"
+        f"   x -> ABS(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s"
+        f" FROM embeddings WHERE embedding IS NOT NULL"
+        f"  AND vec_id % {vec_mod} = 0),"
+        f" q AS (SELECT vec_id, list_transform(embedding,"
+        f"   x -> FLOOR(CAST(x AS DOUBLE) / s + 0.5)) AS qv FROM s),"
+        f" n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),"
+        f" dom AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b"
+        f"  ON a.vec_id < b.vec_id"
+        f"  AND list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2)"
+        f"   >= {tau!r})"
+        f" SELECT vec_id FROM embeddings WHERE vec_id % {vec_mod} = 0"
+        f"  AND vec_id NOT IN (SELECT vec_id FROM dom)"
+    )
+    _check(sdf, duck, sql)
