@@ -32,6 +32,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Iterable, Sequence
 
@@ -502,6 +503,20 @@ def _staged_table_files(
     load_table(spark, sf_dir, table).repartitionByRange(
         n_files, range_col
     ).write.mode("overwrite").parquet(d)
+    # FileStreamSource picks files oldest-modtime-first, but the range
+    # buckets are WRITTEN by parallel tasks whose completion order is
+    # arbitrary — a later range file finishing first would replay first,
+    # advance the watermark past the earlier buckets, and turn their rows
+    # into droppable late data (observed: stream_ewma parity flaked run to
+    # run).  Pin modtimes to part-file NAME order (== sorted range order)
+    # so every replay delivers buckets in range order, the in-order
+    # landing-zone contract a production receiver provides by arrival.
+    parts = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    base = time.time() - len(parts)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(d, f), (base + i, base + i))
     _staged_multi[key] = d
     return d
 
@@ -807,3 +822,137 @@ def run_available_now(
     finally:
         restore()
     return spark.table(name)
+
+
+def stream_ewma_deviants(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold_cents: int = 10000,
+    window: int = 8,
+    min_lags: int = 4,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``relational.ewma_deviants``: per-key EWMA anomaly
+    detection as a live stateful operator (``applyInPandasWithState``).
+
+    Micro-batches deliver rows in arrival order, but the EWMA recurrence is
+    defined over EVENT-time order — so rows buffer in state and score only
+    once the watermark passes them (the finalize-at-watermark pattern of
+    this module's window/session operators, applied to a custom
+    recurrence).  A finalized row's predecessors have smaller-or-equal
+    event time, hence are finalized with or before it, so the scored
+    history is exactly the batch operator's lag window: stream == batch on
+    the watermark-finalized subset, bit-for-bit (the arithmetic is the
+    same all-integer FIR — cents, dyadic weights, integer
+    cross-multiplied threshold).
+
+    State per key = (last ``window`` finalized cents, pending rows); the
+    watermark bounds pending state exactly like the reference's stage TTL
+    bounds its seen-sets (ShuffleDataExecutor.java:279-313).  At scale the
+    state is O(window + in-flight disorder) per key and spills to RocksDB.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("wsum", T.LongType()),
+            T.StructField("denom", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hist", T.ArrayType(T.LongType())),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_eid", T.ArrayType(T.LongType())),
+            T.StructField("p_cents", T.ArrayType(T.LongType())),
+        ]
+    )
+    weights = [1 << (window - j) for j in range(1, window + 1)]
+    thr = int(threshold_cents)
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        hist, p_ts, p_eid, p_c = (
+            ([*state.get[0]], [*state.get[1]], [*state.get[2]], [*state.get[3]])
+            if state.exists
+            else ([], [], [], [])
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                pdf = pdf[pdf[value_col].notna()]
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+                # true-late rows (event time at or before the batch's
+                # watermark) are DROPPED, the same rule the built-in
+                # stateful operators apply: their predecessors were already
+                # finalized, so scoring them now would replay history out
+                # of order.  In-order sources (range-staged replay, a
+                # production landing zone) never produce them.
+                live = us > wm_us
+                if not live.all():
+                    pdf = pdf[live]
+                    us = us[live]
+                    if not len(pdf):
+                        continue
+                # same double expression as the batch twin / oracle:
+                # floor(value*100 + 0.5) on the identical float64 inputs
+                cents = np.floor(
+                    pdf[value_col].values.astype("float64") * 100 + 0.5
+                ).astype("int64")
+                p_ts.extend(int(x) for x in us)
+                p_eid.extend(int(x) for x in pdf["event_id"].values)
+                p_c.extend(int(x) for x in cents)
+        out_rows = []
+        if p_ts:
+            order = np.lexsort((np.asarray(p_eid), np.asarray(p_ts)))
+            rem_ts, rem_eid, rem_c = [], [], []
+            for i in order:
+                i = int(i)
+                if p_ts[i] > wm_us:
+                    rem_ts.append(p_ts[i])
+                    rem_eid.append(p_eid[i])
+                    rem_c.append(p_c[i])
+                    continue
+                x = p_c[i]
+                n_hist = len(hist)
+                if n_hist >= min_lags:
+                    k = min(window, n_hist)
+                    wsum = sum(hist[-j] * weights[j - 1] for j in range(1, k + 1))
+                    denom = sum(weights[:k])
+                    if abs(x * denom - wsum) > thr * denom:
+                        out_rows.append(
+                            (key[0], p_eid[i], p_ts[i], x, wsum, denom)
+                        )
+                hist.append(x)
+                if len(hist) > window:
+                    hist = hist[-window:]
+            p_ts, p_eid, p_c = rem_ts, rem_eid, rem_c
+        state.update((hist[-window:], p_ts, p_eid, p_c))
+        if p_ts:
+            state.setTimeoutTimestamp(
+                max(min(p_ts) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[key_col, "event_id", "ts_us", "cents", "wsum", "denom"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

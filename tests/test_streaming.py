@@ -405,3 +405,49 @@ def test_fuzz_stream_batch_window_equivalence(spark, window, watermark, key, mod
     )
     got = {tuple(r) for r in streamed.collect()}
     assert got == batch
+
+
+def test_stream_ewma_equals_batch_single_and_multi_batch(spark):
+    """stream_ewma_deviants == relational.ewma_deviants on the finalized
+    subset, bit-for-bit — in BOTH replay shapes: single-batch (all rows
+    buffer, the closing timeout batch finalizes) and multi-batch (the
+    watermark advances mid-stream, so rows finalize in data calls too and
+    the history/pending state must carry across micro-batches)."""
+    from shuttle_spark.operators import relational as R
+    from shuttle_spark.streaming import (
+        events_stream_multi,
+        stream_ewma_deviants,
+    )
+
+    batch = R.ewma_deviants(
+        _events(spark), ["user_id"], ["ts", "event_id"], "value",
+        threshold_cents=5000,
+    )
+    # conservative 1s guard inside the 2h cutoff: the watermark is
+    # ms-grain while event time is µs-grain (same guard as the contract)
+    cutoff = _cutoff(spark) - dt.timedelta(seconds=1)
+    want = _rows(
+        batch.filter(F.col("ts") <= F.lit(cutoff)).select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+            "cents", "wsum", "denom",
+        )
+    )
+    assert want  # threshold chosen so the finalized subset flags rows
+    cutoff_us = int(
+        _events(spark)
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+        - 7_201_000_000
+    )
+    for src, name in (
+        (events_stream(spark, SF), "sewma_one"),
+        (events_stream_multi(spark, SF, n_files=4), "sewma_multi"),
+    ):
+        got = run_available_now(
+            stream_ewma_deviants(src, threshold_cents=5000),
+            name,
+            shuffle_partitions=4,
+        ).filter(F.col("ts_us") <= cutoff_us)
+        assert _rows(got.select(
+            "user_id", "event_id", "ts_us", "cents", "wsum", "denom"
+        )) == want
