@@ -5819,6 +5819,86 @@ def q_stream_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "linear_attribution",
+    "WITH conv AS (SELECT event_id AS c_id, user_id, ts::TIMESTAMP AS c_ts,"
+    "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c_cents FROM events"
+    "  WHERE event_type = 'purchase' AND value IS NOT NULL),"
+    " touch AS (SELECT event_id AS t_id, user_id, ts::TIMESTAMP AS t_ts"
+    "  FROM events WHERE event_type = 'click'),"
+    " j AS (SELECT t_id, t.user_id, c_id, c_cents,"
+    "   COUNT(*) OVER (PARTITION BY c_id) AS n,"
+    "   ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY t_ts, t_id) AS rn"
+    "  FROM conv c JOIN touch t ON c.user_id = t.user_id"
+    "   AND t_ts <= c_ts AND t_ts > c_ts - INTERVAL 7 DAY)"
+    " SELECT t_id, user_id, COUNT(*) AS n_conversions,"
+    "  CAST(SUM(CAST(FLOOR(CAST(c_cents AS DOUBLE) / n) AS BIGINT)"
+    "   + CASE WHEN rn <= c_cents % n THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS credit_cents"
+    " FROM j GROUP BY 1, 2",
+    "B17",
+    "ext",
+)
+def q_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch linear attribution (relational.linear_attribution):
+    each purchase's value splits equally across the user's clicks in the
+    prior 7 days — credit is exact integer cents (floor share + the
+    remainder to the earliest touches), so per-conversion credit sums
+    exactly to the conversion value and the rollup is hash-exact with no
+    float division.  One hash join on user_id (range residual), one
+    window over the join output, one final hash agg on the touch id."""
+    ev = load_table(spark, sf, "events")
+    return R.linear_attribution(ev).select(
+        F.col("t_id"), "user_id", "n_conversions", "credit_cents"
+    )
+
+
+@contract(
+    "hash_split_assignments",
+    "SELECT doc_id, CASE WHEN b < 800000 THEN 'train'"
+    "  WHEN b < 900000 THEN 'val' ELSE 'test' END AS split"
+    " FROM (SELECT doc_id,"
+    "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'), 1, 8))"
+    "   ::BIGINT % 1000000 AS b FROM documents)",
+    "ext",
+    "llm",
+)
+def q_hash_split_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (pipeline.hash_split, 80/10/10):
+    each doc's split is a pure function of md5(id:seed) — reproducible
+    across engines, partitionings, reruns, and corpus growth (a doc keeps
+    its split when the corpus is re-snapshotted; a random split() cannot
+    promise that, which is how eval contamination happens).  Row-local
+    JVM expressions, no shuffle; id-exact against the oracle's replayed
+    hash buckets."""
+    docs = load_table(spark, sf, "documents")
+    return P.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).select("doc_id", "split")
+
+
+@contract(
+    "key_skew_census",
+    "SELECT o_custkey, cnt, share FROM ("
+    " SELECT o_custkey, COUNT(*) AS cnt,"
+    "  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share"
+    " FROM orders GROUP BY 1)"
+    " ORDER BY cnt DESC, o_custkey LIMIT 10",
+    "B6",
+    "B9",
+)
+def q_key_skew_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew census (relational.key_skew_census): the 10
+    heaviest o_custkey groups with their row share — the diagnostic a
+    pipeline runs before hash-partitioning 100 TB on a key, to choose
+    between a plain shuffle, salting, or AQE skew-join (the engine twin
+    of the reference's worker load accounting,
+    ShuffleWorkerStatusManager.java:75-130).  One partial+final hash agg,
+    a window only over the aggregated relation, TakeOrderedAndProject."""
+    o = load_table(spark, sf, "orders")
+    return R.key_skew_census(o, ["o_custkey"], top_k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

@@ -398,3 +398,39 @@ def pack_greedy_bins(
         .groupBy(group_col)
         .applyInPandas(pack, out_schema)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 7,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): each row's split is a
+    pure function of ``md5(id:seed)``, so the assignment is reproducible
+    across engines, partitionings, reruns, AND corpus growth — a doc keeps
+    its split when new docs arrive, the property a random ``split()``
+    cannot give and the one that prevents silent eval-set contamination
+    when a corpus is re-snapshotted.
+
+    Fractions map split names to probabilities (must sum to <= 1; any
+    remainder falls into the last declared split).  The hash bucket is the
+    32-bit md5 prefix modulo 1e6 compared against cumulative boundaries —
+    row-local JVM expressions only, no shuffle, pushed-through scan.
+    Refresh the assignment by bumping ``seed``."""
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    bucket = md5_prefix32(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    ) % F.lit(1_000_000)
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    bounds = []
+    for n in names[:-1]:
+        cum += fractions[n]
+        bounds.append((n, int(round(cum * 1_000_000))))
+    for n, b in reversed(bounds):
+        expr = F.when(bucket < b, F.lit(n)).otherwise(expr)
+    return df.withColumn(split_col, expr)

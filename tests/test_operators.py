@@ -1077,3 +1077,76 @@ def test_ewma_deviants_integer_semantics(spark):
     assert r5.wsum == 100 * r5.denom  # flat $1 history
     # user 4: the NULL row never became a lag — denom reflects 4 real lags
     assert out[35].denom == 128 + 64 + 32 + 16
+
+
+def test_linear_attribution_integer_credit_split(spark):
+    """A $1.00 conversion over 3 touches splits 34/33/33 (remainder to the
+    EARLIEST touches), per-conversion credit sums exactly to the
+    conversion cents, touches outside the 7-day window get nothing, and a
+    touch serving two conversions accumulates both credits."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        # user 1: three clicks then a $1.00 purchase
+        (1, 1, t0 + dt.timedelta(hours=1), "click", None),
+        (2, 1, t0 + dt.timedelta(hours=2), "click", None),
+        (3, 1, t0 + dt.timedelta(hours=3), "click", None),
+        (4, 1, t0 + dt.timedelta(hours=4), "purchase", 1.00),
+        # second purchase 1h later -> same three clicks credited again ($0.03)
+        (5, 1, t0 + dt.timedelta(hours=5), "purchase", 0.03),
+        # user 2: click 8 days before the purchase -> outside window
+        (6, 2, t0 - dt.timedelta(days=8), "click", None),
+        (7, 2, t0, "purchase", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    got = {r.t_id: r for r in R.linear_attribution(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert [got[i].credit_cents for i in (1, 2, 3)] == [34 + 1, 33 + 1, 33 + 1]
+    assert all(got[i].n_conversions == 2 for i in (1, 2, 3))
+
+
+def test_hash_split_deterministic_and_growth_stable(spark):
+    """Split assignment is a pure function of (id, seed): invariant under
+    repartitioning AND under corpus growth (rows keep their split when new
+    rows arrive — the anti-contamination property), fractions land near
+    80/10/10, and every row gets exactly one split."""
+    from shuttle_spark.operators import pipeline as P
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 2000).toDF("id")
+    a = {r.id: r.split for r in P.hash_split(df, "id", fr).collect()}
+    b = {
+        r.id: r.split
+        for r in P.hash_split(df.repartition(13), "id", fr).collect()
+    }
+    assert a == b
+    grown = {
+        r.id: r.split
+        for r in P.hash_split(spark.range(0, 4000).toDF("id"), "id", fr).collect()
+    }
+    assert all(grown[i] == a[i] for i in a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] - 1600) < 100 and abs(c["val"] - 200) < 60
+    assert c["train"] + c["val"] + c["test"] == 2000
+
+
+def test_key_skew_census_shares_and_no_global_window(spark):
+    """Census semantics on constructed skew (one hot key = 50% of rows),
+    and the plan must NOT contain a partition-less window — the total is a
+    broadcast scalar, or the census itself hits the skew wall it exists to
+    diagnose."""
+    from shuttle_spark.plans.audit import executed_plan
+
+    rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    out = R.key_skew_census(df, ["k"], top_k=3)
+    got = out.collect()
+    assert (got[0].k, got[0].cnt, got[0].share) == ("hot", 50, 0.5)
+    assert all(r.cnt == 1 for r in got[1:])
+    assert "Window" not in executed_plan(out)
