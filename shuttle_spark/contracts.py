@@ -5899,6 +5899,38 @@ def q_key_skew_census(spark: SparkSession, sf: str) -> DataFrame:
     return R.key_skew_census(o, ["o_custkey"], top_k=10)
 
 
+@contract(
+    "winsorized_stats",
+    "WITH v AS (SELECT event_type,"
+    "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c"
+    " FROM events WHERE value IS NOT NULL),"
+    " r AS (SELECT event_type, c,"
+    "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,"
+    "  COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),"
+    " b AS (SELECT event_type, MIN(c) AS lo_cents, MAX(c) AS hi_cents,"
+    "  MAX(n) AS n_rows FROM r"
+    "  WHERE rn = GREATEST(CAST(CEIL(0.05*n) AS BIGINT), 1)"
+    "   OR rn = GREATEST(CAST(CEIL(0.95*n) AS BIGINT), 1) GROUP BY 1)"
+    " SELECT v.event_type, lo_cents, hi_cents, n_rows,"
+    "  CAST(SUM(GREATEST(LEAST(c, hi_cents), lo_cents)) AS BIGINT)"
+    "   AS winsorized_sum_cents"
+    " FROM v JOIN b USING (event_type) GROUP BY 1, 2, 3, 4",
+    "B17",
+    "B6",
+)
+def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type winsorized value summary (relational.winsorized_stats):
+    clamp to the exact discrete p05/p95 order statistics and sum as
+    integer cents — outlier capping without interpolating percentiles
+    (which differ between engines; the value AT rank ceil(q*n) is a real
+    row, identical everywhere).  One order-statistics window shuffle, a
+    broadcast bounds join-back, one hash agg."""
+    ev = load_table(spark, sf, "events")
+    return R.winsorized_stats(ev, ["event_type"], "value").select(
+        "event_type", "lo_cents", "hi_cents", "n_rows", "winsorized_sum_cents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

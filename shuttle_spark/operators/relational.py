@@ -1014,3 +1014,62 @@ def key_skew_census(
         .orderBy(F.desc("cnt"), *key_cols)
         .limit(top_k)
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp values to the group's
+    [lo_q, hi_q] EXACT (discrete) percentiles and report the clamped sum —
+    the outlier-capping step a feature pipeline runs before aggregating a
+    heavy-tailed metric (interpolating percentiles differ between engines;
+    the value AT rank ceil(q*n) is a row that exists, so it is identical
+    everywhere).
+
+    All arithmetic is integer cents: the percentile bounds are order
+    statistics over ``floor(value*100 + 0.5)`` and the clamped sum is an
+    exact int64 — association-free, hash-stable.
+
+    Plan: one window (rank + count share a frame) over a per-key sort —
+    the unavoidable order-statistics shuffle — then the tiny per-key
+    bounds relation broadcast-joins back and the clamped sum is one hash
+    aggregate.  NULL values are excluded (they have no rank)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, cents.alias("__c")
+    )
+    w = Window.partitionBy(*keys).orderBy("__c")
+    ranked_vals = base.select(
+        *keys,
+        "__c",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*keys)).alias("__n"),
+    )
+    bounds = (
+        ranked_vals.filter(
+            (F.col("__rn") == F.greatest(F.ceil(F.lit(lo_q) * F.col("__n")), F.lit(1)))
+            | (F.col("__rn") == F.greatest(F.ceil(F.lit(hi_q) * F.col("__n")), F.lit(1)))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.min("__c").alias("lo_cents"),
+            F.max("__c").alias("hi_cents"),
+            F.max("__n").alias("n_rows"),
+        )
+    )
+    clamped = base.join(F.broadcast(bounds), list(keys)).select(
+        *keys,
+        "lo_cents",
+        "hi_cents",
+        "n_rows",
+        F.greatest(F.least(F.col("__c"), F.col("hi_cents")), F.col("lo_cents")).alias(
+            "__cc"
+        ),
+    )
+    return clamped.groupBy(*keys, "lo_cents", "hi_cents", "n_rows").agg(
+        F.sum("__cc").alias("winsorized_sum_cents")
+    )

@@ -1150,3 +1150,18 @@ def test_key_skew_census_shares_and_no_global_window(spark):
     assert (got[0].k, got[0].cnt, got[0].share) == ("hot", 50, 0.5)
     assert all(r.cnt == 1 for r in got[1:])
     assert "Window" not in executed_plan(out)
+
+
+def test_winsorized_stats_exact_order_statistics(spark):
+    """Percentile bounds are EXACT order statistics (the value at rank
+    ceil(q*n), never interpolated): 20 values 1..20 with q=[0.05,0.95]
+    clamp to [1, 19] (ceil(.05*20)=1st, ceil(.95*20)=19th), NULLs are
+    excluded, and the clamped sum is exact integer cents."""
+    rows = [("a", float(i)) for i in range(1, 21)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = R.winsorized_stats(df, ["g"], "v", lo_q=0.05, hi_q=0.95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_rows, r.lo_cents, r.hi_cents) == (20, 100, 1900)
+    # sum of 1..20 cents with 20.0 clamped to 19.0
+    assert r.winsorized_sum_cents == (sum(range(1, 21)) - 1) * 100

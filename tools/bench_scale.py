@@ -77,6 +77,14 @@ QUERIES = [
     # hot key grows with SF, so this is the row that shows whether the
     # skew plan's scaling survives data growth.
     "skew_join_agg",
+    # round-6 late additions with linear-cost oracles.  pack_greedy_bins
+    # and semantic_dedup_kept are EXCLUDED by design: their oracles are a
+    # recursive CTE (O(depth x corpus) per level in DuckDB) and an O(n^2)
+    # all-pairs join — at sf10 the oracle is the bottleneck, not the
+    # engine, so the curve would measure DuckDB's replay, not scaling.
+    "ewma_anomalies",
+    "linear_attribution",
+    "repeated_span_docs",
 ]
 
 
