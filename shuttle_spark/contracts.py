@@ -6005,24 +6005,35 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
 # streaming surface keeps stream_window_agg + the FULL-gated replays).
 # pack_greedy_bins joins pandas_udf_bucket as B26's grouped-map
 # (applyInPandas) representative beside the scalar pandas_udf one.
+#
+# Second late-round rotation: stream_ewma_anomalies, linear_attribution,
+# winsorized_stats, sample_k_per_group displace window_cumsum (B17 keeps
+# scd2/gap_fill/ewma/event_transitions + the new winsorized/attribution
+# windows), fuzzy_join_names (B28 keeps ngram_jaccard_pairs +
+# semantic_dedup_kept), zorder_roundtrip_checksum (B23 keeps
+# checksum_lineitem + lineage_audit), bucketed_join_agg (B12 keeps
+# join_3way + skew + runtime_filter, B13 broadcast) — all four displaced
+# contracts stay FULL-gated.  hash_split_assignments and key_skew_census
+# ship FULL-gated this round (small row-local/diagnostic ops; every
+# family they touch already holds a driver row).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
     "agg_multi_fn", "distinct_partkeys", "keep_latest",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
     "broadcast_join_agg", "skew_join_agg", "anti_join_count",
-    "intersect_count", "rollup_agg", "bucketed_join_agg",
-    "window_cumsum", "global_rank_distributed",
+    "intersect_count", "rollup_agg", "sample_k_per_group",
+    "winsorized_stats", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
     "pagerank_scores", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "checksum_lineitem", "lineage_audit", "zorder_roundtrip_checksum",
+    "checksum_lineitem", "lineage_audit", "linear_attribution",
     "scd2_intervals", "funnel_stages", "cohort_retention",
     "triangle_count", "as_of_join_events", "range_join_bands",
     "runtime_filter_join", "gap_fill_hours",
     "sessionize", "stream_window_agg",
     "ewma_anomalies", "group_outliers_zscore",
-    "fuzzy_join_names", "pandas_udf_bucket", "exact_dedup_docs",
+    "stream_ewma_anomalies", "pandas_udf_bucket", "exact_dedup_docs",
     "ngram_jaccard_pairs", "event_transitions",
     "repeated_span_docs", "pack_greedy_bins",
     "decontaminate_counts",
