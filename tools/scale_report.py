@@ -105,6 +105,18 @@ RESIDUALS = """
   it is a property row on the curve for scaling evidence, not a
   head-to-head (bench_ratio.py excludes it from the comparable subset
   for the same reason).
+- `ewma_anomalies` / `linear_attribution` / `repeated_span_docs`
+  (round-6 late rows, ~5-6x at sf10, falling monotonically from ~30x):
+  all three are the windowed-recurrence / join-fan-out kernel class —
+  Spark's absolute wall scales ~linearly (0.6 s -> 5.8/9.0/10.3 s over
+  1000x) and the plans are the ones you'd ship (one series exchange +
+  one sort; hash join + one window + one agg; explode + map-side
+  distinct + semi-join), so the residual is DuckDB's single-node window
+  and string kernels per core, the same engine-constant named above for
+  checksum/rank.  pack_greedy_bins and semantic_dedup_kept are excluded
+  from the curve BY DESIGN: their oracles (recursive CTE, O(n^2)
+  all-pairs) are the bottleneck at sf10, so a ratio would measure the
+  oracle's replay, not the engine's scaling.
 
 Caveats stated plainly: this is local[32] single-node Spark against an
 excellent single-node columnar engine on MB-GB data; the curve, not any
