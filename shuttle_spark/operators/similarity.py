@@ -651,11 +651,15 @@ def semantic_dominated_ids(
             f"semantic dedup exact path exceeds max_rows={max_rows}; use "
             "exact=False (LSH candidates + integer verify)"
         )
+    out_schema = T.StructType([T.StructField(id_col, T.LongType())])
+    if not len(local):
+        # empty / all-NULL-embedding corpus: nothing can dominate —
+        # np.stack on zero rows would raise, so return the empty relation
+        return embeddings.sparkSession.createDataFrame([], out_schema)
     ids_np = local[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack(local["qvec"].to_numpy()).astype(np.int64)
     n2_all = (qmat * qmat).sum(axis=1)  # exact int64
     bc = embeddings.sparkSession.sparkContext.broadcast((ids_np, qmat, n2_all))
-    out_schema = T.StructType([T.StructField(id_col, T.LongType())])
 
     def batches(it):
         all_ids, all_q, all_n2 = bc.value

@@ -1033,3 +1033,141 @@ def test_fuzz_semantic_dedup(spark, duck, tau_pct, vec_mod):
         f"  AND vec_id NOT IN (SELECT vec_id FROM dom)"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 19: linear attribution  (round-6 late — window length, event-type
+# roles, and user subsets regenerated per spec; the integer credit split
+# must re-sum exactly at every point)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    days=st.integers(1, 30),
+    roles=st.sampled_from(
+        [("purchase", "click"), ("purchase", "view"), ("signup", "click"),
+         ("error", "view")]
+    ),
+    user_mod=st.integers(1, 4),
+)
+@FUZZ
+def test_fuzz_linear_attribution(spark, duck, days, roles, user_mod):
+    from shuttle_spark.operators import relational as R
+
+    conv_t, touch_t = roles
+    ev = load_table(spark, SF, "events").filter(
+        F.col("user_id") % user_mod == 0
+    )
+    sdf = R.linear_attribution(
+        ev, conv_type=conv_t, touch_type=touch_t, window_days=days
+    ).select("t_id", "user_id", "n_conversions", "credit_cents")
+    sql = (
+        f"WITH ev AS (SELECT * FROM events WHERE user_id % {user_mod} = 0),"
+        f" conv AS (SELECT event_id AS c_id, user_id, ts::TIMESTAMP AS c_ts,"
+        f"  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c_cents FROM ev"
+        f"  WHERE event_type = '{conv_t}' AND value IS NOT NULL),"
+        f" touch AS (SELECT event_id AS t_id, user_id, ts::TIMESTAMP AS t_ts"
+        f"  FROM ev WHERE event_type = '{touch_t}'),"
+        f" j AS (SELECT t_id, t.user_id, c_id, c_cents,"
+        f"   COUNT(*) OVER (PARTITION BY c_id) AS n,"
+        f"   ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY t_ts, t_id) AS rn"
+        f"  FROM conv c JOIN touch t ON c.user_id = t.user_id"
+        f"   AND t_ts <= c_ts AND t_ts > c_ts - INTERVAL {days} DAY)"
+        f" SELECT t_id, user_id, COUNT(*) AS n_conversions,"
+        f"  CAST(SUM(CAST(FLOOR(CAST(c_cents AS DOUBLE) / n) AS BIGINT)"
+        f"   + CASE WHEN rn <= c_cents % n THEN 1 ELSE 0 END) AS BIGINT)"
+        f"   AS credit_cents"
+        f" FROM j GROUP BY 1, 2"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 20: winsorized stats  (round-6 late — quantile pair x key sweep:
+# every (lo,hi) lands on different order statistics, probing the
+# ceil(q*n) boundary arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    lo_pct=st.integers(1, 30),
+    hi_pct=st.integers(70, 100),
+    key=st.sampled_from(["event_type", "user_id"]),
+)
+@FUZZ
+def test_fuzz_winsorized_stats(spark, duck, lo_pct, hi_pct, key):
+    from shuttle_spark.operators import relational as R
+
+    lo, hi = lo_pct / 100.0, hi_pct / 100.0
+    ev = load_table(spark, SF, "events")
+    sdf = R.winsorized_stats(ev, [key], "value", lo_q=lo, hi_q=hi).select(
+        key, "lo_cents", "hi_cents", "n_rows", "winsorized_sum_cents"
+    )
+    sql = (
+        f"WITH v AS (SELECT {key},"
+        f"  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c"
+        f" FROM events WHERE value IS NOT NULL),"
+        f" r AS (SELECT {key}, c,"
+        f"  ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY c) AS rn,"
+        f"  COUNT(*) OVER (PARTITION BY {key}) AS n FROM v),"
+        f" b AS (SELECT {key}, MIN(c) AS lo_cents, MAX(c) AS hi_cents,"
+        f"  MAX(n) AS n_rows FROM r"
+        f"  WHERE rn = GREATEST(CAST(CEIL({lo!r}*n) AS BIGINT), 1)"
+        f"   OR rn = GREATEST(CAST(CEIL({hi!r}*n) AS BIGINT), 1) GROUP BY 1)"
+        f" SELECT v.{key}, lo_cents, hi_cents, n_rows,"
+        f"  CAST(SUM(GREATEST(LEAST(c, hi_cents), lo_cents)) AS BIGINT)"
+        f"   AS winsorized_sum_cents"
+        f" FROM v JOIN b USING ({key}) GROUP BY 1, 2, 3, 4"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 21: hash split + skew census  (round-6 late — split boundaries and
+# seeds regenerated per spec; census key/k sweep)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    train_pct=st.integers(10, 90),
+    val_pct=st.integers(5, 9),
+    seed=st.integers(0, 99),
+)
+@FUZZ
+def test_fuzz_hash_split(spark, duck, train_pct, val_pct, seed):
+    from shuttle_spark.operators import pipeline as P
+
+    fr = {"train": train_pct / 100, "val": val_pct / 100, "test": 0.0}
+    docs = load_table(spark, SF, "documents")
+    sdf = P.hash_split(docs, "doc_id", fr, seed=seed).select("doc_id", "split")
+    b1 = int(round(train_pct / 100 * 1_000_000))
+    b2 = int(round((train_pct + val_pct) / 100 * 1_000_000))
+    sql = (
+        f"SELECT doc_id, CASE WHEN b < {b1} THEN 'train'"
+        f"  WHEN b < {b2} THEN 'val' ELSE 'test' END AS split"
+        f" FROM (SELECT doc_id,"
+        f"  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '{seed}'),"
+        f"   1, 8))::BIGINT % 1000000 AS b FROM documents)"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(
+    key=st.sampled_from(["o_custkey", "o_orderstatus", "o_orderpriority"]),
+    k=st.integers(1, 20),
+)
+@FUZZ
+def test_fuzz_key_skew_census(spark, duck, key, k):
+    from shuttle_spark.operators import relational as R
+
+    o = load_table(spark, SF, "orders")
+    sdf = R.key_skew_census(o, [key], top_k=k)
+    sql = (
+        f"SELECT {key}, cnt, share FROM ("
+        f" SELECT {key}, COUNT(*) AS cnt,"
+        f"  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)"
+        f"   AS share"
+        f" FROM orders GROUP BY 1)"
+        f" ORDER BY cnt DESC, {key} LIMIT {k}"
+    )
+    _check(sdf, duck, sql)

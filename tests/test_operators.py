@@ -1165,3 +1165,54 @@ def test_winsorized_stats_exact_order_statistics(spark):
     assert (r.n_rows, r.lo_cents, r.hi_cents) == (20, 100, 1900)
     # sum of 1..20 cents with 20.0 clamped to 19.0
     assert r.winsorized_sum_cents == (sum(range(1, 21)) - 1) * 100
+
+
+def test_round6_late_ops_survive_empty_and_all_null_inputs(spark):
+    """Degenerate-input sweep for the late round-6 operators: an EMPTY
+    relation and an all-NULL value column must yield empty (not crash,
+    not NaN) through every path — the guard rails a 100 TB run needs when
+    a partition, source, or day comes up empty."""
+    import datetime as dt
+
+    from shuttle_spark.operators import dedup as D2
+    from shuttle_spark.operators import pipeline as P
+    from shuttle_spark.operators import similarity as S
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    null_ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "purchase", None),
+         (2, 1, dt.datetime(2024, 1, 2), "click", None)],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    for ev in (empty_ev, null_ev):
+        assert R.ewma_deviants(
+            ev, ["user_id"], ["ts", "event_id"], "value", 1000
+        ).count() == 0
+        assert R.linear_attribution(ev).count() == 0
+        assert R.winsorized_stats(ev, ["event_type"], "value").count() == 0
+    assert R.key_skew_census(empty_ev, ["event_type"]).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    assert D2.repeated_span_doc_ids(empty_docs).count() == 0
+    assert P.pack_greedy_bins(
+        empty_docs, "source", "doc_id", "n_chars", 100
+    ).count() == 0
+    assert P.hash_split(
+        empty_docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).count() == 0
+    null_docs = spark.createDataFrame(
+        [(1, None, "s", 0)], "doc_id long, text string, source string,"
+        " n_chars long"
+    )
+    assert D2.repeated_span_doc_ids(null_docs).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert S.semantic_dedup(empty_emb, 0.4).count() == 0
