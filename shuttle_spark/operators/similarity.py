@@ -601,6 +601,14 @@ def semantic_dominated_ids(
     banded candidates (hash-partitioned equi-join, never all-pairs) with
     the same integer verify join-local; recall tracked by the
     ``semantic_dedup`` LSH-vs-exact superset test (tests/test_similarity).
+
+    SCALE RULE (measured, SCALING.md): bits-per-band = n_planes/bands must
+    grow ~log2(n) to keep bucket occupancy bounded — the small-corpus
+    default (32/8 = 4 bits -> 16 buckets/band) degenerates to near-all-
+    pairs beyond ~10k vectors (a 20k-vector run at the default was still
+    join-bound at 10 min; 128/8 = 16 bits finished in 2.8 s warm at 20k
+    and 160/8 at 13.9 s for 200k).  Fewer collisions also lower recall
+    per band; hold recall by raising ``bands`` together with n_planes.
     """
     quant = quantize_int8(embeddings, id_col, vec_col).filter(
         F.col("qvec").isNotNull()
