@@ -5931,6 +5931,72 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ngram_grams_cte() -> str:
+    """The norm/toks/grams CTE prefix of _NGRAM_ORACLE_BODY, split off with
+    a refuse-to-no-op guard (the _must_replace rationale: a silent
+    no-match after a wording edit to the base would gate the wrong
+    oracle far from the cause)."""
+    parts = _NGRAM_ORACLE_BODY.split("sizes AS")
+    if len(parts) != 2:
+        raise ValueError("ngram oracle body changed: 'sizes AS' anchor missing")
+    return parts[0].rstrip().rstrip(",")
+
+
+@contract(
+    "doc_typicality",
+    _ngram_grams_cte()
+    + ", dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),"
+    " per AS (SELECT doc_id, COUNT(*) AS n_grams,"
+    "  CAST(SUM(df) AS BIGINT) AS sum_df"
+    "  FROM grams JOIN dfreq USING (g) GROUP BY 1)"
+    " SELECT doc_id, n_grams, sum_df,"
+    "  ROUND(CAST(sum_df AS DOUBLE) / n_grams, 6) AS typicality FROM per",
+    "B30",
+    "llm",
+)
+def q_doc_typicality(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-typicality score (pipeline.doc_typicality): mean document
+    frequency of each doc's distinct word 3-grams — the LM-free "does
+    this look like the corpus" signal quality filters bucket on
+    (boilerplate scores high, unique prose low).  Integer counts, one
+    integer-ratio double rounded at 6dp; the gram relation is the
+    session-staged one the jaccard/minhash family shares, and the
+    df join-back is gram-partitioned (inverted-index shape, never
+    all-pairs)."""
+    docs = load_table(spark, sf, "documents")
+    return P.doc_typicality(docs, n=3)
+
+
+@contract(
+    "rolling_window_features",
+    "SELECT event_id, user_id, n_click_24h, n_view_24h FROM ("
+    " SELECT event_id, user_id, event_type,"
+    "  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w"
+    "   AS BIGINT) AS n_click_24h,"
+    "  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w"
+    "   AS BIGINT) AS n_view_24h"
+    " FROM events WINDOW w AS (PARTITION BY user_id"
+    "  ORDER BY epoch_us(ts::TIMESTAMP)"
+    "  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))"
+    " WHERE event_type = 'purchase'",
+    "B17",
+    "ext",
+)
+def q_rolling_window_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time-correct rolling features
+    (relational.rolling_window_features): at every purchase, the same
+    user's click/view counts in the trailing 24 h — the feature join
+    that must never see the future.  RANGE frames are peer-inclusive on
+    ties in both engines, so tie handling needs no event-id tiebreak (a
+    ROWS frame would).  One window per user; both feature columns share
+    the frame."""
+    ev = load_table(spark, sf, "events")
+    out = R.rolling_window_features(
+        ev, ["user_id"], "ts", "purchase", ["click", "view"], 24
+    )
+    return out.select("event_id", "user_id", "n_click_24h", "n_view_24h")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

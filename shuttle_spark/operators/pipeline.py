@@ -434,3 +434,41 @@ def hash_split(
     for n, b in reversed(bounds):
         expr = F.when(bucket < b, F.lit(n)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def doc_typicality(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus-typicality score per document: the mean document frequency
+    of the doc's distinct word n-grams — the cheap LM-free stand-in for
+    "how much does this doc look like the corpus" that quality-filtering
+    pipelines bucket on (boilerplate and template spam score HIGH —
+    their grams are everywhere; unique prose scores low; gibberish
+    scores ~1 — its grams appear nowhere else).
+
+    Exactness: n_grams and sum_df are integer counts, the score is one
+    integer-ratio double rounded at 6dp.  Plan: the session-staged gram
+    relation (neardup.gram_sets — same cache the jaccard/minhash family
+    fans out from) explodes once, the df relation is one partial+final
+    hash agg on the gram, and the join back is gram-partitioned — the
+    inverted-index shape again, never all-pairs."""
+    from shuttle_spark.operators import neardup as N
+
+    grams = N.gram_sets(docs, n=n).select(
+        "id", F.explode("grams").alias("g")
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("__df").alias("sum_df"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "sum_df",
+            F.round(
+                F.col("sum_df").cast("double") / F.col("n_grams"), 6
+            ).alias("typicality"),
+        )
+    )

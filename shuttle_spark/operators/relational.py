@@ -1073,3 +1073,43 @@ def winsorized_stats(
     return clamped.groupBy(*keys, "lo_cents", "hi_cents", "n_rows").agg(
         F.sum("__cc").alias("winsorized_sum_cents")
     )
+
+
+def rolling_window_features(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    at_type: str,
+    count_types: Sequence[str],
+    window_hours: int = 24,
+) -> DataFrame:
+    """Point-in-time-correct rolling features: at every ``at_type`` event,
+    the count of each ``count_types`` event by the same key in the
+    trailing ``window_hours`` — the feature-engineering join that must
+    NEVER see the future (computing it with a plain groupBy-per-day and
+    joining back leaks same-window-later events; the RANGE frame cannot).
+
+    One window per key (all feature columns share the frame): RANGE
+    BETWEEN window PRECEDING AND CURRENT ROW over epoch-micros, which is
+    peer-INCLUSIVE on ties in both Spark and ANSI SQL — so tie handling
+    needs no event-id tiebreak, unlike ROWS frames (the scd2 lesson's
+    complement: RANGE frames are deterministic under ties BY DEFINITION,
+    because peers enter together).  Counts are exact integers; the
+    at-type filter runs after the window so the frame sees ALL events."""
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(us)
+        .rangeBetween(-window_hours * 3_600_000_000, 0)
+    )
+    feats = [
+        F.sum(
+            F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+        )
+        .over(w)
+        .alias(f"n_{t}_{window_hours}h")
+        for t in count_types
+    ]
+    return events.select(*events.columns, *feats).filter(
+        F.col("event_type") == at_type
+    )

@@ -1216,3 +1216,31 @@ def test_round6_late_ops_survive_empty_and_all_null_inputs(spark):
         [], "vec_id long, embedding array<float>, label int"
     )
     assert S.semantic_dedup(empty_emb, 0.4).count() == 0
+
+
+def test_rolling_window_features_boundaries_and_ties(spark):
+    """RANGE-frame semantics pinned: a click exactly 24h before the
+    purchase IS in the frame (closed lower bound), one microsecond
+    earlier is NOT, a click at the same instant as the purchase IS
+    (peer-inclusive — no tiebreak needed), and other users never leak."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 10, 12, 0, 0)
+    rows = [
+        (1, 1, t0 - dt.timedelta(hours=24), "click", None),              # in (boundary)
+        (2, 1, t0 - dt.timedelta(hours=24, microseconds=1), "click", None),  # out
+        (3, 1, t0 - dt.timedelta(hours=1), "view", None),                # in
+        (4, 1, t0, "click", None),                                       # in (peer tie)
+        (5, 1, t0, "purchase", 10.0),
+        (6, 2, t0 - dt.timedelta(hours=1), "click", None),               # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    out = R.rolling_window_features(
+        df, ["user_id"], "ts", "purchase", ["click", "view"], 24
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_click_24h, r.n_view_24h) == (2, 1)

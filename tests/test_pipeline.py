@@ -269,3 +269,26 @@ def test_pack_greedy_bins_semantics_and_invariance(spark):
         ).collect()
     }
     assert rep == got
+
+
+def test_doc_typicality_scores_shared_high_unique_low(spark):
+    """Two identical docs (every gram df=2) score 2.0; a doc with no gram
+    shared by anyone scores exactly 1.0 (its own df); short docs (< n
+    tokens -> no grams) drop out."""
+    from shuttle_spark.operators import neardup as N
+    from shuttle_spark.operators import pipeline as P
+
+    N.clear_gram_cache()
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two three four five"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in P.doc_typicality(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].typicality == 2.0 and got[2].typicality == 2.0
+    assert got[3].typicality == 1.0
+    assert got[3].n_grams == 3 and got[3].sum_df == 3
+    N.clear_gram_cache()
