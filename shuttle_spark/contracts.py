@@ -6079,9 +6079,11 @@ def q_rolling_window_features(spark: SparkSession, sf: str) -> DataFrame:
 # semantic_dedup_kept), zorder_roundtrip_checksum (B23 keeps
 # checksum_lineitem + lineage_audit), bucketed_join_agg (B12 keeps
 # join_3way + skew + runtime_filter, B13 broadcast) — all four displaced
-# contracts stay FULL-gated.  hash_split_assignments and key_skew_census
-# ship FULL-gated this round (small row-local/diagnostic ops; every
-# family they touch already holds a driver row).
+# contracts stay FULL-gated.  hash_split_assignments, key_skew_census,
+# doc_typicality, and rolling_window_features ship FULL-gated this round
+# (every family they touch already holds a driver row — B30 keeps
+# decontaminate_counts, B17 holds five reps; twelve new operators already
+# rotated into the gate this round).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
