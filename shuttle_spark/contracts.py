@@ -5909,8 +5909,9 @@ def q_key_skew_census(spark: SparkSession, sf: str) -> DataFrame:
     "  COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),"
     " b AS (SELECT event_type, MIN(c) AS lo_cents, MAX(c) AS hi_cents,"
     "  MAX(n) AS n_rows FROM r"
-    "  WHERE rn = GREATEST(CAST(CEIL(0.05*n) AS BIGINT), 1)"
-    "   OR rn = GREATEST(CAST(CEIL(0.95*n) AS BIGINT), 1) GROUP BY 1)"
+    "  WHERE rn = GREATEST(CAST(FLOOR((500*n + 9999)/10000.0) AS BIGINT), 1)"
+    "   OR rn = GREATEST(CAST(FLOOR((9500*n + 9999)/10000.0) AS BIGINT), 1)"
+    "  GROUP BY 1)"
     " SELECT v.event_type, lo_cents, hi_cents, n_rows,"
     "  CAST(SUM(GREATEST(LEAST(c, hi_cents), lo_cents)) AS BIGINT)"
     "   AS winsorized_sum_cents"

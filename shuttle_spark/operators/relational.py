@@ -1034,6 +1034,14 @@ def winsorized_stats(
     statistics over ``floor(value*100 + 0.5)`` and the clamped sum is an
     exact int64 — association-free, hash-stable.
 
+    The rank itself is computed in exact BASIS-POINT integer arithmetic:
+    ``rank = (round(q*10000)*n + 9999) // 10000`` == ceil(q*n) for any q
+    on the 0.01% grid.  A float ``ceil(q*n)`` is a cross-engine trap the
+    differential fuzzer caught live: DuckDB parses ``0.28`` as exact
+    DECIMAL (0.28*75 = 21.00, ceil 21) while a double 0.28 is
+    0.28000000000000003 (ceil 22) — off-by-one order statistics exactly
+    when q*n lands on an integer.
+
     Plan: one window (rank + count share a frame) over a per-key sort —
     the unavoidable order-statistics shuffle — then the tiny per-key
     bounds relation broadcast-joins back and the clamped sum is one hash
@@ -1049,10 +1057,21 @@ def winsorized_stats(
         F.row_number().over(w).alias("__rn"),
         F.count("*").over(Window.partitionBy(*keys)).alias("__n"),
     )
+    lo_bp = int(round(lo_q * 10000))
+    hi_bp = int(round(hi_q * 10000))
+
+    def _rank(bp: int):
+        # exact integer ceil(bp*n/10000): numerator < 2^53 so the double
+        # division is exact enough for floor (quotients are >= 1e-4 away
+        # from integers unless exactly integral)
+        return F.greatest(
+            F.floor((F.lit(bp) * F.col("__n") + F.lit(9999)) / F.lit(10000.0)),
+            F.lit(1),
+        )
+
     bounds = (
         ranked_vals.filter(
-            (F.col("__rn") == F.greatest(F.ceil(F.lit(lo_q) * F.col("__n")), F.lit(1)))
-            | (F.col("__rn") == F.greatest(F.ceil(F.lit(hi_q) * F.col("__n")), F.lit(1)))
+            (F.col("__rn") == _rank(lo_bp)) | (F.col("__rn") == _rank(hi_bp))
         )
         .groupBy(*keys)
         .agg(

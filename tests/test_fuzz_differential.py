@@ -1112,8 +1112,10 @@ def test_fuzz_winsorized_stats(spark, duck, lo_pct, hi_pct, key):
         f"  COUNT(*) OVER (PARTITION BY {key}) AS n FROM v),"
         f" b AS (SELECT {key}, MIN(c) AS lo_cents, MAX(c) AS hi_cents,"
         f"  MAX(n) AS n_rows FROM r"
-        f"  WHERE rn = GREATEST(CAST(CEIL({lo!r}*n) AS BIGINT), 1)"
-        f"   OR rn = GREATEST(CAST(CEIL({hi!r}*n) AS BIGINT), 1) GROUP BY 1)"
+        f"  WHERE rn = GREATEST(CAST(FLOOR(({lo_pct * 100}*n + 9999)"
+        f"   /10000.0) AS BIGINT), 1)"
+        f"   OR rn = GREATEST(CAST(FLOOR(({hi_pct * 100}*n + 9999)"
+        f"   /10000.0) AS BIGINT), 1) GROUP BY 1)"
         f" SELECT v.{key}, lo_cents, hi_cents, n_rows,"
         f"  CAST(SUM(GREATEST(LEAST(c, hi_cents), lo_cents)) AS BIGINT)"
         f"   AS winsorized_sum_cents"
