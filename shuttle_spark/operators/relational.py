@@ -1132,3 +1132,80 @@ def rolling_window_features(
     return events.select(*events.columns, *feats).filter(
         F.col("event_type") == at_type
     )
+
+
+def join_fanout_census(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join fan-out census: the ``top_k`` join keys by output
+    cardinality (|left rows| x |right rows| per key) — the companion
+    diagnostic to ``key_skew_census``, run BEFORE shipping an equi-join
+    over 100 TB: the join's output size is exactly the sum of these
+    per-key products, and one viral key (a bot user, a null-ish default)
+    can make an innocent-looking join explode quadratically.
+
+    Plan: one partial+final hash agg per side (counts only — the fact
+    rows never move), an equi-join of the two tiny count relations, then
+    TakeOrderedAndProject.  All integers."""
+    keys = list(key_cols)
+    a = left.groupBy(*keys).agg(F.count("*").alias("n_left"))
+    b = right.groupBy(*keys).agg(F.count("*").alias("n_right"))
+    return (
+        a.join(b, keys)
+        .select(
+            *keys,
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("fanout"),
+        )
+        .orderBy(F.desc("fanout"), *keys)
+        .limit(top_k)
+    )
+
+
+def rolling_distinct_actives(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling engagement census per day: distinct actives that day (DAU)
+    and over the trailing ``window_days`` (WAU), plus the stickiness
+    ratio DAU/WAU — the product-health rollup every event pipeline ships.
+
+    COUNT(DISTINCT) cannot ride a window frame, so the rolling distinct
+    is computed set-correctly: dedup to (day, key) once (one shuffle of
+    the deduped relation, not the facts), broadcast the tiny day spine,
+    fan each (day, key) into the <= ``window_days`` report days it is
+    visible from (a bounded explode, not a range self-join), and
+    count-distinct per report day.  Ratio is an integer-count ratio
+    rounded at 6dp."""
+    day = F.to_date(F.col(ts_col))
+    dk = events.select(day.alias("day"), F.col(key_col).alias("k")).distinct()
+    spine = dk.select("day").distinct()
+    visible = dk.join(
+        F.broadcast(spine.select(F.col("day").alias("report_day"))),
+        (F.col("day") <= F.col("report_day"))
+        & (
+            F.col("day")
+            > F.date_sub(F.col("report_day"), window_days)
+        ),
+    )
+    wau = visible.groupBy("report_day").agg(
+        F.countDistinct("k").alias("wau")
+    )
+    dau = dk.groupBy("day").agg(F.countDistinct("k").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["report_day"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -1244,3 +1244,36 @@ def test_rolling_window_features_boundaries_and_ties(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_click_24h, r.n_view_24h) == (2, 1)
+
+
+def test_join_fanout_census_products(spark):
+    """Fan-out = n_left x n_right per key; keys missing on either side
+    emit nothing (inner count join); order is by product desc."""
+    a = spark.createDataFrame([(1,)] * 3 + [(2,)] * 1 + [(4,)], "k long")
+    b = spark.createDataFrame([(1,)] * 2 + [(2,)] * 5 + [(3,)], "k long")
+    got = [(r.k, r.n_left, r.n_right, r.fanout)
+           for r in R.join_fanout_census(a, b, ["k"], top_k=5).collect()]
+    assert got == [(1, 3, 2, 6), (2, 1, 5, 5)]
+
+
+def test_rolling_actives_window_semantics(spark):
+    """DAU/WAU pinned on a constructed calendar: a user active 8 days
+    before a report day is OUTSIDE its 7-day window; one active that day
+    and one 6 days back are inside; stickiness = dau/wau exactly."""
+    import datetime as dt
+
+    def ts(d, u):
+        return (100 * d + u, u, dt.datetime(2024, 1, d, 12, 0, 0), "click", None)
+
+    rows = [ts(1, 1), ts(3, 2), ts(9, 1), ts(9, 3)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    got = {str(r.day): (r.dau, r.wau, r.stickiness)
+           for r in R.rolling_distinct_actives(ev, "ts", "user_id", 7).collect()}
+    # day 9 window = days 3..9: users {2 (day3), 1, 3 (day9)} -> wau 3
+    assert got["2024-01-09"] == (2, 3, round(2 / 3, 6))
+    # day 3 window = days -3..3: users {1 (day1), 2 (day3)} -> wau 2
+    assert got["2024-01-03"] == (1, 2, 0.5)
+    assert got["2024-01-01"] == (1, 1, 1.0)
