@@ -1173,3 +1173,122 @@ def test_fuzz_key_skew_census(spark, duck, key, k):
         f" ORDER BY cnt DESC, {key} LIMIT {k}"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 22: typicality + rolling features + fan-out census + actives
+# (round-6 final — gram width, trailing windows, role pairs, and day
+# windows regenerated per spec)
+# ---------------------------------------------------------------------------
+
+
+@given(n=st.integers(2, 5), doc_mod=st.integers(1, 3))
+@FUZZ
+def test_fuzz_doc_typicality(spark, duck, n, doc_mod):
+    from shuttle_spark.operators import neardup as N
+    from shuttle_spark.operators import pipeline as P
+
+    N.clear_gram_cache()
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % doc_mod == 0
+    )
+    sdf = P.doc_typicality(docs, n=n)
+    gram = " || ' ' || ".join(f"w[i.i::BIGINT+{j}]" for j in range(n)).replace(
+        "+0]", "]"
+    )
+    sql = (
+        f"WITH norm AS (SELECT doc_id,"
+        f"  TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
+        f" FROM documents WHERE doc_id % {doc_mod} = 0),"
+        f" toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),"
+        f" grams AS (SELECT DISTINCT doc_id, {gram} AS g FROM toks,"
+        f"  LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(w)-{n-1}, 0)+1))"
+        f"   AS i) i),"
+        f" dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),"
+        f" per AS (SELECT doc_id, COUNT(*) AS n_grams,"
+        f"  CAST(SUM(df) AS BIGINT) AS sum_df"
+        f"  FROM grams JOIN dfreq USING (g) GROUP BY 1)"
+        f" SELECT doc_id, n_grams, sum_df,"
+        f"  ROUND(CAST(sum_df AS DOUBLE) / n_grams, 6) AS typicality FROM per"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(
+    hours=st.integers(1, 96),
+    at_type=st.sampled_from(["purchase", "signup"]),
+    count_type=st.sampled_from(["click", "view", "error"]),
+)
+@FUZZ
+def test_fuzz_rolling_window_features(spark, duck, hours, at_type, count_type):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events")
+    col = f"n_{count_type}_{hours}h"
+    sdf = R.rolling_window_features(
+        ev, ["user_id"], "ts", at_type, [count_type], hours
+    ).select("event_id", "user_id", col)
+    sql = (
+        f"SELECT event_id, user_id, {col} FROM ("
+        f" SELECT event_id, user_id, event_type,"
+        f"  CAST(SUM(CASE WHEN event_type = '{count_type}' THEN 1 ELSE 0 END)"
+        f"   OVER w AS BIGINT) AS {col}"
+        f" FROM events WINDOW w AS (PARTITION BY user_id"
+        f"  ORDER BY epoch_us(ts::TIMESTAMP)"
+        f"  RANGE BETWEEN {hours * 3_600_000_000} PRECEDING AND CURRENT ROW))"
+        f" WHERE event_type = '{at_type}'"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(
+    left_t=st.sampled_from(["click", "view"]),
+    right_t=st.sampled_from(["purchase", "error", "signup"]),
+    k=st.integers(1, 15),
+)
+@FUZZ
+def test_fuzz_join_fanout_census(spark, duck, left_t, right_t, k):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events")
+    sdf = R.join_fanout_census(
+        ev.filter(F.col("event_type") == left_t),
+        ev.filter(F.col("event_type") == right_t),
+        ["user_id"],
+        top_k=k,
+    )
+    sql = (
+        f"SELECT user_id, n_left, n_right, fanout FROM ("
+        f" SELECT a.user_id, a.n AS n_left, b.n AS n_right, a.n*b.n AS fanout"
+        f" FROM (SELECT user_id, COUNT(*) AS n FROM events"
+        f"   WHERE event_type = '{left_t}' GROUP BY 1) a"
+        f" JOIN (SELECT user_id, COUNT(*) AS n FROM events"
+        f"   WHERE event_type = '{right_t}' GROUP BY 1) b USING (user_id))"
+        f" ORDER BY fanout DESC, user_id LIMIT {k}"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(days=st.integers(1, 30), user_mod=st.integers(1, 4))
+@FUZZ
+def test_fuzz_rolling_actives(spark, duck, days, user_mod):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("user_id") % user_mod == 0
+    )
+    sdf = R.rolling_distinct_actives(ev, "ts", "user_id", days)
+    sql = (
+        f"WITH dk AS (SELECT DISTINCT CAST(ts::TIMESTAMP AS DATE) AS day,"
+        f"  user_id AS k FROM events WHERE user_id % {user_mod} = 0),"
+        f" spine AS (SELECT DISTINCT day AS report_day FROM dk),"
+        f" visible AS (SELECT report_day, k FROM dk JOIN spine"
+        f"  ON day <= report_day AND day > report_day - {days}),"
+        f" wau AS (SELECT report_day, COUNT(DISTINCT k) AS wau"
+        f"  FROM visible GROUP BY 1),"
+        f" dau AS (SELECT day, COUNT(DISTINCT k) AS dau FROM dk GROUP BY 1)"
+        f" SELECT day, dau, wau,"
+        f"  ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness"
+        f" FROM dau JOIN wau ON day = report_day"
+    )
+    _check(sdf, duck, sql)
