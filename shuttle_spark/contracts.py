@@ -5657,7 +5657,9 @@ def q_semantic_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "repeated_span_docs",
-    "WITH g AS (SELECT UNNEST(generate_series(0, 4096)) AS g),"
+    "WITH g AS (SELECT UNNEST(generate_series(0,"
+    "  (SELECT CAST(FLOOR((MAX(length(text))-32)/16.0) AS BIGINT)"
+    "   FROM documents))) AS g),"
     " w AS (SELECT DISTINCT doc_id, substr(text, (g*16)+1, 32) AS win"
     "   FROM documents, g WHERE g*16 <= length(text) - 32),"
     " shared AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1)"
@@ -5678,18 +5680,24 @@ def q_repeated_span_docs(spark: SparkSession, sf: str) -> DataFrame:
     return docs.join(hit, "doc_id", "left_semi").select("doc_id", "source")
 
 
-@contract(
-    "ewma_anomalies",
+# ONE dyadic-FIR oracle body shared by the batch contract, the streaming
+# contract (which appends only the watermark cutoff), and — in spirit —
+# the fuzzer's programmatically unrolled twin: the whole claim of the
+# stream contract is "stream == batch bit-for-bit", so the two oracles
+# must be the same string, not two strings kept in sync by eye (the
+# _NGRAM_ORACLE_BODY discipline).  `ts` rides the f CTE so the streaming
+# variant can filter on it; the batch SELECT simply doesn't read it.
+_EWMA_FIR_SQL = (
     "WITH e AS (SELECT event_id, user_id, ts,"
     "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents"
     " FROM events WHERE value IS NOT NULL),"
-    " l AS (SELECT event_id, user_id, cents,"
+    " l AS (SELECT event_id, user_id, ts, cents,"
     "  LAG(cents,1) OVER w AS l1, LAG(cents,2) OVER w AS l2,"
     "  LAG(cents,3) OVER w AS l3, LAG(cents,4) OVER w AS l4,"
     "  LAG(cents,5) OVER w AS l5, LAG(cents,6) OVER w AS l6,"
     "  LAG(cents,7) OVER w AS l7, LAG(cents,8) OVER w AS l8"
     " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
-    " f AS (SELECT event_id, user_id, cents,"
+    " f AS (SELECT event_id, user_id, ts, cents,"
     "  COALESCE(l1*128,0)+COALESCE(l2*64,0)+COALESCE(l3*32,0)"
     "  +COALESCE(l4*16,0)+COALESCE(l5*8,0)+COALESCE(l6*4,0)"
     "  +COALESCE(l7*2,0)+COALESCE(l8,0) AS wsum,"
@@ -5703,7 +5711,13 @@ def q_repeated_span_docs(spark: SparkSession, sf: str) -> DataFrame:
     "  +(CASE WHEN l8 IS NULL THEN 0 ELSE 1 END) AS denom,"
     "  l4 IS NOT NULL AS scored FROM l)"
     " SELECT event_id, user_id, cents, wsum, denom FROM f"
-    " WHERE scored AND ABS(cents*denom - wsum) > 10000*denom",
+    " WHERE scored AND ABS(cents*denom - wsum) > 10000*denom"
+)
+
+
+@contract(
+    "ewma_anomalies",
+    _EWMA_FIR_SQL,
     "B17",
     "ext",
 )
@@ -5727,7 +5741,7 @@ def q_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     "WITH RECURSIVE s AS ("
     " SELECT source, doc_id, n_chars,"
     "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
-    " FROM documents),"
+    " FROM documents WHERE n_chars IS NOT NULL),"
     " r AS ("
     " SELECT source, doc_id, rn, CAST(0 AS BIGINT) AS bin_id,"
     "  n_chars AS cum FROM s WHERE rn = 1"
@@ -5757,31 +5771,8 @@ def q_pack_greedy_bins(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "stream_ewma_anomalies",
-    "WITH e AS (SELECT event_id, user_id, ts,"
-    "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents"
-    " FROM events WHERE value IS NOT NULL),"
-    " l AS (SELECT event_id, user_id, ts, cents,"
-    "  LAG(cents,1) OVER w AS l1, LAG(cents,2) OVER w AS l2,"
-    "  LAG(cents,3) OVER w AS l3, LAG(cents,4) OVER w AS l4,"
-    "  LAG(cents,5) OVER w AS l5, LAG(cents,6) OVER w AS l6,"
-    "  LAG(cents,7) OVER w AS l7, LAG(cents,8) OVER w AS l8"
-    " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
-    " f AS (SELECT event_id, user_id, ts, cents,"
-    "  COALESCE(l1*128,0)+COALESCE(l2*64,0)+COALESCE(l3*32,0)"
-    "  +COALESCE(l4*16,0)+COALESCE(l5*8,0)+COALESCE(l6*4,0)"
-    "  +COALESCE(l7*2,0)+COALESCE(l8,0) AS wsum,"
-    "  (CASE WHEN l1 IS NULL THEN 0 ELSE 128 END)"
-    "  +(CASE WHEN l2 IS NULL THEN 0 ELSE 64 END)"
-    "  +(CASE WHEN l3 IS NULL THEN 0 ELSE 32 END)"
-    "  +(CASE WHEN l4 IS NULL THEN 0 ELSE 16 END)"
-    "  +(CASE WHEN l5 IS NULL THEN 0 ELSE 8 END)"
-    "  +(CASE WHEN l6 IS NULL THEN 0 ELSE 4 END)"
-    "  +(CASE WHEN l7 IS NULL THEN 0 ELSE 2 END)"
-    "  +(CASE WHEN l8 IS NULL THEN 0 ELSE 1 END) AS denom,"
-    "  l4 IS NOT NULL AS scored FROM l)"
-    " SELECT event_id, user_id, cents, wsum, denom FROM f"
-    " WHERE scored AND ABS(cents*denom - wsum) > 10000*denom"
-    "  AND ts::TIMESTAMP <="
+    _EWMA_FIR_SQL
+    + "  AND ts::TIMESTAMP <="
     "   (SELECT MAX(ts::TIMESTAMP) - INTERVAL 7201 SECOND FROM events)",
     "B24",
     "B17",

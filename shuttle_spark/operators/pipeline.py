@@ -382,9 +382,14 @@ def pack_greedy_bins(
         sizes = pdf[size_col].to_numpy()
         bins = []
         b, cum = 0, 0
-        for n in sizes:
+        for i, n in enumerate(sizes):
             n = int(n)
-            if cum > 0 and cum + n > budget:
+            # mirror the recursive-CTE oracle EXACTLY: every non-first row
+            # opens a new bin when cum + n overflows — including cum == 0
+            # after a zero-size doc closed a bin (a `cum > 0` guard here
+            # diverged from the oracle on [oversized, 0, oversized] inputs;
+            # caught by review, pinned in the unit test)
+            if i > 0 and cum + n > budget:
                 b += 1
                 cum = n
             else:
@@ -394,7 +399,11 @@ def pack_greedy_bins(
         return pdf
 
     return (
+        # NULL sizes are excluded from packing (int(NaN) would kill the
+        # stage; a NULL riding the recurrence would poison every later
+        # cum in the SQL twin) — the ewma NULL-exclusion convention
         df.select(group_col, id_col, size_col)
+        .filter(F.col(size_col).isNotNull())
         .groupBy(group_col)
         .applyInPandas(pack, out_schema)
     )
@@ -421,8 +430,14 @@ def hash_split(
     Refresh the assignment by bumping ``seed``."""
     from shuttle_spark.operators.integrity import md5_prefix32
 
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-skipping): a NULL id
+    # must yield a NULL bucket so it falls through every boundary into the
+    # LAST declared split — exactly what the SQL twin's `id || ':' || seed`
+    # + CASE does.  concat_ws would hash just the seed and send every
+    # NULL-id row to one arbitrary bucket, silently diverging from the
+    # oracle (review catch).
     bucket = md5_prefix32(
-        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed)))
     ) % F.lit(1_000_000)
     names = list(fractions)
     cum = 0.0

@@ -836,10 +836,12 @@ def sample_k_per_group(
     the cut order ambiguous."""
     from shuttle_spark.operators.integrity import md5_prefix32
 
+    # NULL-propagating concat (not concat_ws) so a NULL id sorts as a NULL
+    # hash — identical to the oracle's `id || ':' || seed`, which is NULL
+    # for NULL ids; concat_ws would hash just ':seed' and rank NULL ids
+    # deterministically-but-differently from the SQL twin
     sort_key = md5_prefix32(
-        F.concat_ws(
-            ":", F.col(id_col).cast("string"), F.lit(str(seed))
-        )
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed)))
     )
     w = (
         Window.partitionBy(*keys)
@@ -1182,7 +1184,14 @@ def rolling_distinct_actives(
     fan each (day, key) into the <= ``window_days`` report days it is
     visible from (a bounded explode, not a range self-join), and
     count-distinct per report day.  Ratio is an integer-count ratio
-    rounded at 6dp."""
+    rounded at 6dp.
+
+    The deduped (day, key) relation feeds three plan branches (spine,
+    visibility fan-out, DAU); their identical distinct-exchanges unify
+    via Spark's ReusedExchange (verified in the executed plan), so the
+    fact table is scanned once — if this operator is ever embedded where
+    reuse cannot fire (e.g. differing post-projections per branch),
+    stage ``dk`` explicitly instead."""
     day = F.to_date(F.col(ts_col))
     dk = events.select(day.alias("day"), F.col(key_col).alias("k")).distinct()
     spine = dk.select("day").distinct()

@@ -653,6 +653,13 @@ def semantic_dominated_ids(
             .distinct()
         )
 
+    # NOTE: this broadcast-matrix kernel intentionally mirrors
+    # `_exact_all_pairs` (size guard -> driver collect -> broadcast ->
+    # per-batch matmul mask); it is a separate body because the dtype
+    # (exact int64 vs float64), the sim expression (oracle-exact
+    # sqrt+divide), and the projection (dominated ids vs scored pairs)
+    # all differ.  A fix to either kernel's guard/batching likely
+    # applies to both — check the sibling.
     local = quant.select(id_col, "qvec").limit(max_rows + 1).toPandas()
     if len(local) > max_rows:
         raise ValueError(

@@ -945,7 +945,8 @@ def test_fuzz_pack_greedy_bins(spark, duck, budget, doc_mod, key):
         f"WITH RECURSIVE s AS ("
         f" SELECT {key}, doc_id, n_chars,"
         f"  ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY doc_id) AS rn"
-        f" FROM documents WHERE doc_id % {doc_mod} = 0),"
+        f" FROM documents WHERE doc_id % {doc_mod} = 0"
+        f"  AND n_chars IS NOT NULL),"
         f" r AS ("
         f" SELECT {key}, doc_id, rn, CAST(0 AS BIGINT) AS bin_id,"
         f"  n_chars AS cum FROM s WHERE rn = 1"
@@ -985,7 +986,9 @@ def test_fuzz_repeated_spans(spark, duck, width, stride_frac, doc_mod):
         docs, width=width, stride=stride
     ).select("doc_id")
     sql = (
-        f"WITH g AS (SELECT UNNEST(generate_series(0, 4096)) AS g),"
+        f"WITH g AS (SELECT UNNEST(generate_series(0,"
+        f"  (SELECT CAST(FLOOR((MAX(length(text))-{width})/{stride}.0)"
+        f"   AS BIGINT) FROM documents))) AS g),"
         f" w AS (SELECT DISTINCT doc_id,"
         f"   substr(text, (g*{stride})+1, {width}) AS win"
         f"  FROM documents, g WHERE doc_id % {doc_mod} = 0"

@@ -292,3 +292,37 @@ def test_doc_typicality_scores_shared_high_unique_low(spark):
     assert got[3].typicality == 1.0
     assert got[3].n_grams == 3 and got[3].sum_df == 3
     N.clear_gram_cache()
+
+
+def test_pack_greedy_bins_zero_size_and_null_size(spark):
+    """Review-derived oracle-parity pins: a zero-size doc can CLOSE a bin
+    (cum resets to 0) and the next overflow must still open a new bin —
+    the recursive-CTE recurrence has no `cum > 0` guard; NULL sizes are
+    excluded from packing entirely (int(NaN) would kill the stage)."""
+    from shuttle_spark.operators import pipeline as P
+
+    rows = [
+        ("a", 1, 1500),   # oversized -> bin 0
+        ("a", 2, 0),      # 1500+0 > 1000 -> bin 1, cum 0
+        ("a", 3, 1200),   # 0+1200 > 1000 -> bin 2 (a cum>0 guard would say bin 1)
+        ("a", 4, None),   # NULL size -> excluded
+        ("a", 5, 10),     # 1200+10 > 1000 -> bin 3
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = {r.doc_id: r.bin_id
+           for r in P.pack_greedy_bins(df, "source", "doc_id", "n_chars", 1000).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 5: 3}
+
+
+def test_hash_split_null_id_lands_in_last_split(spark):
+    """NULL ids propagate to a NULL hash bucket and fall through every
+    boundary into the LAST declared split — matching the SQL twin's
+    `id || ':' || seed` + CASE exactly (concat_ws would have hashed just
+    the seed)."""
+    from shuttle_spark.operators import pipeline as P
+
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    got = {r.id: r.split for r in P.hash_split(
+        df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert got[None] == "test"
+    assert got[1] in ("train", "val", "test")
