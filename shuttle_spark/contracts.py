@@ -1575,6 +1575,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return N.near_dup_pairs_exact(docs, 0.6, n=3)
 
 
+@contract(
+    "ngram_jaccard_prefix",
+    _NGRAM_ORACLE_BODY + "SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.6",
+    "B28",
+    "llm",
+)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (neardup.near_dup_pairs_prefix,
+    the PPJoin-family pruning): the inverted index holds only each doc's
+    ng - ceil(tau*ng) + 1 rarest grams, yet the output is EXACTLY the
+    full-index algorithm's (same brute-force oracle as
+    ngram_jaccard_pairs) — the prefix theorem guarantees candidate
+    completeness and the join-local array_intersect verify is exact.
+    At high tau the candidate fan-out drops by orders of magnitude and
+    ubiquitous grams never enter the index (the O(f^2) hazard), with
+    zero recall cost."""
+    docs = load_table(spark, sf, "documents")
+    return N.near_dup_pairs_prefix(docs, 0.6, n=3)
+
+
 def _must_replace(sql: str, old: str, new: str) -> str:
     """str.replace that REFUSES to no-op: oracle variants are derived by
     textual substitution on _NGRAM_ORACLE_BODY, and a silent no-match

