@@ -6067,6 +6067,43 @@ def q_rolling_actives(spark: SparkSession, sf: str) -> DataFrame:
     return R.rolling_distinct_actives(ev, "ts", "user_id", 7)
 
 
+@contract(
+    "session_copresence_lift",
+    "WITH l AS (SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts,"
+    "  CASE WHEN LAG(ts::TIMESTAMP) OVER w IS NULL THEN 0"
+    "   WHEN epoch_us(ts::TIMESTAMP) - epoch_us(LAG(ts::TIMESTAMP) OVER w)"
+    "    > 1800000000 THEN 1 ELSE 0 END AS nw"
+    " FROM events WINDOW w AS (PARTITION BY user_id"
+    "  ORDER BY ts::TIMESTAMP, event_id)),"
+    " c AS (SELECT user_id, event_type,"
+    "  SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM l),"
+    " st AS (SELECT DISTINCT user_id AS k, event_type AS t, sess FROM c),"
+    " ns AS (SELECT COUNT(*) AS n_sessions FROM"
+    "  (SELECT DISTINCT k, sess FROM st)),"
+    " pt AS (SELECT t, COUNT(*) AS n_t FROM st GROUP BY 1),"
+    " pr AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_ab"
+    "  FROM st a JOIN st b ON a.k = b.k AND a.sess = b.sess AND a.t < b.t"
+    "  GROUP BY 1, 2)"
+    " SELECT type_a, type_b, n_ab,"
+    "  ROUND(CAST(n_ab * (SELECT n_sessions FROM ns) AS DOUBLE)"
+    "   / (na.n_t * nb.n_t), 6) AS lift"
+    " FROM pr JOIN pt na ON na.t = type_a JOIN pt nb ON nb.t = type_b",
+    "B25",
+    "ext",
+)
+def q_session_copresence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-session co-presence lift
+    (relational.session_copresence_lift): which event types co-occur in
+    a gap-delimited session more than independence predicts — the
+    market-basket / co-visitation composite over the explicit
+    cumulative-sum sessionization (strict > gap, (ts, id) tie order),
+    spelled out token-for-token in the SQL twin.  All counts exact
+    integers; lift is one integer-ratio double rounded at 6dp."""
+    ev = load_table(spark, sf, "events")
+    return R.session_copresence_lift(ev)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation.  The driver's correctness gate iterates queries()
 # in insertion order and (observed round 1) records only the first 50 entries,

@@ -1218,3 +1218,89 @@ def rolling_distinct_actives(
             ),
         )
     )
+
+
+def session_copresence_lift(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Within-session co-presence lift between event types — the
+    market-basket / co-visitation signal ("users who X in a session also
+    Y") computed over gap-delimited sessions.
+
+    Sessions are the explicit cumulative-sum form (new session iff the
+    gap to the previous event of the same key is STRICTLY greater than
+    ``gap_minutes``; ordered by (ts, id) so ties are deterministic) —
+    the same rule Spark's session_window applies, but spelled out so the
+    SQL twin can replay it token-for-token.  Lift is
+    ``n_ab * n_sessions / (n_a * n_b)`` — all exact integer counts, one
+    integer-ratio double rounded at 6dp (>1: the pair co-occurs more
+    than independence predicts).
+
+    Plan: one key-partitioned window (lag + cumulative sum share it),
+    one dedup to (key, session, type), a self-join on the session id
+    (bounded: sessions hold at most |types| distinct rows here), and
+    tiny aggregates; n_sessions rides a broadcast 1-row relation, never
+    a partition-less window."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    gap_us = F.lit(int(gap_minutes) * 60_000_000)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two stages (lag, then cumulative sum of its result): a window
+    # expression cannot nest inside another window's aggregate; both
+    # stages share the same partitioning+ordering so Spark plans ONE
+    # exchange + sort with two Window nodes on top
+    marked = events.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col),
+        F.col("event_id"),
+        F.when(F.lag(us).over(w).isNull(), F.lit(0))
+        .when(us - F.lag(us).over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__nw"),
+    )
+    cum2 = Window.partitionBy("k").orderBy(ts_col, "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    st = (
+        marked.select("k", "t", F.sum("__nw").over(cum2).alias("sess"))
+        .distinct()
+    )
+    sessions = st.select("k", "sess").distinct()
+    n_sessions = sessions.agg(F.count("*").alias("__ns"))
+    per_type = st.groupBy("t").agg(F.count("*").alias("n_t"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.sess") == F.col("b.sess"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    na = per_type.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("__ns")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1299,3 +1299,31 @@ def test_prefix_filtered_jaccard_equals_full_index(spark):
         }
         assert pre == full, f"tau={tau}"
     assert full  # corpus has qualifying pairs at 0.8, else vacuous
+
+
+def test_session_copresence_lift_semantics(spark):
+    """Constructed calendar pins the composite: a >gap pause splits the
+    session (so types on opposite sides never co-occur), a ==gap pause
+    does NOT (strict >), and the lift arithmetic is the exact
+    integer-count ratio n_ab * n_sessions / (n_a * n_b)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        # user 1, session 0: click+view together
+        (1, 1, t0, "click", None),
+        (2, 1, t0 + dt.timedelta(minutes=30), "view", None),  # ==gap merges
+        # >gap -> session 1: purchase alone
+        (3, 1, t0 + dt.timedelta(minutes=61), "purchase", None),
+        # user 2, one session: click only
+        (4, 2, t0, "click", None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    got = {(r.type_a, r.type_b): (r.n_ab, r.lift)
+           for r in R.session_copresence_lift(ev).collect()}
+    # sessions: {u1 s0: click,view}, {u1 s1: purchase}, {u2 s0: click} -> 3
+    # n_click=2, n_view=1, n_purchase=1; only (click,view) co-occurs once
+    assert got == {("click", "view"): (1, round(1 * 3 / (2 * 1), 6))}
