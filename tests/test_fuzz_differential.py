@@ -1295,3 +1295,82 @@ def test_fuzz_rolling_actives(spark, duck, days, user_mod):
         f" FROM dau JOIN wau ON day = report_day"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 23: session co-presence lift + prefix-filtered jaccard
+# (round-6 close — session gap lengths and subset filters regenerated per
+# spec; the prefix join sweeps tau against the SAME brute-force twin the
+# full-index join gates on)
+# ---------------------------------------------------------------------------
+
+
+@given(gap_min=st.integers(5, 240), user_mod=st.integers(1, 4))
+@FUZZ
+def test_fuzz_session_copresence(spark, duck, gap_min, user_mod):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("user_id") % user_mod == 0
+    )
+    sdf = R.session_copresence_lift(ev, gap_minutes=gap_min)
+    gap_us = gap_min * 60_000_000
+    sql = (
+        f"WITH src AS (SELECT * FROM events WHERE user_id % {user_mod} = 0),"
+        f" l AS (SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts,"
+        f"  CASE WHEN LAG(ts::TIMESTAMP) OVER w IS NULL THEN 0"
+        f"   WHEN epoch_us(ts::TIMESTAMP) - epoch_us(LAG(ts::TIMESTAMP)"
+        f"    OVER w) > {gap_us} THEN 1 ELSE 0 END AS nw"
+        f" FROM src WINDOW w AS (PARTITION BY user_id"
+        f"  ORDER BY ts::TIMESTAMP, event_id)),"
+        f" c AS (SELECT user_id, event_type,"
+        f"  SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess"
+        f"  FROM l),"
+        f" st AS (SELECT DISTINCT user_id AS k, event_type AS t, sess FROM c),"
+        f" ns AS (SELECT COUNT(*) AS n_sessions FROM"
+        f"  (SELECT DISTINCT k, sess FROM st)),"
+        f" pt AS (SELECT t, COUNT(*) AS n_t FROM st GROUP BY 1),"
+        f" pr AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_ab"
+        f"  FROM st a JOIN st b ON a.k = b.k AND a.sess = b.sess AND a.t < b.t"
+        f"  GROUP BY 1, 2)"
+        f" SELECT type_a, type_b, n_ab,"
+        f"  ROUND(CAST(n_ab * (SELECT n_sessions FROM ns) AS DOUBLE)"
+        f"   / (na.n_t * nb.n_t), 6) AS lift"
+        f" FROM pr JOIN pt na ON na.t = type_a JOIN pt nb ON nb.t = type_b"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(tau_pct=st.integers(35, 90), doc_mod=st.integers(1, 3))
+@FUZZ_HEAVY
+def test_fuzz_prefix_jaccard(spark, duck, tau_pct, doc_mod):
+    from shuttle_spark.operators import neardup as N
+
+    tau = tau_pct / 100.0
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % doc_mod == 0
+    )
+    sdf = N.near_dup_pairs_prefix(docs, tau, reuse=False)
+    # the n=3 brute-force twin the full-index contract gates on,
+    # parameterized by tau and the doc subset
+    sql = (
+        "WITH norm AS (SELECT doc_id,"
+        " TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) t"
+        f" FROM documents WHERE doc_id % {doc_mod} = 0),"
+        " toks AS (SELECT doc_id, STRING_SPLIT(TRIM(t), ' ') w FROM norm),"
+        " grams AS (SELECT DISTINCT doc_id,"
+        "  w[i.i::BIGINT] || ' ' || w[i.i::BIGINT+1] || ' ' ||"
+        "  w[i.i::BIGINT+2] AS g FROM toks,"
+        "  LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(w)-2, 0)+1)) AS i) i),"
+        " sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY doc_id),"
+        " shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter"
+        "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2),"
+        " jac AS (SELECT id_a, id_b,"
+        "  ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jac"
+        "  FROM shared JOIN sizes sa ON id_a = sa.doc_id"
+        "  JOIN sizes sb ON id_b = sb.doc_id)"
+        f" SELECT id_a, id_b, jac FROM jac WHERE jac >= {tau!r}"
+    )
+    _check(sdf, duck, sql)
