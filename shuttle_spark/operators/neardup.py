@@ -24,6 +24,8 @@ not a transitive closure (connected components would need iteration).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -729,10 +731,13 @@ def near_dup_pairs_prefix(
     least one gram — so candidate generation is complete, and the exact
     verify (array_intersect over the FULL gram sets, join-local) does the
     rest.  ceil(tau*ng) runs in exact basis-point integer arithmetic
-    ((round(tau*10000)*ng + 9999) // 10000): a float ceil that rounded UP
-    spuriously would SHORTEN the prefix and silently lose completeness —
-    the winsorized-rank lesson applied where it would cost recall, not
-    just a rank.
+    ((floor(tau*10000)*ng + 9999) // 10000), with tau snapped DOWN to the
+    basis-point grid: a tau_bp that rounded UP (e.g. round(2/3*10000) =
+    6667 > 2/3*10000) can make the integer ceil exceed the true
+    ceil(tau*ng), which would SHORTEN the prefix below the theorem's
+    requirement and silently drop qualifying pairs.  Rounding down only
+    ever LENGTHENS the prefix (more candidates, never fewer), and the
+    final ``jac >= tau`` verify keeps the output exact for any tau.
 
     Scale trade vs the full inverted index: two extra small shuffles
     (gram-frequency join, per-doc prefix window) buy a candidate join
@@ -749,7 +754,8 @@ def near_dup_pairs_prefix(
         hit = _pairs_cache.get(key)
         if hit is not None:
             return hit
-    tau_bp = int(round(tau * 10000))
+    # floor, not round: tau_bp must never exceed tau*10000 (see docstring)
+    tau_bp = int(math.floor(tau * 10000))
     grams = gram_sets(df, id_col, text_col, n, reuse=reuse)
     inv = grams.select(
         "id", F.size("grams").alias("ng"), F.explode("grams").alias("g")

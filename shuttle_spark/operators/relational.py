@@ -16,6 +16,7 @@ Ors2ShuffleReader.scala:69-81 (reduce-side combine).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -461,7 +462,19 @@ def global_rank(
     # value-disjoint bucketing), so they are session-cached like any other
     # table statistic: the warm path runs 2 jobs (bucket-count aggregate +
     # final ranked scan), not 3.
-    bounds = sorted(set(approx_quantiles_cached(df, [range_col], probs, 0.001)[0]))
+    # Drop non-finite boundaries (a NaN/Inf-bearing range column can
+    # surface them from approxQuantile): repr(inf)+'D' would fail to parse
+    # in the CASE arms below, and the non-finite rows themselves land in
+    # the overflow bucket regardless — NaN/+Inf sort ABOVE every finite
+    # double in Spark's total order, so bucket order still extends global
+    # order (the same filter zorder_value applies to the same output).
+    bounds = sorted(
+        {
+            b
+            for b in approx_quantiles_cached(df, [range_col], probs, 0.001)[0]
+            if math.isfinite(b)
+        }
+    )
     # One parsed CASE expression, not a chain of F.when calls: building a
     # 32-deep when-tree costs ~60 py4j round trips PER QUERY BUILD (each
     # when/otherwise is a JVM call), a measurable slice of the warm path

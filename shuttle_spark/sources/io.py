@@ -337,7 +337,7 @@ def _bucket_index(col_sql: str, boundaries: list[float]):
 # unevaluated plans (never persisted); a strong ref keeps the id() fallback
 # key stable.
 _ZVALUE_CACHE_MAX = 16
-_zvalue_cache: dict[tuple, tuple[object, "DataFrame"]] = {}
+_zvalue_cache: dict[tuple, tuple[object, "DataFrame", int]] = {}
 
 
 def clear_zvalue_cache() -> None:
@@ -350,9 +350,22 @@ def clear_zvalue_cache() -> None:
 def zorder_value(
     df: DataFrame, cols: Sequence[str], bits: int = 8,
     quantile_error: float = 0.004,
-) -> tuple[DataFrame, str]:
-    """Add a Morton (Z-curve) key interleaving ``bits``-wide rank buckets
-    of each column; returns (df_with_key, key_col_name).
+) -> tuple[DataFrame, str, int]:
+    """Add a Morton (Z-curve) key interleaving rank buckets of each
+    column; returns (df_with_key, key_col_name, max_occupied_key).
+
+    Each dimension gets only its EFFECTIVE bit width — ceil(log2 of its
+    deduped boundary count + 1) — interleaved compactly, low bits first
+    (ADVICE r6): when quantile boundaries dedupe (constant or
+    low-cardinality columns) a fixed ``bits``-per-dim layout leaves the
+    high bit positions of that dimension permanently zero, so the
+    occupied keys cluster in coarse runs and any equal-width slicing of
+    the domain (zorder_write's metadata file boundaries) yields empty or
+    wildly skewed slices.  Compact low-bits-first interleave keeps the
+    unoccupied patterns FINE-GRAINED, so equal-width slices of
+    [0, max_occupied_key] stay balanced.  The returned max key is exact:
+    per-dimension bit placement is order-preserving, so the largest
+    occupied key is the interleave of the per-dimension max indices.
 
     Rank buckets come from ``approxQuantile`` boundaries (one sample-based
     pass per call, driver-size = 2^bits scalars — scale-safe; the same
@@ -396,7 +409,7 @@ def zorder_value(
     )
     hit = _zvalue_cache.get(ckey)
     if hit is not None:
-        return hit[1], "__z"
+        return hit[1], "__z", hit[2]
     nb = (1 << bits) - 1  # buckets per dim - 1 boundaries
     probs = [i / (nb + 1) for i in range(1, nb + 1)]
     # ONE quantile job for all dimensions (multi-column approxQuantile),
@@ -427,6 +440,25 @@ def zorder_value(
     # struct column — Arrow delivers a struct batch as a pd.DataFrame whose
     # column order is the struct field order, i.e. ``cols`` order, still
     # fully vectorized.
+    # Effective bit width per dimension (indices run [0, len(bounds)])
+    # and the compact low-bits-first position map: bit b of dim i lands
+    # at pos[i][b], assigned round-robin across dims that still have a
+    # bit b.  For full-cardinality dims this reproduces the classic
+    # b*n+i layout exactly; collapsed dims just stop claiming positions.
+    max_idx = [len(b) for b in bounds_arrays]
+    eff_bits = [max(1, int(m).bit_length()) for m in max_idx]
+    pos: list[list[int]] = [[] for _ in bounds_arrays]
+    p = 0
+    for b in range(max(eff_bits)):
+        for i, eb in enumerate(eff_bits):
+            if b < eb:
+                pos[i].append(p)
+                p += 1
+    z_hi = 0
+    for i, m in enumerate(max_idx):
+        for b, zb in enumerate(pos[i]):
+            z_hi |= ((m >> b) & 1) << zb
+
     @F.pandas_udf("long")
     def _zkey(dims: pd.DataFrame) -> pd.Series:
         z = np.zeros(len(dims), dtype=np.int64)
@@ -435,8 +467,8 @@ def zorder_value(
             # bucket = count of boundaries <= value; NULL/NaN -> top bucket
             idx = np.searchsorted(bnds, v, side="right").astype(np.int64)
             idx[np.isnan(v)] = len(bnds)
-            for b in range(bits):
-                z |= ((idx >> b) & 1) << (b * n + i)
+            for b, zb in enumerate(pos[i]):
+                z |= ((idx >> b) & 1) << zb
         return pd.Series(z)
 
     out = df.withColumn(
@@ -452,8 +484,8 @@ def zorder_value(
     )
     while len(_zvalue_cache) >= _ZVALUE_CACHE_MAX:
         _zvalue_cache.pop(next(iter(_zvalue_cache)))
-    _zvalue_cache[ckey] = (df, out)
-    return out, "__z"
+    _zvalue_cache[ckey] = (df, out, z_hi)
+    return out, "__z", z_hi
 
 
 def _murmur3_int32(v: int, seed: int = 42) -> int:
@@ -514,31 +546,39 @@ def zorder_write(
     observed on the rows entering the writer (attached ABOVE the range
     exchange so the partitioner's sampling pass never double-counts),
     letting callers verify the write without re-scanning the output."""
-    keyed, zcol = zorder_value(df, cols, bits, quantile_error)
+    keyed, zcol, z_hi = zorder_value(df, cols, bits, quantile_error)
     # Deterministic range slicing instead of ``repartitionByRange``: the
     # z-key is quantile-bucketed per dimension by construction, so it is
-    # ~uniform on [0, 2^(bits*n)) and the file boundaries are METADATA
-    # (equal slices of the key domain) — the RangePartitioner's reservoir-
-    # sampling pass (a full extra scan evaluating the z-key UDF per row,
-    # measured ~0.3 s at sf0.1 and a whole redundant 100 TB scan at scale)
-    # buys nothing the cached quantile statistics don't already guarantee.
-    # ``repartition(n, col)`` hash-places partitions, so each contiguous
-    # slice id is remapped driver-side to a TOKEN whose murmur3 hash lands
-    # it in exactly that partition — n_files z-contiguous files, same
+    # ~uniform on the OCCUPIED key domain and the file boundaries are
+    # METADATA (equal slices of that domain) — the RangePartitioner's
+    # reservoir-sampling pass (a full extra scan evaluating the z-key UDF
+    # per row, measured ~0.3 s at sf0.1 and a whole redundant 100 TB scan
+    # at scale) buys nothing the cached quantile statistics don't already
+    # guarantee.  ``repartition(n, col)`` hash-places partitions, so each
+    # contiguous slice id is remapped driver-side to a TOKEN whose murmur3
+    # hash lands it in exactly that partition — z-contiguous files, same
     # layout the range exchange produced, zero sampling jobs.
     import pyspark.sql.functions as F
 
-    n_dims = len(cols)
-    domain = 1 << (bits * n_dims)
-    width = -(-domain // n_files)  # ceil
-    tokens = [_partition_token(t, n_files) for t in range(n_files)]
+    # Occupied domain, not the theoretical 2^(bits*n): zorder_value's
+    # compact interleave tops out at exactly z_hi when quantile boundaries
+    # dedupe (constant / low-cardinality columns) — slicing [0, 2^(bits*n))
+    # would funnel every row into the low slices and emit empty files
+    # (ADVICE r6).
+    domain = z_hi + 1
+    # Fewer occupied keys than requested files -> clamp: every emitted
+    # file stays non-empty by construction (degenerate constant-column
+    # layouts collapse to one file, which IS the data's layout).
+    files_eff = max(1, min(n_files, domain))
+    width = -(-domain // files_eff)  # ceil
+    tokens = [_partition_token(t, files_eff) for t in range(files_eff)]
     # integer division (``div``), not ``/``: float division of a 62-bit
     # key would misround slice ids near boundaries
     tok = F.element_at(
         F.array(*[F.lit(t) for t in tokens]),
         F.expr(f"CAST(`{zcol}` DIV {width}L AS INT) + 1"),
     )
-    out = keyed.repartition(n_files, tok).sortWithinPartitions(zcol)
+    out = keyed.repartition(files_eff, tok).sortWithinPartitions(zcol)
     out = out.drop(zcol)
     if observation is not None:
         out = out.observe(observation, *observed)

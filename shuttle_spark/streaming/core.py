@@ -89,22 +89,35 @@ def events_raw_schema(sf_dir: str) -> T.StructType:
 _TMP_DIRS: list[str] = []
 
 
-def _scratch_root() -> str | None:
+def _scratch_root(min_free_bytes: int = 1 << 30) -> str | None:
     """Preferred base for streaming scratch (checkpoints, staged landing
-    dirs, sink versions): a tmpfs mount when one exists.  Checkpoint
-    commits fsync every delta/offset file; on tmpfs that's a memory write,
-    which removes the per-micro-batch disk floor from replay-style tests
-    (measured ~15% off each streaming contract at sf0.1).  In production
-    the checkpoint location is a DURABLE path the caller passes — this
-    root only serves the harness's ephemeral replay checkpoints, which die
-    with the process anyway.  SPARK_GRAFT_SCRATCH overrides; None falls
-    back to the system tempdir."""
+    dirs, sink versions): a tmpfs mount when one exists AND has headroom.
+    Checkpoint commits fsync every delta/offset file; on tmpfs that's a
+    memory write, which removes the per-micro-batch disk floor from
+    replay-style tests (measured ~15% off each streaming contract at
+    sf0.1).  In production the checkpoint location is a DURABLE path the
+    caller passes — this root only serves the harness's ephemeral replay
+    checkpoints, which die with the process anyway.
+
+    tmpfs is RAM-backed (typically capped at 50% of memory), so it
+    COMPETES with executor memory: writing data-sized scratch there at
+    larger SF risks ENOSPC with no recovery.  The gate is a free-space
+    check (``os.statvfs``) against ``min_free_bytes`` — callers staging
+    data-sized fixtures pass a much larger floor than checkpoint writers
+    (ADVICE r6).  SPARK_GRAFT_SCRATCH overrides unconditionally; None
+    falls back to the system tempdir."""
     override = os.environ.get("SPARK_GRAFT_SCRATCH")
     if override:
         os.makedirs(override, exist_ok=True)
         return override
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize < min_free_bytes:
+                return None
+        except OSError:
+            return None
         d = os.path.join(shm, "shuttle_spark_scratch")
         try:
             os.makedirs(d, exist_ok=True)
@@ -116,9 +129,12 @@ def _scratch_root() -> str | None:
 
 def scratch_tempdir() -> str:
     """The scratch base for fixture/sink dirs that manage their own
-    age-gated GC (contracts._fixture_dir/_scratch_dir): tmpfs when
-    available, else the system tempdir."""
-    return _scratch_root() or tempfile.gettempdir()
+    age-gated GC (contracts._fixture_dir/_scratch_dir).  These hold FULL
+    parquet fixture copies and sink versions — data-sized, unlike the
+    kilobyte-scale checkpoint deltas — so tmpfs is used only with a
+    generous floor (8 GiB free); otherwise the disk tempdir, which
+    degrades to slower-but-correct instead of ENOSPC."""
+    return _scratch_root(min_free_bytes=8 << 30) or tempfile.gettempdir()
 
 
 def tracked_mkdtemp(prefix: str) -> str:
@@ -889,13 +905,18 @@ def stream_ewma_deviants(
                 if not len(pdf):
                     continue
                 us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
-                # true-late rows (event time at or before the batch's
+                # true-late rows (event time strictly before the batch's
                 # watermark) are DROPPED, the same rule the built-in
                 # stateful operators apply: their predecessors were already
                 # finalized, so scoring them now would replay history out
-                # of order.  In-order sources (range-staged replay, a
-                # production landing zone) never produce them.
-                live = us > wm_us
+                # of order.  Rows AT the watermark are kept (>=): the
+                # finalize step below scores pending rows at p_ts <= wm_us,
+                # so a strict > here would silently drop an at-watermark
+                # row the finalizer would have scored — batch/stream
+                # divergence on the boundary (ADVICE r6).  In-order
+                # sources (range-staged replay, a production landing zone)
+                # never produce late rows at all.
+                live = us >= wm_us
                 if not live.all():
                     pdf = pdf[live]
                     us = us[live]

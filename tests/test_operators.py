@@ -508,6 +508,47 @@ def test_global_rank_nulls_first(spark):
     assert ranked[10] == 1  # the NULL row ranks FIRST
 
 
+def test_global_rank_nonfinite_range_values(spark):
+    """NaN/Inf in the range column can surface as approxQuantile
+    boundaries, and ``repr(inf)+'D'`` does not parse in the generated
+    CASE — boundaries are filtered to finite (ADVICE r6).  The
+    non-finite ROWS still rank correctly: +Inf and NaN sort above every
+    finite double in Spark's total order (NaN topmost), so they land in
+    the overflow bucket, ordered by the within-bucket window; -Inf falls
+    into bucket 0."""
+    from pyspark.sql import Window
+
+    from shuttle_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [
+            (float("nan"), 10),
+            (float("inf"), 11),
+            (float("-inf"), 12),
+            (1.0, 13),
+            (2.0, 14),
+            (3.0, 15),
+            (None, 16),
+            (2.5, 17),
+        ],
+        "x double, id bigint",
+    )
+    ranked = {
+        r["id"]: r["rnk"]
+        for r in R.global_rank(
+            df, "x", [F.col("x"), F.col("id")], alias="rnk", buckets=4
+        ).collect()
+    }
+    w = Window.orderBy(F.col("x"), F.col("id"))
+    expected = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert ranked == expected
+    assert ranked[16] == 1  # NULL first
+    assert ranked[10] == 8  # NaN last, above +Inf
+
+
 def test_xxhash_checksum_survives_ansi_overflow(spark):
     """Summing raw 64-bit xxhash terms overflows int64 almost immediately
     and ANSI mode (Spark 4 default) makes that a job-killing exception;
@@ -1288,7 +1329,10 @@ def test_prefix_filtered_jaccard_equals_full_index(spark):
     from shuttle_spark.operators import neardup as N
 
     docs = spark.read.parquet(SF + "/documents.parquet")
-    for tau in (0.5, 0.6, 0.8):
+    # 2/3 is OFF the basis-point grid: round(2/3*10000)=6667 > 2/3*10000
+    # would over-shorten the prefix and drop qualifying pairs; the floor'd
+    # tau_bp (ADVICE r6) keeps candidate generation complete for any tau.
+    for tau in (0.5, 0.6, 2 / 3, 0.8):
         full = {
             (r.id_a, r.id_b, r.jac)
             for r in N.near_dup_pairs_exact(docs, tau, reuse=False).collect()

@@ -275,6 +275,55 @@ def test_zorder_write_bounds_both_dims(spark, tmp_path):
     assert len(zx) >= 16  # enough row groups for the property to mean much
 
 
+def test_zorder_write_collapsed_domain_files_nonempty(spark, tmp_path):
+    """Low-cardinality dimensions dedupe quantile boundaries, collapsing
+    the occupied z-key domain far below 2^(bits*n); slicing the
+    THEORETICAL domain would funnel every row into the low slices and
+    silently emit fewer/skewed files (ADVICE r6).  With occupied-domain
+    slicing every requested file is non-empty and roughly balanced even
+    when one dimension is binary."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.sources import io as IO
+
+    n = 1 << 14
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        (F.col("id") % 2).cast("double").alias("y"),  # 2 distinct values
+    )
+    dst = str(tmp_path / "z_collapsed")
+    written = IO.zorder_write(spark, df, dst, ["x", "y"], bits=8, n_files=4)
+    assert written == 4
+    counts = [
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(dst + "/*.parquet")
+    ]
+    assert len(counts) == 4 and all(c > 0 for c in counts)
+    assert max(counts) <= 4 * min(counts)
+    assert spark.read.parquet(dst).count() == n
+
+    # fully-constant dims collapse the occupied domain to ~one key: the
+    # writer must clamp file count to the occupied domain, not emit seven
+    # empties.  (Spark's writer itself emits one schema-only part-00000
+    # artifact when partition 0 is empty — tolerated.)
+    cdst = str(tmp_path / "z_const")
+    cdf = spark.range(0, 512).select(
+        F.lit(1.0).alias("x"), F.lit(2.0).alias("y")
+    )
+    written = IO.zorder_write(
+        spark, cdf, cdst, ["x", "y"], bits=8, n_files=8
+    )
+    assert written <= 2
+    ccounts = [
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(cdst + "/*.parquet")
+    ]
+    assert sum(1 for c in ccounts if c > 0) == 1 and sum(ccounts) == 512
+
+
 def test_murmur3_matches_spark_hash(spark):
     """_murmur3_int32 must be bit-identical to Spark's Murmur3 over
     IntegerType (seed 42) — zorder_write's deterministic slice placement

@@ -451,3 +451,25 @@ def test_stream_ewma_equals_batch_single_and_multi_batch(spark):
         assert _rows(got.select(
             "user_id", "event_id", "ts_us", "cents", "wsum", "denom"
         )) == want
+
+
+def test_scratch_root_free_space_gate(monkeypatch):
+    """tmpfs scratch is RAM-backed and competes with executor memory:
+    _scratch_root must refuse /dev/shm when free space is below the
+    caller's floor (ADVICE r6) and fall back to the disk tempdir."""
+    import os
+
+    from shuttle_spark.streaming import core as SC
+
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH", raising=False)
+    # nothing has an exbibyte free -> the tmpfs path must be refused
+    assert SC._scratch_root(min_free_bytes=1 << 60) is None
+    root = SC._scratch_root(min_free_bytes=0)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert root is not None and root.startswith("/dev/shm")
+    # scratch_tempdir always yields a usable directory either way
+    d = SC.scratch_tempdir()
+    assert os.path.isdir(d)
+    # the explicit override wins over any free-space verdict
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", d)
+    assert SC._scratch_root(min_free_bytes=1 << 60) == d
