@@ -6191,26 +6191,46 @@ def q_session_copresence_lift(spark: SparkSession, sf: str) -> DataFrame:
 # (every family they touch already holds a driver row — B30 keeps
 # decontaminate_counts, B17 holds five reps; twelve new operators already
 # rotated into the gate this round).
+#
+# Round-7 curation (VERDICT r6 item 1): the ten FULL-only round-6
+# operators get driver rows — ngram_jaccard_prefix,
+# session_copresence_lift, rolling_actives, ivf_partitioned_probe,
+# multimodal_expected_ok, doc_typicality, hash_split_assignments,
+# key_skew_census, join_fanout_census, rolling_window_features —
+# displacing third-or-later representatives of saturated families, every
+# one of which already carries a green CORRECTNESS_r06 driver row:
+# winsorized_stats / linear_attribution / ewma_anomalies /
+# event_transitions (B17 keeps scd2_intervals + gap_fill_hours, and the
+# incoming rolling_window_features + rolling_actives are themselves
+# window-family reps), pack_greedy_bins (B26 keeps pandas_udf_bucket),
+# repeated_span_docs (B28 keeps ngram_jaccard_pairs + semantic_dedup_kept
+# + the incoming prefix join), skew_join_agg (B12 keeps join_3way_agg +
+# runtime_filter_join; B13 broadcast_join_agg; the AQE skew-split assert
+# stays in tests/FULL), stream_ewma_anomalies (streaming keeps
+# stream_window_agg + sessionize), group_outliers_zscore and
+# sample_k_per_group (stats/sampling families keep agg_multi_fn +
+# hll_sketch_merge_ok).  Every displaced contract still runs in
+# tests/tools and ships in CORRECTNESS_FULL_r{N}.json.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
     "agg_multi_fn", "distinct_partkeys", "keep_latest",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
-    "broadcast_join_agg", "skew_join_agg", "anti_join_count",
-    "intersect_count", "rollup_agg", "sample_k_per_group",
-    "winsorized_stats", "global_rank_distributed",
+    "broadcast_join_agg", "join_fanout_census", "anti_join_count",
+    "intersect_count", "rollup_agg", "ivf_partitioned_probe",
+    "rolling_window_features", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
     "pagerank_scores", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "checksum_lineitem", "lineage_audit", "linear_attribution",
+    "checksum_lineitem", "lineage_audit", "rolling_actives",
     "scd2_intervals", "funnel_stages", "cohort_retention",
     "triangle_count", "as_of_join_events", "range_join_bands",
     "runtime_filter_join", "gap_fill_hours",
     "sessionize", "stream_window_agg",
-    "ewma_anomalies", "group_outliers_zscore",
-    "stream_ewma_anomalies", "pandas_udf_bucket", "exact_dedup_docs",
-    "ngram_jaccard_pairs", "event_transitions",
-    "repeated_span_docs", "pack_greedy_bins",
+    "doc_typicality", "key_skew_census",
+    "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
+    "ngram_jaccard_pairs", "session_copresence_lift",
+    "ngram_jaccard_prefix", "hash_split_assignments",
     "decontaminate_counts",
     "source_lang_gini",
 ]
