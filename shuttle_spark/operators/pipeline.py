@@ -282,12 +282,85 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the standard pre-training privacy pass (the C4/Dolma-style pipeline
     runs exactly this shape over every document).
 
-    Pure row-local JVM expression chain: three sequential regexp_replace
-    calls plus per-type match flags, no shuffle, no Python — at 100 TB
-    this runs entirely map-side inside whole-stage codegen at scan
-    parallelism.  Adds ``<type>_found`` booleans (computed BEFORE
-    scrubbing) and replaces ``text_col`` with the redacted text.
+    Semantics (identical in both implementations below, and spelled
+    token-for-token in the DuckDB oracle): per-type ``<type>_found``
+    booleans are matched against the ORIGINAL text, then the three
+    replacements run SEQUENTIALLY in PII_PATTERNS order — each pattern
+    scans the output of the previous replace, so e.g. an IP that only
+    gains a word boundary once an adjacent email is redacted IS caught.
+
+    Default implementation: ONE Arrow batch stage (``mapInPandas``) with
+    precompiled CPython ``re`` patterns.  The previous all-JVM expression
+    chain (still available as ``scrub_pii_jvm``) runs six full
+    ``java.util.regex`` scans per document (three ``rlike`` flags + three
+    ``regexp_replace``) and measured 13.5x DuckDB's RE2 marginal at sf10
+    — the worst per-row kernel residual on the scale curve.  The Arrow
+    stage cuts the work to three ``re.search`` scans per document plus
+    substitutions GATED on a match being possible (a replace pass is a
+    provable no-op unless its own search hit or an earlier replacement
+    rewrote the text), and sre's C matcher beats java.util.regex on these
+    character-class patterns.  Stateless and row-local either way: rides
+    batch and streaming pipelines at scan parallelism, no shuffle.
     """
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    compiled = [
+        (name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS
+    ]
+    fields = list(docs.schema.fields) + [
+        # nullable like the JVM twin: rlike(NULL) is NULL, not False
+        T.StructField(f"{name}_found", T.BooleanType(), True)
+        for name, _, _ in PII_PATTERNS
+    ]
+    schema = T.StructType(fields)
+    tcol = text_col
+
+    def scrub(batches):
+        for pdf in batches:
+            texts = pdf[tcol].tolist()
+            n = len(texts)
+            # None (not False) for NULL text, matching rlike(NULL)=NULL
+            flags = {name: [None] * n for name, _, _ in compiled}
+            out_texts = [None] * n
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                orig = t
+                dirty = False  # an earlier pattern rewrote the text
+                for name, pat, repl in compiled:
+                    # flags match the ORIGINAL text (oracle semantics);
+                    # the replace pass runs on the CURRENT text.  Skip a
+                    # sub only when it is a provable no-op: no match in
+                    # the original AND no earlier rewrite (then current
+                    # == original, so no match in current either).
+                    hit = pat.search(orig) is not None
+                    flags[name][i] = hit
+                    if hit or dirty:
+                        t2 = pat.sub(repl, t)
+                        dirty = dirty or t2 != t
+                        t = t2
+                out_texts[i] = t
+            pdf = pdf.copy()
+            pdf[tcol] = pd.Series(out_texts, index=pdf.index, dtype=object)
+            for name, _, _ in compiled:
+                pdf[f"{name}_found"] = pd.Series(
+                    flags[name], index=pdf.index
+                )
+            yield pdf
+
+    return docs.mapInPandas(scrub, schema)
+
+
+def scrub_pii_jvm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The all-JVM expression-chain twin of ``scrub_pii`` (three ``rlike``
+    flags + three sequential ``regexp_replace``), kept for environments
+    where Python workers are unavailable and as the A/B baseline the
+    Arrow default was measured against.  Same semantics, same output
+    schema; runs inside whole-stage codegen but pays six full
+    java.util.regex scans per document."""
     out = docs
     for name, pat, _ in PII_PATTERNS:
         out = out.withColumn(f"{name}_found", F.col(text_col).rlike(pat))

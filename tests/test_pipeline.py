@@ -192,6 +192,39 @@ def test_scrub_pii_redacts_and_flags(spark):
     assert out[5].text == "both [EMAIL] and [IP] and [PHONE]"
 
 
+def test_scrub_pii_arrow_equals_jvm_on_boundary_cases(spark):
+    """The Arrow default and the JVM expression twin implement the SAME
+    sequential-replace semantics — pinned on the adversarial shapes where
+    single-pass shortcuts diverge: an IP that only gains a word boundary
+    once the adjacent email is redacted, an IP hiding INSIDE an email's
+    local part (flagged on the original text but consumed by the email
+    replace), NULL text, and the literal replacement token appearing in
+    the input."""
+    from shuttle_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [
+            # email replace exposes "]5.6.7.8" -> \b appears -> IP caught
+            (1, "ping x@y.com5.6.7.8 now"),
+            # ip-in-email: ip_found=True on ORIGINAL, but the email
+            # replace consumes it -> no [IP] in output
+            (2, "mail x.1.2.3.4@y.com please"),
+            (3, None),
+            (4, "already has [EMAIL] literal and 10.1.2.3"),
+            (5, "x@y.io then 555-010-9999 then 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.asDict() for r in P.scrub_pii(df).collect()}
+    j = {r.doc_id: r.asDict() for r in P.scrub_pii_jvm(df).collect()}
+    assert a == j
+    assert a[1]["text"] == "ping [EMAIL][IP] now"
+    assert a[1]["ip_found"] is False  # no boundary in the ORIGINAL text
+    assert a[2]["ip_found"] is True and "[IP]" not in a[2]["text"]
+    assert a[3]["text"] is None and a[3]["email_found"] is None
+    assert a[4]["text"] == "already has [EMAIL] literal and [IP]"
+
+
 def test_quantize_int8_bounds_and_roundtrip(spark):
     import numpy as np
 
