@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1266,15 +1267,17 @@ def _multimodal_feats(spark: SparkSession, sf: str) -> DataFrame:
     return _mm_feats_cache.put(key, docs, feats)
 
 
-@contract("multimodal_featurize_topk", None, "B29", "multimodal")
-def q_multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
-    """The multimodal pipeline end-to-end under the driver gate (rows-only:
-    the featurizer is the documented deterministic stub — no media libs in
-    this container — but every Spark-side stage is production-shaped):
-    synthesize binary payloads + metadata structs, decode+featurize via
-    Arrow `mapInPandas` (no shuffle of payloads), then bridge into the ANN
+def _multimodal_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal pipeline end-to-end (the featurizer is the
+    documented deterministic stub — no media libs in this container — but
+    every Spark-side stage is production-shaped): synthesize binary
+    payloads + metadata structs, decode+featurize via Arrow
+    ``mapInPandas`` (no shuffle of payloads), then bridge into the ANN
     operator for a cosine top-10 over the feature embeddings.  The
-    feature relation is session-staged (_multimodal_feats)."""
+    feature relation is session-staged (_multimodal_feats).  Formerly the
+    rows-only multimodal_featurize_topk contract; now exercised and
+    equality-gated INSIDE multimodal_expected_ok (VERDICT r6 item 5), so
+    no uncompanioned rows-only row remains."""
     feats = _multimodal_feats(spark, sf)
     q = feats.filter(F.col("media_id") == 0).head()
     out = S.brute_force_topk(
@@ -1287,8 +1290,10 @@ def q_multimodal_featurize(spark: SparkSession, sf: str) -> DataFrame:
     "multimodal_expected_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "multimodal"
 )
 def q_multimodal_expected(spark: SparkSession, sf: str) -> DataFrame:
-    """Equality companion for the rows-only multimodal_featurize_topk
-    (VERDICT r5 item 3): the synthetic payloads are seeded and
+    """Equality gate for the multimodal featurize+top-k pipeline
+    (VERDICT r5 item 3; the former rows-only multimodal_featurize_topk
+    row is folded in here per VERDICT r6 item 5 — _multimodal_topk runs
+    the identical Spark pipeline): the synthetic payloads are seeded and
     deterministic (sha256-CTR of the media id), so the ENTIRE pipeline —
     payload synthesis, decode, channel-histogram featurization, cosine
     top-10 — is replayed driver-side in plain numpy from the id list
@@ -1327,7 +1332,7 @@ def q_multimodal_expected(spark: SparkSession, sf: str) -> DataFrame:
     order = _np.argsort(-sims, kind="stable")[:10]
     expected = {int(ids[j]): float(sims[j]) for j in order}
 
-    got_rows = REGISTRY["multimodal_featurize_topk"].build(spark, sf).collect()
+    got_rows = _multimodal_topk(spark, sf).collect()
     got = {int(r["media_id"]): float(r["sim"]) for r in got_rows}
     ok = set(got) == set(expected) and all(
         abs(got[i] - expected[i]) < 1e-5 for i in got
@@ -1751,13 +1756,78 @@ def q_incremental_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return N.near_dup_pairs_between(new, corpus, 0.6, n=3)
 
 
-@contract("minhash_lsh_pairs", None, "B28")
-def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(128)+LSH(32x4) near-dup pairs verified join-local with exact
-    Jaccard (B28 scale path).  Deterministic (seed=42) but xxhash64-based,
-    so no SQL oracle — covered instead by minhash_recall_ok."""
-    docs = load_table(spark, sf, "documents")
-    return N.minhash_near_dup_pairs(docs, 0.6)
+@contract(
+    "minhash_replay_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "B28"
+)
+def q_minhash_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(128)+LSH(32x4) near-dup pairs under a REPLAY-EQUALITY
+    oracle (VERDICT r6 item 4; successor of the rows-only
+    minhash_lsh_pairs row).  The pipeline is xxhash64-based, so no SQL
+    twin exists — instead the ENTIRE candidate derivation (normalize ->
+    3-gram shingles -> xxhash64 mod P31 -> 128 affine permutation mins ->
+    per-band xxhash64 band keys -> band-bucket pairs -> exact-Jaccard
+    verify at tau=0.6) is replayed driver-side in pure Python/numpy on a
+    bounded sample, using functions.xxh — a from-the-spec xxHash64
+    re-implementation pinned bit-equal to ``F.xxhash64`` — and the Spark
+    operator's full pair set must match it EXACTLY (same pairs, jaccard
+    within rounding tolerance).  Complements minhash_recall_ok, which
+    bounds recall vs exact pairs; this checks the implementation itself,
+    including the band-key fold and permutation arithmetic."""
+    import re as _re
+
+    from shuttle_spark.functions import xxh
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in N.minhash_near_dup_pairs(docs, 0.6).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    av, bv = N._perm_coeffs(128)
+    a_arr = np.asarray(av, dtype=np.int64)[:, None]
+    b_arr = np.asarray(bv, dtype=np.int64)[:, None]
+    bands, rpb = 32, 4
+    gram_py: dict[int, set] = {}
+    band_map: dict[tuple, list] = {}
+    for r in rows:
+        norm = _re.sub(r"\s+", " ", r["text"]).strip().lower()
+        toks = norm.split(" ")
+        if len(toks) < 3:
+            continue  # gramless docs post nothing (operator parity)
+        grams = list(
+            dict.fromkeys(
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        gram_py[r["doc_id"]] = set(grams)
+        h = np.asarray(
+            [xxh.hash_str(g) % N._P31 for g in grams], dtype=np.int64
+        )
+        sig = ((a_arr * h[None, :] + b_arr) % N._P31).min(axis=1)
+        for j in range(bands):
+            key = (j, xxh.band_key(sig[j * rpb:(j + 1) * rpb].tolist(), j))
+            band_map.setdefault(key, []).append(r["doc_id"])
+    exp: dict[tuple, float] = {}
+    seen: set[tuple] = set()
+    for ids in band_map.values():
+        ids = sorted(set(ids))
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                p = (ids[x], ids[y])
+                if p in seen:
+                    continue
+                seen.add(p)
+                ga, gb = gram_py[p[0]], gram_py[p[1]]
+                inter = len(ga & gb)
+                jac = inter / (len(ga) + len(gb) - inter)
+                if jac >= 0.6:
+                    exp[p] = jac
+    ok = set(got) == set(exp) and all(
+        abs(got[p] - exp[p]) < 5e-7 for p in got
+    )
+    return spark.createDataFrame(
+        [(bool(ok), bool(len(exp) > 0))], "ok boolean, nonempty boolean"
+    )
 
 
 @contract("minhash_recall_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B28")
@@ -1777,17 +1847,56 @@ def q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@contract("simhash_pairs", None, "B28")
-def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash(63-bit) near-dups within hamming distance 3, blocked on 4
-    ~16-bit chunks (pigeonhole-complete for h<=3: recall exactly 1.0).
-    h=3 is the scale-sane operating point — chunk width is ~63/(h+1) bits,
-    so larger h collapses the blocking key space and the candidate join
-    blows up quadratically (measured 3.4x wall at sf0.1 for h=8 vs h=3).
-    Deterministic; xxhash64-based, so rows-only — recall completeness is
-    the companion property contract `simhash_recall_ok`."""
-    docs = load_table(spark, sf, "documents")
-    return N.simhash_near_dup_pairs(docs, max_hamming=3)
+@contract(
+    "simhash_replay_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "B28"
+)
+def q_simhash_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash(63-bit, hamming<=3, 4-chunk blocking) under a
+    REPLAY-EQUALITY oracle (VERDICT r6 item 4; successor of the rows-only
+    simhash_pairs row).  h=3 is the scale-sane operating point — chunk
+    width is ~63/(h+1) bits, so larger h collapses the blocking key space
+    and the candidate join blows up quadratically (measured 3.4x wall at
+    sf0.1 for h=8 vs h=3).  The fingerprint is xxhash64-based, so no SQL
+    twin — instead the full derivation (normalize -> distinct tokens ->
+    xxhash64 per token via functions.xxh -> 63-bit majority vote ->
+    brute-force hamming<=3 pairs) is replayed driver-side in numpy on a
+    bounded sample and the Spark operator's (id_a, id_b, hamming) set
+    must EQUAL it — integer-exact, no tolerance.  Complements
+    simhash_recall_ok (pigeonhole completeness of the chunk blocking);
+    this checks the fingerprint arithmetic itself."""
+    import re as _re
+
+    from shuttle_spark.functions import xxh
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in N.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    pows = np.asarray(N._POWS, dtype=np.int64)
+    fps: dict[int, int] = {}
+    for r in rows:
+        if r["text"] is None:
+            continue
+        norm = _re.sub(r"\s+", " ", r["text"]).strip().lower()
+        toks = list(dict.fromkeys(norm.split(" ")))
+        hs = np.asarray([xxh.hash_str(t) for t in toks], dtype=np.int64)
+        bits = (hs[:, None] & pows[None, :]) != 0
+        votes = bits.sum(axis=0) * 2 - hs.size
+        fps[r["doc_id"]] = int(pows[votes >= 0].sum())
+    ids = sorted(fps)
+    arr = np.asarray([fps[i] for i in ids], dtype=np.uint64)
+    exp: dict[tuple, int] = {}
+    for x in range(len(ids)):
+        xo = arr[x] ^ arr[x + 1:]
+        pc = np.unpackbits(xo[:, None].view(np.uint8), axis=1).sum(axis=1)
+        for off in np.nonzero(pc <= 3)[0]:
+            exp[(ids[x], ids[int(x) + 1 + int(off)])] = int(pc[off])
+    ok = got == exp
+    return spark.createDataFrame(
+        [(bool(ok), bool(len(exp) > 0))], "ok boolean, nonempty boolean"
+    )
 
 
 @contract("simhash_recall_ok", "SELECT TRUE AS ok, TRUE AS nonempty", "B28")

@@ -1371,3 +1371,51 @@ def test_session_copresence_lift_semantics(spark):
     # sessions: {u1 s0: click,view}, {u1 s1: purchase}, {u2 s0: click} -> 3
     # n_click=2, n_view=1, n_purchase=1; only (click,view) co-occurs once
     assert got == {("click", "view"): (1, round(1 * 3 / (2 * 1), 6))}
+
+
+def test_xxh64_matches_spark_xxhash64(spark):
+    """functions.xxh (the pure-Python xxHash64 powering the replay
+    oracles) must be bit-identical to ``F.xxhash64`` on every form the
+    replays use: UTF-8 strings across all tail-length classes (empty,
+    <4, <8, <32, >=32-byte stripes, multi-byte), signed longs, ints,
+    long arrays (fold), and the two-child band-key shape."""
+    from shuttle_spark.functions import xxh
+
+    strs = ["", "a", "abc", "abcd", "hello world", "x" * 31, "y" * 32,
+            "z" * 100, "é漢字🎉 multi-byte", "555-010-1234"]
+    for r in (
+        spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    ):
+        assert xxh.hash_str(r["s"]) == r["h"]
+    longs = [0, 1, -1, 42, 2**62, -(2**63), 123456789012345]
+    for r in (
+        spark.createDataFrame([(v,) for v in longs], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    ):
+        assert xxh.hash_long(r["v"], 42) == r["h"]
+    ints = [0, 1, -1, 2**31 - 1, -(2**31)]
+    for r in (
+        spark.createDataFrame([(v,) for v in ints], "v int")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    ):
+        assert xxh.hash_int(r["v"], 42) == r["h"]
+    arrs = [[1, 2, 3, 4], [], [0], [-5, 2**40], [7] * 9]
+    for r in (
+        spark.createDataFrame([(a,) for a in arrs], "a array<bigint>")
+        .select("a", F.xxhash64("a").alias("h"))
+        .collect()
+    ):
+        assert xxh.hash_long_array(r["a"]) == r["h"]
+    rows = (
+        spark.createDataFrame(
+            [([1, 2, 3, 4], j) for j in range(6)], "a array<bigint>, j int"
+        )
+        .select("a", "j", F.xxhash64("a", "j").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxh.band_key(r["a"], r["j"]) == r["h"]
