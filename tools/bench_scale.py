@@ -161,6 +161,8 @@ def main() -> None:
                       file=sys.stderr)
                 continue
             q = out["queries"].setdefault(name, {})
+            if "compat" in (c.tags or ()):
+                q["label"] = "compat"  # non-default path; see bench.py
             q[label] = {
                 "spark_sec": round(sp, 4),
                 "duckdb_sec": round(du, 4),
