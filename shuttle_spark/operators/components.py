@@ -382,3 +382,67 @@ def pagerank(
         if (it + 1) % 5 == 0 and it + 1 < iters:
             scores = scores.localCheckpoint(eager=False)
     return scores.select("node", F.round("score", 6).alias("score"))
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph in which every node has
+    degree >= k — the standard graph-quality screen (a near-dup /
+    citation / interaction graph's k-core is its "dense, non-accidental"
+    region; peripheral one-off links peel away).
+
+    Iterative peeling as log-round DataFrame joins: each round computes
+    degrees over the surviving undirected edge set (one exchange of the
+    edge relation), drops nodes below k via two anti-joins, and stops at
+    the fixed point (no node dropped).  The greatest-fixed-point nature
+    of the peel is why no monotone recursive-SQL oracle exists — the
+    contract (kcore_peel_equal) replays the peel driver-side instead.
+
+    Scale posture mirrors ``connected_components``: every round's edge
+    relation is ``localCheckpoint``-ed so the plan lineage stays O(1)
+    instead of O(rounds); convergence is detected by a one-row count (a
+    bounded driver scalar, not data).  Rounds needed = the graph's
+    degeneracy ordering depth, typically << nodes (the 25-round CC bound
+    is raised to 60: adversarial path graphs peel one layer per
+    round)."""
+    for c in (a_col, b_col):
+        kind = dict(pairs.dtypes).get(c, "")
+        if kind not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise TypeError(
+                f"kcore needs integral node ids; column {c!r} is {kind!r}"
+            )
+    e = _canon(
+        pairs.select(
+            F.col(a_col).cast("long").alias("a"),
+            F.col(b_col).cast("long").alias("b"),
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        # one bounded driver scalar per round (the CC convergence idiom)
+        if bad.limit(1).count() == 0:
+            break
+        e = (
+            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )

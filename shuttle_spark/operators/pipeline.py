@@ -560,3 +560,64 @@ def doc_typicality(docs: DataFrame, n: int = 3) -> DataFrame:
             ).alias("typicality"),
         )
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    fractions: dict[str, float],
+    seed: int = 7,
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT-COUNT stratified split: within each stratum, rows are ranked
+    by ``(md5(id:seed), id)`` and the first ``floor(n_s * f)`` rows (in
+    basis-point integer arithmetic) go to each split in declaration
+    order, remainder to the last split.  Where ``hash_split`` gives each
+    row an independent Bernoulli assignment (proportions only in
+    expectation — a 200-row stratum can land 26% val), this guarantees
+    per-stratum counts exact to the floor, the property an eval-set
+    builder needs ("exactly 10% of EVERY language in val").
+
+    Determinism: the rank key is a pure function of (id, seed) and the
+    boundaries are pure integer functions of (n_s, fractions) —
+    reproducible across engines, partitionings and reruns.  Unlike
+    ``hash_split``, assignment is NOT stable under corpus growth (ranks
+    shift as rows arrive) — that is the price of exact counts; pick per
+    use case.
+
+    Plan: one window over the stratum partitioning (single exchange on
+    strata) plus a broadcast join-back of the |strata|-row counts.  A
+    degenerate all-one-stratum input serializes into one partition —
+    compose with ``relational.global_rank``'s range-bucketing if a
+    stratum exceeds executor memory at 100 TB."""
+    from pyspark.sql import Window as W
+
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    rank_key = md5_prefix32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed)))
+    )
+    w = W.partitionBy(*strata_cols).orderBy(rank_key, F.col(id_col))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("__ns"))
+    names = list(fractions)
+    cum_bp = 0
+    bounds = []
+    for nm in names[:-1]:
+        cum_bp += int(round(fractions[nm] * 10000))
+        bounds.append((nm, cum_bp))
+    # boundary = floor(n_s * cum_f) in EXACT basis-point integer
+    # arithmetic — ``DIV`` (integer floor division), never float: a
+    # double n_s*f can sit one ulp above an integral product and flip a
+    # boundary row between engines (the winsorized-rank lesson).
+    case = F.lit(names[-1])
+    for nm, bp in reversed(bounds):
+        case = F.when(
+            F.col("__rn") <= F.expr(f"(__ns * {bp}) DIV 10000"), F.lit(nm)
+        ).otherwise(case)
+    return (
+        ranked.join(F.broadcast(counts), strata_cols)
+        .withColumn(split_col, case)
+        .drop("__rn", "__ns")
+    )

@@ -1317,3 +1317,162 @@ def session_copresence_lift(
             ).alias("lift"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    step: str = "1 hour",
+) -> DataFrame:
+    """OHLC downsampling (the classic time-series bar aggregate): per
+    (keys, time bucket) the OPEN (value at the earliest event), CLOSE
+    (latest), HIGH/LOW (max/min), VOLUME (row count) and exact total —
+    the continuous-rollup shape every metrics/market pipeline runs
+    (the reference's consumers downsample exactly this way before
+    serving; SURVEY §2.B B17/B24).
+
+    open/close are deterministic even under timestamp ties: ``min_by`` /
+    ``max_by`` order on a LEXICOGRAPHIC STRING key ``zero-padded
+    epoch-micros || tiebreak`` — byte comparison is identical in every
+    engine, whereas min_by on a bare timestamp picks an arbitrary row
+    among ties (and struct ordering is not portable to the SQL twin).
+    high/low are exact picks of stored doubles (the B6 discipline), the
+    total is a scaled-long sum.
+
+    Plan: ONE map-side partial + final hash aggregate on (keys, bucket)
+    — a single exchange of the already-collapsed bar relation, no
+    windows, no second scan; at 100 TB this is the canonical
+    pre-aggregation that runs at scan parallelism."""
+    keys = list(keys)
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col(tiebreak).cast("string"), 12, "0"),
+    )
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    if step != "1 hour":  # hour is the contract grain; others pass through
+        bucket = F.window(F.col(ts_col), step).getField("start").alias("bucket")
+    v = F.col(value_col)
+    return (
+        events.groupBy(*keys, bucket)
+        .agg(
+            F.min_by(v, okey).alias("open"),
+            F.max_by(v, okey).alias("close"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.count("*").alias("volume"),
+            F.sum(F.round(v * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+def group_outliers_mad(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier census via median / MAD (median absolute
+    deviation) — the screen that survives what breaks
+    ``group_outliers_zscore``: a single extreme value inflates the
+    mean/std enough to hide itself (masking), while the median and MAD
+    have a 50% breakdown point.  Flags rows with
+    ``|x - median| > z * 1.4826 * MAD`` (1.4826 = the standard normal
+    consistency constant).
+
+    Cross-engine determinism: the value is integer-quantized first, so
+    both percentile passes interpolate identical integers — the R-7
+    ``pos = p*(n-1)`` convention with f=0.5 makes every interpolated
+    median either an integer or an exact .5, and the second-pass
+    deviations are again exact halves; the comparison threshold is then
+    an identical IEEE expression in both engines.  Zero-MAD groups
+    (>=50% identical values) flag NOTHING unless x != median — the
+    documented MAD degeneracy, identical in the SQL twin.
+
+    Plan: two aggregate passes over the fact table with a broadcast
+    join-back of the |groups|-row median relation between them — the
+    same zero-fact-shuffle shape as ``group_outliers_zscore``; a window
+    formulation would exchange the whole table on the group key."""
+    v = F.col(value) if isinstance(value, str) else value
+    keys = list(keys)
+    q = df.select(*keys, F.round(v).cast("long").alias("__ui"))
+    med = q.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("percentile(__ui, 0.5)").alias("__med"),
+    )
+    dev = q.join(F.broadcast(med), keys).select(
+        *keys,
+        "__ui",
+        "n_rows",
+        "__med",
+        F.abs(F.col("__ui") - F.col("__med")).alias("__dev"),
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.expr("percentile(__dev, 0.5)").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.count_if(
+                F.col("__dev") > F.lit(z * 1.4826) * F.col("__mad")
+            ).alias("n_outliers"),
+            F.round(F.first("__med"), 6).alias("median_value"),
+            F.round(F.first("__mad"), 6).alias("mad_value"),
+        )
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key OLS trend (slope + intercept of value over time) — the
+    drift detector a metrics pipeline runs per user/source/shard ("is
+    this key's value trending?").  x = whole hours since the Unix epoch
+    (integer), y = value in cents (integer).
+
+    slope = (n*Σxy − Σx·Σy) / (n*Σx² − (Σx)²) over EXACT integer sums —
+    map-side partial aggregates of five longs, one tiny exchange, and a
+    final ratio of identical integers in both engines (no
+    association-sensitive float sum anywhere; the scaled-long discipline
+    applied to regression).  Keys with n < 2 or zero x-variance get NULL
+    slope/intercept (not 0/0 = NaN — the engine degenerate-input
+    convention).  Overflow dial: Σx² < 2^63 needs n_rows_per_key *
+    hours² < 9.2e18 — hours ~3e5 for this century, so ~1e8 rows per key;
+    re-origin x for longer-lived keys."""
+    keys = list(keys)
+    x = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    y = F.round(F.col(value_col) * 100).cast("long")
+    q = df.select(*keys, x.alias("__x"), y.alias("__y"))
+    agg = q.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("n_rows")
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (n > 1) & (denom != 0),
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        / denom.cast("double"),
+    )
+    intercept = (
+        (F.col("__sy").cast("double") - slope * F.col("__sx")) / n
+    )
+    return agg.select(
+        *keys,
+        "n_rows",
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )

@@ -1419,3 +1419,116 @@ def test_xxh64_matches_spark_xxhash64(spark):
     )
     for r in rows:
         assert xxh.band_key(r["a"], r["j"]) == r["h"]
+
+
+def test_ohlc_bars_deterministic_open_close_under_ties(spark):
+    """OHLC bars: open/close pick the lexicographic-key extremes, so a
+    timestamp TIE resolves by the tiebreak id identically everywhere."""
+    import datetime as dt
+
+    from shuttle_spark.operators import relational as R
+
+    t0 = dt.datetime(2024, 3, 1, 9, 15, 0)
+    rows = [
+        (1, "trade", t0, 10.0),
+        (2, "trade", t0, 11.0),          # same ts as open -> id tiebreak
+        (3, "trade", t0 + dt.timedelta(minutes=10), 15.0),
+        (4, "trade", t0 + dt.timedelta(minutes=20), 7.5),
+        (5, "trade", t0 + dt.timedelta(minutes=20), 8.0),  # tie at close
+        (6, "trade", t0 + dt.timedelta(hours=1), 99.0),    # next bar
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = {
+        r["bucket"].hour: r
+        for r in R.ohlc_bars(df, ["event_type"]).collect()
+    }
+    b = out[9]
+    assert (b["open"], b["close"]) == (10.0, 8.0)  # ids 1 and 5 win ties
+    assert (b["high"], b["low"], b["volume"]) == (15.0, 7.5, 5)
+    assert b["total_cents"] == 5150
+    assert out[10]["open"] == out[10]["close"] == 99.0
+
+
+def test_group_outliers_mad_resists_masking(spark):
+    """The case z-score misses: a single outlier's z-score is bounded by
+    (n-1)/sqrt(n), so at n=9 it can NEVER exceed 2.67 — a z=3 screen is
+    structurally blind to it (masking) — while median/MAD ignore the
+    outlier's own pull and flag it at the same z."""
+    from shuttle_spark.operators import relational as R
+
+    vals = [10.0] * 4 + [11.0] * 2 + [9.0] * 2 + [1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k string, value double"
+    )
+    zs = R.group_outliers_zscore(df, ["k"], "value", z=3.0).collect()[0]
+    mad = R.group_outliers_mad(df, ["k"], "value", z=3.0).collect()[0]
+    assert zs["n_outliers"] == 0      # masked: max attainable z is 2.67
+    assert mad["n_outliers"] == 1     # caught
+    assert mad["median_value"] == 10.0
+    assert mad["mad_value"] == 1.0
+
+
+def test_trend_slope_exact_line(spark):
+    """Points exactly on value = 2*hour + 5 (cents: 200x + 500) recover
+    slope/intercept exactly; a constant-x key yields NULL (no NaN)."""
+    import datetime as dt
+
+    from shuttle_spark.operators import relational as R
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0 + dt.timedelta(hours=h), (2 * (473352 + h) + 5) / 1.0)
+        for h in range(5)
+    ] + [(2, t0, 3.0), (2, t0 + dt.timedelta(minutes=5), 9.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in R.trend_slope(df, ["user_id"]).collect()}
+    assert got[1]["slope_cents_per_hour"] == 200.0
+    assert got[1]["intercept_cents"] == 500.0
+    # user 2: both rows in the same hour -> zero x-variance -> NULL
+    assert got[2]["slope_cents_per_hour"] is None
+    assert got[2]["intercept_cents"] is None
+
+
+def test_stratified_split_exact_counts(spark):
+    """Per-stratum counts hit the floor boundaries exactly (the property
+    hash_split only gives in expectation), and assignment is a pure
+    function of (id, seed) — rerun-identical."""
+    from shuttle_spark.operators import pipeline as P
+
+    rows = [(i, "en" if i < 100 else "fr") for i in range(137)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = P.stratified_split(
+        df, "doc_id", ["lang"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("en", "train")] == 80 and counts[("en", "val")] == 10
+    assert counts[("en", "test")] == 10
+    # 37-row stratum: floor(37*.8)=29, floor(37*.9)=33 -> 29/4/4
+    assert counts[("fr", "train")] == 29 and counts[("fr", "val")] == 4
+    assert counts[("fr", "test")] == 4
+    again = P.stratified_split(
+        df, "doc_id", ["lang"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_kcore_known_graph(spark):
+    """Constructed graph: a 5-clique (4-core) with a pendant path hanging
+    off it — the path peels away layer by layer, the clique survives;
+    k=5 empties the core."""
+    from shuttle_spark.operators import components as CC
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + path, "id_a long, id_b long")
+    got = sorted(r["node"] for r in CC.kcore(e, 4).collect())
+    assert got == [0, 1, 2, 3, 4]
+    assert CC.kcore(e, 5).count() == 0
+    assert sorted(r["node"] for r in CC.kcore(e, 1).collect()) == [
+        0, 1, 2, 3, 4, 10, 11, 12
+    ]
