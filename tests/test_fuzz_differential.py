@@ -1374,3 +1374,137 @@ def test_fuzz_prefix_jaccard(spark, duck, tau_pct, doc_mod):
         f" SELECT id_a, id_b, jac FROM jac WHERE jac >= {tau!r}"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 31 (round 7): the new analytics operators — OHLC bars, MAD outliers,
+# OLS trend, exact-count stratified split — fuzzed over keys / thresholds /
+# seeds against literal SQL twins.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    key=st.sampled_from(["event_type", "user_id"]),
+    key_mod=st.integers(1, 5),
+)
+@FUZZ
+def test_fuzz_ohlc_bars(spark, duck, key, key_mod):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events").filter(
+        (F.col("value").isNotNull()) & (F.col("user_id") % key_mod == 0)
+    )
+    sdf = R.ohlc_bars(ev, [key], "ts", "value", "event_id")
+    sql = (
+        f"WITH k AS (SELECT {key},"
+        f"  date_trunc('hour', ts::TIMESTAMP) AS bucket, value,"
+        f"  lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')"
+        f"   || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey"
+        f" FROM events WHERE value IS NOT NULL AND user_id % {key_mod} = 0)"
+        f" SELECT {key}, bucket, arg_min(value, okey) AS open,"
+        f"  arg_max(value, okey) AS close, MAX(value) AS high,"
+        f"  MIN(value) AS low, CAST(COUNT(*) AS BIGINT) AS volume,"
+        f"  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+        f"   AS total_cents"
+        f" FROM k GROUP BY 1, 2"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(
+    keys=st.sampled_from(
+        [("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
+    ),
+    value=st.sampled_from(["l_extendedprice", "l_quantity"]),
+    z_tenths=st.integers(10, 60),
+)
+@FUZZ
+def test_fuzz_mad_outliers(spark, duck, keys, value, z_tenths):
+    from shuttle_spark.operators import relational as R
+
+    z = z_tenths / 10.0
+    li = load_table(spark, SF, "lineitem")
+    sdf = R.group_outliers_mad(li, list(keys), value, z=z)
+    kcols = ", ".join(keys)
+    sql = (
+        f"WITH v AS (SELECT {kcols},"
+        f"  CAST(ROUND({value}) AS BIGINT) AS ui FROM lineitem),"
+        f" m AS (SELECT {kcols}, COUNT(*) AS n_rows,"
+        f"  quantile_cont(ui, 0.5) AS med FROM v GROUP BY {kcols}),"
+        f" d AS (SELECT v.*, m.n_rows, m.med, ABS(v.ui - m.med) AS dev"
+        f"  FROM v JOIN m USING ({kcols})),"
+        f" md AS (SELECT {kcols}, quantile_cont(dev, 0.5) AS mad"
+        f"  FROM d GROUP BY {kcols})"
+        f" SELECT d.{', d.'.join(keys)}, MIN(d.n_rows) AS n_rows,"
+        f"  COUNT(*) FILTER (WHERE d.dev > {z!r} * 1.4826 * md.mad)"
+        f"   AS n_outliers,"
+        f"  ROUND(MIN(d.med), 6) AS median_value,"
+        f"  ROUND(MIN(md.mad), 6) AS mad_value"
+        f" FROM d JOIN md USING ({kcols}) GROUP BY {kcols}"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(
+    key=st.sampled_from(["user_id", "event_type"]),
+    key_mod=st.integers(1, 4),
+)
+@FUZZ
+def test_fuzz_trend_slope(spark, duck, key, key_mod):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events").filter(
+        (F.col("value").isNotNull()) & (F.col("user_id") % key_mod == 0)
+    )
+    sdf = R.trend_slope(ev, [key], "ts", "value")
+    sql = (
+        f"WITH q AS (SELECT {key},"
+        f"  epoch_us(ts::TIMESTAMP) // 3600000000 AS x,"
+        f"  CAST(ROUND(value * 100) AS BIGINT) AS y FROM events"
+        f"  WHERE value IS NOT NULL AND user_id % {key_mod} = 0),"
+        f" s AS (SELECT {key}, COUNT(*) AS n_rows,"
+        f"  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,"
+        f"  CAST(SUM(x * x) AS BIGINT) AS sxx,"
+        f"  CAST(SUM(x * y) AS BIGINT) AS sxy FROM q GROUP BY 1),"
+        f" r AS (SELECT {key}, n_rows,"
+        f"  CASE WHEN n_rows > 1 AND n_rows * sxx - sx * sx <> 0 THEN"
+        f"   CAST(n_rows * sxy - sx * sy AS DOUBLE)"
+        f"    / CAST(n_rows * sxx - sx * sx AS DOUBLE) END AS slope,"
+        f"  sx, sy FROM s)"
+        f" SELECT {key}, CAST(n_rows AS BIGINT) AS n_rows,"
+        f"  ROUND(slope, 6) AS slope_cents_per_hour,"
+        f"  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))"
+        f"   / n_rows, 6) AS intercept_cents FROM r"
+    )
+    _check(sdf, duck, sql)
+
+
+@given(
+    strat=st.sampled_from(["lang", "source"]),
+    train_pct=st.integers(10, 90),
+    val_pct=st.integers(5, 9),
+    seed=st.integers(0, 99),
+)
+@FUZZ
+def test_fuzz_stratified_split(spark, duck, strat, train_pct, val_pct, seed):
+    from shuttle_spark.operators import pipeline as P
+
+    fr = {"train": train_pct / 100, "val": val_pct / 100, "test": 0.0}
+    docs = load_table(spark, SF, "documents")
+    sdf = (
+        P.stratified_split(docs, "doc_id", [strat], fr, seed=seed)
+        .groupBy(strat, "split")
+        .agg(F.count("*").alias("n"))
+    )
+    b1, b2 = train_pct * 100, (train_pct + val_pct) * 100
+    sql = (
+        f"WITH ranked AS (SELECT {strat}, doc_id,"
+        f"  ROW_NUMBER() OVER (PARTITION BY {strat} ORDER BY"
+        f"   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'),"
+        f"    1, 8))::BIGINT, doc_id) AS rn,"
+        f"  COUNT(*) OVER (PARTITION BY {strat}) AS ns FROM documents)"
+        f" SELECT {strat}, CASE WHEN rn <= (ns * {b1}) // 10000 THEN 'train'"
+        f"  WHEN rn <= (ns * {b2}) // 10000 THEN 'val' ELSE 'test' END"
+        f"   AS split, CAST(COUNT(*) AS BIGINT) AS n FROM ranked GROUP BY 1, 2"
+    )
+    _check(sdf, duck, sql)

@@ -408,3 +408,38 @@ def test_triangle_count_matches_reference(spark, edges):
         adj.setdefault(b, set()).add(a)
     ref = sum(len(adj[a] & adj[b]) for a, b in canon) // 3
     assert got == ref
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=edges_strategy, k=st.integers(1, 5))
+@SLOW
+def test_kcore_matches_sequential_peel(spark, edges, k):
+    """The distributed round-synchronous peel must equal the sequential
+    reference peel on arbitrary small graphs (the k-core is a unique
+    greatest fixed point, so ANY removal order converges to it) —
+    including graphs with self-loops, duplicate and reversed edges,
+    which canonicalization must collapse first."""
+    from shuttle_spark.operators import components as CC
+
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(r["node"] for r in CC.kcore(e, k).collect())
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, s in adj.items() if len(s) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    assert got == sorted(adj)
