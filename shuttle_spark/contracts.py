@@ -6375,6 +6375,76 @@ def q_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("lang", "split").agg(F.count("*").alias("n"))
 
 
+@contract(
+    "stream_ohlc_bars",
+    "WITH k AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
+    "   value, lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')"
+    "    || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey"
+    "  FROM events WHERE value IS NOT NULL)"
+    " SELECT event_type, bucket,"
+    "  arg_min(value, okey) AS open, arg_max(value, okey) AS close,"
+    "  MAX(value) AS high, MIN(value) AS low,"
+    "  CAST(COUNT(*) AS BIGINT) AS volume,"
+    "  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+    "   AS total_cents"
+    " FROM k GROUP BY 1, 2"
+    " HAVING bucket + INTERVAL 1 HOUR <="
+    "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 2 HOUR FROM events)",
+    "B24",
+    "B17",
+)
+def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC bars as a LIVE Structured Streaming window aggregate
+    (file-stream replay -> watermark -> min_by/max_by window agg ->
+    AvailableNow), hash-matched against the batch OHLC oracle on the
+    finalized subset (windows the 2 h watermark has closed) — stream ==
+    batch proven for the order-sensitive open/close picks too, because
+    the lexicographic okey makes them commutative over ANY micro-batch
+    arrival order (a plain first/last would be replay-order-dependent
+    and could never pass this gate)."""
+    from shuttle_spark.streaming import events_stream, run_available_now
+
+    ev = load_table(spark, sf, "events")
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    v = F.col("value")
+    stream = (
+        events_stream(spark, sf)
+        .filter(v.isNotNull())
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by(v, okey).alias("open"),
+            F.max_by(v, okey).alias("close"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.count("*").alias("volume"),
+            F.sum(F.round(v * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    out = run_available_now(
+        stream, f"sohlc_{abs(hash(sf)) % 99999}", shuffle_partitions=4
+    )
+    import datetime as dt
+
+    return out.filter(
+        F.col("win.end") <= F.lit(cutoff - dt.timedelta(hours=2))
+    ).select(
+        "event_type",
+        F.col("win.start").alias("bucket"),
+        "open",
+        "close",
+        "high",
+        "low",
+        "volume",
+        "total_cents",
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality

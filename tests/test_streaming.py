@@ -473,3 +473,50 @@ def test_scratch_root_free_space_gate(monkeypatch):
     # the explicit override wins over any free-space verdict
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", d)
     assert SC._scratch_root(min_free_bytes=1 << 60) == d
+
+
+def test_stream_ohlc_equals_batch_multi_batch(spark):
+    """Streaming OHLC == batch OHLC on the finalized subset in a
+    MULTI-batch replay: the open/close picks are the order-sensitive
+    part, and the lexicographic okey min_by/max_by makes them
+    commutative across micro-batch arrival order — this test feeds 4
+    files so partial windows genuinely merge across batches."""
+    from shuttle_spark.operators import relational as R
+    from shuttle_spark.streaming import events_stream_multi, run_available_now
+
+    ev = _events(spark).filter(F.col("value").isNotNull())
+    batch = R.ohlc_bars(ev, ["event_type"], "ts", "value", "event_id")
+    cutoff = _cutoff(spark)
+    want = _rows(
+        batch.filter(F.col("bucket") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))
+    )
+
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    v = F.col("value")
+    stream = (
+        events_stream_multi(spark, SF, n_files=4)
+        .filter(v.isNotNull())
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by(v, okey).alias("open"),
+            F.max_by(v, okey).alias("close"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.count("*").alias("volume"),
+            F.sum(F.round(v * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    got_df = run_available_now(stream, "sohlc_multi", shuffle_partitions=4)
+    got = _rows(
+        got_df.filter(F.col("win.end") <= F.lit(cutoff)).select(
+            "event_type",
+            F.col("win.start").alias("bucket"),
+            "open", "close", "high", "low", "volume", "total_cents",
+        )
+    )
+    assert got == want and len(want) > 0

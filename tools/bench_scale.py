@@ -85,6 +85,12 @@ QUERIES = [
     "ewma_anomalies",
     "linear_attribution",
     "repeated_span_docs",
+    # round-7 additions with linear-cost oracles (kcore_peel_equal is
+    # excluded: its oracle is the constant-TRUE replay gate).
+    "ohlc_bars",
+    "mad_outliers",
+    "trend_slope_user",
+    "stratified_split_counts",
 ]
 
 
