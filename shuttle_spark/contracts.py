@@ -6445,6 +6445,144 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Deterministic snapshot mutation both engines derive from orders: ~7.7%
+# of keys deleted (%13), ~14% updated (+1.00 on the price, exact in
+# doubles), ~5.9% re-keyed far above any real key as inserts.  All
+# checksums hash key:cents (scaled-long cents, never a formatted double).
+_CDC_NEW_SQL = (
+    "SELECT o_orderkey, o_custkey,"
+    "  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0"
+    "   ELSE o_totalprice END AS o_totalprice"
+    " FROM orders WHERE o_orderkey % 13 <> 0"
+    " UNION ALL"
+    " SELECT o_orderkey + 1000000000000 AS o_orderkey, o_custkey,"
+    "  o_totalprice FROM orders WHERE o_orderkey % 17 = 0"
+)
+
+
+def _cdc_old(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _cdc_new(spark: SparkSession, sf: str) -> DataFrame:
+    o = _cdc_old(spark, sf)
+    mutated = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return mutated.unionByName(inserts)
+
+
+@contract(
+    "snapshot_diff_counts",
+    "WITH old_t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),"
+    " new_t AS (" + _CDC_NEW_SQL + "),"
+    " d AS (SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'"
+    "   WHEN n.o_orderkey IS NULL THEN 'D'"
+    "   WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice"
+    "    OR o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'U' END AS op,"
+    "  COALESCE(n.o_orderkey, o.o_orderkey) AS k,"
+    "  n.o_totalprice AS p"
+    "  FROM old_t o FULL OUTER JOIN new_t n USING (o_orderkey)"
+    "  WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'"
+    "   WHEN n.o_orderkey IS NULL THEN 'D'"
+    "   WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice"
+    "    OR o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'U' END"
+    "   IS NOT NULL)"
+    " SELECT op, CAST(COUNT(*) AS BIGINT) AS n,"
+    "  CAST(SUM(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||"
+    "   CAST(COALESCE(CAST(ROUND(p * 100) AS BIGINT), -1) AS VARCHAR)),"
+    "   1, 8))::BIGINT) AS BIGINT) AS chk"
+    " FROM d GROUP BY op",
+    "B14",
+    "ext",
+)
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changeset derivation (lineage.snapshot_diff) between two
+    deterministic snapshots of orders: per-op row counts plus an
+    order-independent checksum of (key, new-price-cents) — I/U/D
+    classification via ONE null-safe full-outer join, changeset size
+    O(churn).  The hashed cents coalesce to -1 for deletes (md5(NULL)
+    would silently drop them from the sum)."""
+    from shuttle_spark.operators import lineage as L
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    d = L.snapshot_diff(
+        _cdc_old(spark, sf),
+        _cdc_new(spark, sf),
+        ["o_orderkey"],
+        ["o_custkey", "o_totalprice"],
+    )
+    term = md5_prefix32(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.coalesce(
+                F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(-1)
+            ).cast("string"),
+        )
+    )
+    return d.groupBy("op").agg(
+        F.count("*").alias("n"), F.sum(term).alias("chk")
+    )
+
+
+@contract(
+    "changeset_roundtrip",
+    "WITH new_t AS (" + _CDC_NEW_SQL + ")"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+    "   CAST(o_custkey AS VARCHAR) || ':' ||"
+    "   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)),"
+    "   1, 8))::BIGINT) AS BIGINT) AS chk"
+    " FROM new_t",
+    "B14",
+    "ext",
+)
+def q_changeset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE semantics proven by inversion: the engine derives the
+    changeset with snapshot_diff, APPLIES it back to the old snapshot
+    with apply_changeset (delete+update keys anti-joined out, insert+
+    update rows unioned in), and checksums the result — while the oracle
+    checksums the NEW snapshot directly, never seeing either operator.
+    The hash can only match if diff-then-apply reproduced the target
+    table byte-for-byte; this is the strongest oracle shape available
+    for a pair of inverse operators."""
+    from shuttle_spark.operators import lineage as L
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    old = _cdc_old(spark, sf)
+    changes = L.snapshot_diff(
+        old, _cdc_new(spark, sf), ["o_orderkey"],
+        ["o_custkey", "o_totalprice"],
+    )
+    applied = L.apply_changeset(old, changes, ["o_orderkey"])
+    term = md5_prefix32(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("o_custkey").cast("string"),
+            F.lit(":"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        )
+    )
+    return applied.agg(
+        F.count("*").alias("n_rows"), F.sum(term).alias("chk")
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -6610,6 +6748,15 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # funnel_stages (analytics composites keep scd2 + as_of_join_events +
 # range_join_bands + event-sequence reps in FULL), lineage_audit (B23
 # keeps checksum_lineitem).  All five displaced stay FULL-gated.
+#
+# Round-7 late additions, same-round rotation: snapshot_diff_counts and
+# changeset_roundtrip (the CDC inverse pair; the roundtrip checksum is
+# the strongest oracle shape for inverse operators) displace
+# pagerank_scores (B29 keeps topk_cosine; the graph family keeps the
+# incoming kcore_peel_equal) and source_lang_gini (B30 keeps
+# decontaminate_counts + doc_typicality) — both recorded green in
+# CORRECTNESS_r06; stream_ohlc_bars ships FULL-gated (streaming keeps
+# stream_window_agg + sessionize driver rows).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -6620,7 +6767,7 @@ _DRIVER_PRIORITY = [
     "rolling_window_features", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
-    "pagerank_scores", "semantic_dedup_kept", "hll_sketch_merge_ok",
+    "snapshot_diff_counts", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "checksum_lineitem", "mad_outliers", "rolling_actives",
     "scd2_intervals", "stratified_split_counts", "trend_slope_user",
     "kcore_peel_equal", "as_of_join_events", "range_join_bands",
@@ -6631,7 +6778,7 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_pairs", "session_copresence_lift",
     "ngram_jaccard_prefix", "hash_split_assignments",
     "decontaminate_counts",
-    "source_lang_gini",
+    "changeset_roundtrip",
 ]
 
 

@@ -192,3 +192,86 @@ def audit_stale_rows(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     return df.groupBy(ATTEMPT_COL, VERSION_COL).agg(
         F.count("*").alias("rows")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str],
+) -> DataFrame:
+    """CDC changeset between two snapshots of a keyed table: one row per
+    changed key with ``op`` in {'I','U','D'} and the NEW values for I/U
+    (NULLs for D) — the diff a snapshot-based ingestion pipeline derives
+    before writing a merge (Delta/Iceberg MERGE INTO's source side).
+
+    Classification is a single FULL OUTER join on the keys: key only in
+    ``new`` -> I, only in ``old`` -> D, in both with any compare-column
+    difference -> U (null-safe comparison: NULL -> value IS a change in
+    either direction).  Unchanged keys are dropped, so the changeset size
+    is O(churn), not O(table).  One shuffle per side on the key columns;
+    at 100 TB bucket both snapshots on the key so the join co-locates.
+
+    Exactly inverts through ``apply_changeset``:
+    ``apply_changeset(old, snapshot_diff(old, new, k, c), k)`` equals
+    ``new`` — the roundtrip the changeset_roundtrip contract checksums."""
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = e if cond is None else (cond & e)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare:
+        # null-safe inequality: differs when NOT (a <=> b)
+        e = ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+        changed = e if changed is None else (changed | e)
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[
+                F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            *[F.col(f"__nv_{c}").alias(c) for c in compare],
+        )
+    )
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Apply a ``snapshot_diff``-shaped changeset to a base snapshot:
+    keys with op D or U leave the base (one anti-join), rows with op I or
+    U enter with their new values (a union of the changeset's own rows)
+    — MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT / WHEN NOT MATCHED BY SOURCE DELETE) as two set operations.
+
+    The touched-key relation is changeset-sized (O(churn)); it is NOT
+    statically broadcast — churn is unbounded (a full-table rewrite is a
+    legal changeset), so the anti-join is left to AQE, which broadcasts
+    small changesets at runtime.  Column order follows ``base``."""
+    touched = changes.filter(F.col("op").isin("D", "U")).select(*keys)
+    kept = base.join(touched, keys, "left_anti")
+    incoming = changes.filter(F.col("op").isin("I", "U")).select(
+        *base.columns
+    )
+    return kept.unionByName(incoming)

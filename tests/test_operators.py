@@ -1532,3 +1532,27 @@ def test_kcore_known_graph(spark):
     assert sorted(r["node"] for r in CC.kcore(e, 1).collect()) == [
         0, 1, 2, 3, 4, 10, 11, 12
     ]
+
+
+def test_snapshot_diff_classifies_and_inverts(spark):
+    """I/U/D classification incl. NULL-value transitions (null-safe
+    compare: NULL->value and value->NULL are both updates), and the
+    inversion law apply(diff(old,new), old) == new."""
+    from shuttle_spark.operators import lineage as L
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0), (5, 50.0)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 30.0), (4, None), (6, 60.0)],
+        "k long, v double",
+    )
+    d = {r["k"]: r["op"] for r in L.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert d == {2: "U", 3: "U", 4: "U", 5: "D", 6: "I"}  # 1 unchanged
+    applied = L.apply_changeset(
+        old, L.snapshot_diff(old, new, ["k"], ["v"]), ["k"]
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )

@@ -443,3 +443,32 @@ def test_kcore_matches_sequential_peel(spark, edges, k):
                 adj[m].discard(n)
             changed = True
     assert got == sorted(adj)
+
+
+snapshot_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.one_of(st.none(), st.integers(0, 5))),
+    max_size=25,
+)
+
+
+@given(old_rows=snapshot_strategy, new_rows=snapshot_strategy)
+@SLOW
+def test_changeset_roundtrip_property(spark, old_rows, new_rows):
+    """apply(diff(old, new)) == new for ARBITRARY keyed snapshots —
+    including empty sides, all-delete, all-insert, and NULL values."""
+    from shuttle_spark.operators import lineage as L
+
+    dedup_old = {k: v for k, v in old_rows}
+    dedup_new = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(
+        list(dedup_old.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        list(dedup_new.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    applied = L.apply_changeset(
+        old, L.snapshot_diff(old, new, ["k"], ["v"]), ["k"]
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
