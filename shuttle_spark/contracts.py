@@ -6583,6 +6583,114 @@ def q_changeset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "ab_test_summary",
+    "WITH q AS (SELECT event_type,"
+    "  CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab7'),"
+    "   1, 8))::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS arm,"
+    "  CAST(ROUND(value * 100) AS BIGINT) AS c"
+    " FROM events WHERE value IS NOT NULL),"
+    " s AS (SELECT event_type, arm, COUNT(*) AS n,"
+    "  CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2"
+    "  FROM q GROUP BY 1, 2),"
+    " p AS (SELECT event_type,"
+    "  MAX(CASE WHEN arm = 'a' THEN n END) AS n_a,"
+    "  MAX(CASE WHEN arm = 'a' THEN s1 END) AS s1_a,"
+    "  MAX(CASE WHEN arm = 'a' THEN s2 END) AS s2_a,"
+    "  MAX(CASE WHEN arm = 'b' THEN n END) AS n_b,"
+    "  MAX(CASE WHEN arm = 'b' THEN s1 END) AS s1_b,"
+    "  MAX(CASE WHEN arm = 'b' THEN s2 END) AS s2_b"
+    "  FROM s GROUP BY 1),"
+    " m AS (SELECT event_type, n_a, n_b,"
+    "  CAST(s1_a AS DOUBLE) / n_a AS ma, CAST(s1_b AS DOUBLE) / n_b AS mb,"
+    "  (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)"
+    "   / (n_a - 1) AS va,"
+    "  (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)"
+    "   / (n_b - 1) AS vb FROM p)"
+    " SELECT event_type, CAST(n_a AS BIGINT) AS n_a,"
+    "  CAST(n_b AS BIGINT) AS n_b,"
+    "  ROUND(ma, 6) AS mean_a_cents, ROUND(mb, 6) AS mean_b_cents,"
+    "  ROUND(CASE WHEN n_a > 1 AND n_b > 1"
+    "   AND SQRT(va / n_a + vb / n_b) > 0"
+    "   THEN (mb - ma) / SQRT(va / n_a + vb / n_b) END, 6) AS t_stat"
+    " FROM m",
+    "B6",
+    "ext",
+)
+def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout (relational.ab_test_summary): users split
+    into arms by the SAME growth-stable md5 assignment hash_split uses,
+    then per-event-type Welch t statistics from exact integer moments —
+    one hash aggregate of the fact table, a pivot of the tiny per-arm
+    stats, and identical IEEE arithmetic in both engines (no p-value by
+    design: erf is transcendental and libm-divergent; consumers
+    threshold |t|)."""
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    arm = F.when(
+        md5_prefix32(
+            F.concat(F.col("user_id").cast("string"), F.lit(":ab7"))
+        )
+        % 2
+        == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    return R.ab_test_summary(ev.withColumn("arm", arm), ["event_type"], "arm")
+
+
+@contract(
+    "merge_intervals_user",
+    "WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,"
+    "  epoch_us(ts::TIMESTAMP)"
+    "   + GREATEST(CAST(ROUND(value * 1000) AS BIGINT), 0) * 1000 AS e"
+    " FROM events WHERE value IS NOT NULL),"
+    " m AS (SELECT user_id, s, e,"
+    "  MAX(e) OVER (PARTITION BY user_id ORDER BY s, e"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm"
+    "  FROM iv),"
+    " b AS (SELECT user_id, s, e,"
+    "  CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM m),"
+    " sp AS (SELECT user_id, s, e,"
+    "  SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM b),"
+    " spans AS (SELECT user_id, span, MIN(s) AS ss, MAX(e) AS se,"
+    "  COUNT(*) AS ni FROM sp GROUP BY 1, 2)"
+    " SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,"
+    "  CAST(SUM(se - ss) AS BIGINT) AS covered_us,"
+    "  CAST(SUM(ni) AS BIGINT) AS n_intervals"
+    " FROM spans GROUP BY 1",
+    "B17",
+    "ext",
+)
+def q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval union (relational.merge_intervals) over per-event spans
+    (start = event time, duration = value milliseconds, negative
+    durations clamped to instants): per-user maximal disjoint span count,
+    total covered micros, and interval count — the cumulative-max sweep
+    as three windows over one key partition, no self-join.  Aggregated
+    per user so the contract pins both the merge rule (touching spans
+    merge: strict >) and the coverage arithmetic."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.greatest(
+                F.round(F.col("value") * 1000).cast("long"), F.lit(0)
+            )
+            * 1000
+        ).alias("end_us"),
+    )
+    spans = R.merge_intervals(iv, ["user_id"], "start_us", "end_us")
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("covered_us"),
+        F.sum("n_intervals").alias("n_intervals"),
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -6755,8 +6863,10 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # pagerank_scores (B29 keeps topk_cosine; the graph family keeps the
 # incoming kcore_peel_equal) and source_lang_gini (B30 keeps
 # decontaminate_counts + doc_typicality) — both recorded green in
-# CORRECTNESS_r06; stream_ohlc_bars ships FULL-gated (streaming keeps
-# stream_window_agg + sessionize driver rows).
+# CORRECTNESS_r06; stream_ohlc_bars, ab_test_summary and
+# merge_intervals_user ship FULL-gated (streaming keeps stream_window_agg
+# + sessionize driver rows; B6 keeps agg_multi_fn; B17 holds five reps —
+# seventeen round-7 operators already rotated into the gate this round).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",

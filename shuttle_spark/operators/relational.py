@@ -1476,3 +1476,125 @@ def trend_slope(
         F.round(slope, 6).alias("slope_cents_per_hour"),
         F.round(intercept, 6).alias("intercept_cents"),
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    metric_keys: Sequence[str],
+    arm_col: Column | str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample A/B comparison per metric key: per-arm n/mean, the mean
+    difference, pooled standard error, and Welch-style t statistic — the
+    experiment-readout aggregate, computed entirely from EXACT integer
+    moments (cents-quantized sums and sums of squares) so both engines
+    derive identical IEEE doubles and the t-stat is bit-stable.  No
+    p-value by design: erf/Student-CDF are transcendental and libm
+    last-ulp behavior diverges across engines — a consumer thresholds
+    the t-stat (|t| > 1.96 ~ p<.05) identically either way.
+
+    Plan: ONE map-side partial + final hash aggregate on (keys, arm) —
+    the fact table is never shuffled wider than the collapsed per-arm
+    stats — then a self-pivot of the tiny stats relation (conditional
+    aggregation, no join).  Arms beyond {a, b} are ignored; groups
+    missing an arm or with n<2 on either side yield NULL t (never
+    0/0 = NaN)."""
+    arm = F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    keys = list(metric_keys)
+    q = df.select(
+        *keys,
+        arm.alias("__arm"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__c"),
+    ).filter(F.col("__arm").isin("a", "b"))
+    per_arm = q.groupBy(*keys, "__arm").agg(
+        F.count("*").alias("n"),
+        F.sum("__c").alias("s1"),
+        F.sum(F.col("__c") * F.col("__c")).alias("s2"),
+    )
+
+    def side(col: str, a: str):
+        return F.max(F.when(F.col("__arm") == a, F.col(col)))
+
+    stats = per_arm.groupBy(*keys).agg(
+        side("n", "a").alias("n_a"),
+        side("s1", "a").alias("s1_a"),
+        side("s2", "a").alias("s2_a"),
+        side("n", "b").alias("n_b"),
+        side("s1", "b").alias("s1_b"),
+        side("s2", "b").alias("s2_b"),
+    )
+    mean_a = F.col("s1_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s1_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    ok = (
+        F.col("n_a").isNotNull()
+        & F.col("n_b").isNotNull()
+        & (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+    )
+    t = F.when(ok & (se > 0), (mean_b - mean_a) / se)
+    return stats.select(
+        *keys,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a_cents"),
+        F.round(mean_b, 6).alias("mean_b_cents"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Interval union per key: merge overlapping-or-touching [start, end]
+    intervals into maximal disjoint spans — the coverage operator behind
+    "total watched seconds", uptime stitching, and sessionized span
+    accounting (sessionization's fixed-gap rule is the special case
+    end = start + gap).
+
+    Classic cumulative-max sweep: order each key's intervals by (start,
+    end), a new span opens where start exceeds the running max of prior
+    ends (strict >: touching intervals merge), and the span id is the
+    running count of such breaks — three window functions over ONE key
+    partition (a single exchange), then one hash aggregate; no
+    self-join, no explode.  Works on any integral time unit; NULL
+    starts/ends are dropped up front (an unbounded interval has no union
+    semantics here)."""
+    keys = list(keys)
+    s, e = F.col(start_col), F.col(end_col)
+    q = df.filter(s.isNotNull() & e.isNotNull()).select(
+        *keys, s.alias("__s"), e.alias("__e")
+    )
+    w = Window.partitionBy(*keys).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.col("__s") > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = q.withColumn("__brk", brk).withColumn(
+        "__span",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        spans.groupBy(*keys, "__span")
+        .agg(
+            F.min("__s").alias("span_start"),
+            F.max("__e").alias("span_end"),
+            F.count("*").alias("n_intervals"),
+        )
+        .drop("__span")
+    )

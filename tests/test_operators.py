@@ -1556,3 +1556,48 @@ def test_snapshot_diff_classifies_and_inverts(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_merge_intervals_semantics(spark):
+    """Overlapping and TOUCHING intervals merge (strict-> break rule);
+    disjoint spans stay apart; instants count."""
+    from shuttle_spark.operators import relational as R
+
+    rows = [
+        (1, 0, 10), (1, 5, 15), (1, 15, 20),  # chain -> [0,20]
+        (1, 25, 30),                           # separate
+        (1, 40, 40),                           # instant
+        (2, 0, 100), (2, 10, 20),              # contained -> [0,100]
+    ]
+    df = spark.createDataFrame(rows, "k long, start_us long, end_us long")
+    got = {
+        (r["k"], r["span_start"], r["span_end"]): r["n_intervals"]
+        for r in R.merge_intervals(df, ["k"]).collect()
+    }
+    assert got == {
+        (1, 0, 20): 3, (1, 25, 30): 1, (1, 40, 40): 1, (2, 0, 100): 2
+    }
+
+
+def test_ab_test_summary_known_arms(spark):
+    """Known two-arm data: exact means, positive t for a real uplift,
+    NULL t when an arm is missing or single-row."""
+    from shuttle_spark.operators import relational as R
+
+    rows = (
+        [("m", "a", 10.0), ("m", "a", 12.0), ("m", "a", 11.0)]
+        + [("m", "b", 20.0), ("m", "b", 22.0), ("m", "b", 21.0)]
+        + [("solo", "a", 5.0), ("solo", "a", 6.0)]      # no b arm
+        + [("tiny", "a", 1.0), ("tiny", "b", 2.0)]      # n=1 each
+    )
+    df = spark.createDataFrame(rows, "metric string, arm string, value double")
+    got = {
+        r["metric"]: r
+        for r in R.ab_test_summary(df, ["metric"], "arm").collect()
+    }
+    m = got["m"]
+    assert (m["n_a"], m["n_b"]) == (3, 3)
+    assert (m["mean_a_cents"], m["mean_b_cents"]) == (1100.0, 2100.0)
+    assert m["t_stat"] is not None and m["t_stat"] > 10
+    assert got["solo"]["t_stat"] is None and got["solo"]["n_b"] is None
+    assert got["tiny"]["t_stat"] is None
