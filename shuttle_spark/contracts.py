@@ -410,14 +410,19 @@ def q_agg_multi_fn(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_distinct_partkeys(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase distinct count (partial distinct map-side, exchange of
-    the survivors, final count).  Scale experiment (VERDICT r6 item 7),
-    sf10 best-of-3 warm: this plan 2.15 s, select-distinct-count 2.23 s,
-    dropDuplicates 2.45 s, approx_count_distinct 10.3 s (the HLL
-    register update costs MORE than exact two-phase distinct at this
-    cardinality — 2M keys / 60M rows), DuckDB 1.86 s.  ~1.1x marginal:
-    the previously-recorded 14.6x cell did not reproduce under the
-    best-of-N warm convention on a quiet machine; the two-phase plan is
-    the right one and needs no dictionary-scan special-casing."""
+    the survivors, final count).  Scale experiment (VERDICT r6 item 7):
+    plan variants measured within noise of each other at sf10
+    (countDistinct 2.1-3.1 s, select-distinct-count, dropDuplicates all
+    equivalent; approx_count_distinct 10.3 s — the HLL register update
+    costs MORE than exact two-phase distinct at 2M keys / 60M rows), so
+    the two-phase plan stands and needs no dictionary-scan special-
+    casing.  The round-7 curve cell reads 0.294 s/sf vs DuckDB 0.039 =
+    7.6x marginal (improved from the 14.6x r6 cell): a distinct-hash
+    kernel constant — the exchange carries only the ~2M survivors, the
+    residual is per-row hash-table probe cost, linear in both engines.
+    CAUTION from this round's measurement history: a concurrently
+    running test suite skews the DuckDB side ~4x; only bench_scale
+    cells taken on an otherwise-idle box are comparable."""
     return load_table(spark, sf, "lineitem").agg(
         F.countDistinct("l_partkey").alias("cnt")
     )

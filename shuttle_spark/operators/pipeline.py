@@ -294,8 +294,11 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     chain (still available as ``scrub_pii_jvm``) runs six full
     ``java.util.regex`` scans per document (three ``rlike`` flags + three
     ``regexp_replace``) and measured 13.5x DuckDB's RE2 marginal at sf10
-    — the worst per-row kernel residual on the scale curve.  The Arrow
-    stage cuts the work to three ``re.search`` scans per document plus
+    — the worst per-row kernel residual on the scale curve; this Arrow
+    stage halves it (round-7 curve: 6.7x marginal, 0.400 -> 0.188 s/sf;
+    the rest is sre-vs-RE2 DFA throughput, an engine constant absent a
+    re2/hyperscan binding).  It cuts the work to three ``re.search``
+    scans per document plus
     substitutions GATED on a match being possible (a replace pass is a
     provable no-op unless its own search hit or an earlier replacement
     rewrote the text), and sre's C matcher beats java.util.regex on these

@@ -1392,37 +1392,92 @@ def group_outliers_mad(
     (>=50% identical values) flag NOTHING unless x != median — the
     documented MAD degeneracy, identical in the SQL twin.
 
-    Plan: two aggregate passes over the fact table with a broadcast
-    join-back of the |groups|-row median relation between them — the
-    same zero-fact-shuffle shape as ``group_outliers_zscore``; a window
-    formulation would exchange the whole table on the group key."""
+    Plan: the fact table is touched EXACTLY ONCE — a map-side-combined
+    (keys, quantized value) histogram aggregate — and every subsequent
+    step (cumulative ranks, weighted medians, the deviation histogram,
+    the outlier count) runs over that collapsed relation, whose size is
+    |groups| x |distinct quantized values|, typically orders of
+    magnitude under the fact count.  The naive formulation (Spark's
+    imperative ``percentile`` aggregate over raw rows, twice, plus a
+    row-level threshold pass) measured 15.5 s at sf10; this histogram
+    form removes every per-row percentile buffer.  The interpolated
+    median over the histogram is computed with the same R-7 arithmetic
+    (pos = (n-1)/2; lower + 0.5*(upper-lower) when n is even)."""
     v = F.col(value) if isinstance(value, str) else value
     keys = list(keys)
-    q = df.select(*keys, F.round(v).cast("long").alias("__ui"))
-    med = q.groupBy(*keys).agg(
-        F.count("*").alias("n_rows"),
-        F.expr("percentile(__ui, 0.5)").alias("__med"),
+
+    def _wmedian(hist: DataFrame, val_col: str) -> DataFrame:
+        """(keys, n_rows, med) from a (keys, val, cnt) histogram —
+        weighted R-7 median via one cumulative window over the tiny
+        histogram relation."""
+        w = Window.partitionBy(*keys).orderBy(val_col)
+        h = hist.withColumn(
+            "__cum",
+            F.sum("__cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        stats = h.groupBy(*keys).agg(F.sum("__cnt").alias("n_rows"))
+        h = h.join(F.broadcast(stats), keys)
+        lo_idx = ((F.col("n_rows") - 1) / 2).cast("long")  # floor((n-1)/2)
+        hit_lo = (F.col("__cum") - F.col("__cnt") <= lo_idx) & (
+            lo_idx < F.col("__cum")
+        )
+        hi_idx = lo_idx + 1
+        hit_hi = (F.col("__cum") - F.col("__cnt") <= hi_idx) & (
+            hi_idx < F.col("__cum")
+        )
+        agg = h.groupBy(*keys).agg(
+            F.max("n_rows").alias("n_rows"),
+            F.min(F.when(hit_lo, F.col(val_col))).alias("__vlo"),
+            F.min(F.when(hit_hi, F.col(val_col))).alias("__vhi"),
+        )
+        even = F.col("n_rows") % 2 == 0
+        med = F.when(
+            even,
+            F.col("__vlo")
+            + 0.5 * (F.coalesce("__vhi", "__vlo") - F.col("__vlo")),
+        ).otherwise(F.col("__vlo").cast("double"))
+        return agg.select(*keys, "n_rows", med.alias("__med"))
+
+    hist = (
+        df.select(*keys, F.round(v).cast("long").alias("__ui"))
+        .groupBy(*keys, "__ui")
+        .agg(F.count("*").alias("__cnt"))
     )
-    dev = q.join(F.broadcast(med), keys).select(
-        *keys,
-        "__ui",
-        "n_rows",
-        "__med",
-        F.abs(F.col("__ui") - F.col("__med")).alias("__dev"),
+    med = _wmedian(hist.withColumnRenamed("__ui", "__v"), "__v")
+    dev_hist = (
+        hist.join(F.broadcast(med.select(*keys, "__med")), keys)
+        .select(
+            *keys,
+            F.abs(F.col("__ui") - F.col("__med")).alias("__v"),
+            "__cnt",
+        )
+        .groupBy(*keys, "__v")
+        .agg(F.sum("__cnt").alias("__cnt"))
     )
-    mad = dev.groupBy(*keys).agg(
-        F.expr("percentile(__dev, 0.5)").alias("__mad")
+    mad = _wmedian(dev_hist, "__v").select(
+        *keys, F.col("__med").alias("__mad")
     )
-    return (
-        dev.join(F.broadcast(mad), keys)
+    out_counts = (
+        dev_hist.join(F.broadcast(mad), keys)
         .groupBy(*keys)
         .agg(
-            F.first("n_rows").alias("n_rows"),
-            F.count_if(
-                F.col("__dev") > F.lit(z * 1.4826) * F.col("__mad")
-            ).alias("n_outliers"),
-            F.round(F.first("__med"), 6).alias("median_value"),
-            F.round(F.first("__mad"), 6).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("__v") > F.lit(z * 1.4826) * F.col("__mad"),
+                    F.col("__cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, keys)
+        .join(out_counts, keys)
+        .select(
+            *keys,
+            "n_rows",
+            "n_outliers",
+            F.round(F.col("__med"), 6).alias("median_value"),
+            F.round(F.col("__mad"), 6).alias("mad_value"),
         )
     )
 
