@@ -1442,6 +1442,13 @@ def group_outliers_mad(
         df.select(*keys, F.round(v).cast("long").alias("__ui"))
         .groupBy(*keys, "__ui")
         .agg(F.count("*").alias("__cnt"))
+        # The histogram is referenced by THREE downstream branches (value
+        # median, deviation histogram, outlier count); without lineage
+        # truncation each reference duplicates the fact scan + aggregate
+        # subtree (a 39-exchange logical plan).  The lazy localCheckpoint
+        # materializes the |groups|x|values| relation ONCE on first use
+        # — the fact table is genuinely touched a single time.
+        .localCheckpoint(eager=False)
     )
     med = _wmedian(hist.withColumnRenamed("__ui", "__v"), "__v")
     dev_hist = (
@@ -1453,6 +1460,7 @@ def group_outliers_mad(
         )
         .groupBy(*keys, "__v")
         .agg(F.sum("__cnt").alias("__cnt"))
+        .localCheckpoint(eager=False)  # same two-branch reuse as hist
     )
     mad = _wmedian(dev_hist, "__v").select(
         *keys, F.col("__med").alias("__mad")
