@@ -7,10 +7,13 @@ the modules here define the semantics above it.
 """
 
 from shuttle_spark.operators import (  # noqa: F401
+    components,
     dedup,
     integrity,
+    lineage,
     multimodal,
     neardup,
+    pipeline,
     relational,
     similarity,
 )
