@@ -6451,11 +6451,14 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Deterministic snapshot mutation both engines derive from orders: ~7.7%
-# of keys deleted (%13), ~14% updated (+1.00 on the price, exact in
-# doubles), ~5.9% re-keyed far above any real key as inserts.  All
+# of keys deleted (%13), ~14% price-updated (+1.00, exact in doubles),
+# ~9% GROUP-MOVED (custkey+1 — the update class that breaks naive MV
+# maintenance), ~5.9% re-keyed far above any real key as inserts.  All
 # checksums hash key:cents (scaled-long cents, never a formatted double).
 _CDC_NEW_SQL = (
-    "SELECT o_orderkey, o_custkey,"
+    "SELECT o_orderkey,"
+    "  CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1"
+    "   ELSE o_custkey END AS o_custkey,"
     "  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0"
     "   ELSE o_totalprice END AS o_totalprice"
     " FROM orders WHERE o_orderkey % 13 <> 0"
@@ -6475,7 +6478,9 @@ def _cdc_new(spark: SparkSession, sf: str) -> DataFrame:
     o = _cdc_old(spark, sf)
     mutated = o.filter(F.col("o_orderkey") % 13 != 0).select(
         "o_orderkey",
-        "o_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
         F.when(
             F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
         )
@@ -6696,6 +6701,47 @@ def q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "mv_incremental_totals",
+    "WITH new_t AS (" + _CDC_NEW_SQL + ")"
+    " SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+    "   AS sum_cents"
+    " FROM new_t GROUP BY 1",
+    "B6",
+    "ext",
+)
+def q_mv_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance proven by equality with
+    recompute: the engine aggregates the OLD snapshot once, derives the
+    changeset (snapshot_diff with pre-images), and applies it to the
+    totals with lineage.incremental_group_totals — never re-reading the
+    base table — while the oracle aggregates the NEW snapshot directly.
+    The hash can only match if retract-then-add maintenance is exact,
+    INCLUDING the ~9% group-moving updates (custkey changes) that naive
+    update-in-place maintenance mishandles; sums are maintained as
+    scaled longs so no float drift accumulates across cycles."""
+    from shuttle_spark.operators import lineage as L
+
+    old = _cdc_old(spark, sf)
+    base = old.groupBy("o_custkey").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+    changes = L.snapshot_diff(
+        old,
+        _cdc_new(spark, sf),
+        ["o_orderkey"],
+        ["o_custkey", "o_totalprice"],
+        include_old=True,
+    )
+    return L.incremental_group_totals(
+        base, changes, "o_custkey", "o_totalprice"
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -6868,10 +6914,13 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # pagerank_scores (B29 keeps topk_cosine; the graph family keeps the
 # incoming kcore_peel_equal) and source_lang_gini (B30 keeps
 # decontaminate_counts + doc_typicality) — both recorded green in
-# CORRECTNESS_r06; stream_ohlc_bars, ab_test_summary and
+# CORRECTNESS_r06.  mv_incremental_totals (incremental MV maintenance
+# proven equal to recompute, group-moving updates included) displaces
+# scd2_intervals (recorded green r06; B17 keeps rolling_window_features
+# + rolling_actives + ohlc_bars).  stream_ohlc_bars, ab_test_summary and
 # merge_intervals_user ship FULL-gated (streaming keeps stream_window_agg
-# + sessionize driver rows; B6 keeps agg_multi_fn; B17 holds five reps —
-# seventeen round-7 operators already rotated into the gate this round).
+# + sessionize driver rows; B6 keeps agg_multi_fn — eighteen round-7
+# operators already rotated into the gate this round).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -6884,7 +6933,7 @@ _DRIVER_PRIORITY = [
     "array_ops_agg", "topk_cosine",
     "snapshot_diff_counts", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "checksum_lineitem", "mad_outliers", "rolling_actives",
-    "scd2_intervals", "stratified_split_counts", "trend_slope_user",
+    "mv_incremental_totals", "stratified_split_counts", "trend_slope_user",
     "kcore_peel_equal", "as_of_join_events", "range_join_bands",
     "runtime_filter_join", "ohlc_bars",
     "sessionize", "stream_window_agg",

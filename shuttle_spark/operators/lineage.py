@@ -199,6 +199,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare: list[str],
+    include_old: bool = False,
 ) -> DataFrame:
     """CDC changeset between two snapshots of a keyed table: one row per
     changed key with ``op`` in {'I','U','D'} and the NEW values for I/U
@@ -214,7 +215,12 @@ def snapshot_diff(
 
     Exactly inverts through ``apply_changeset``:
     ``apply_changeset(old, snapshot_diff(old, new, k, c), k)`` equals
-    ``new`` — the roundtrip the changeset_roundtrip contract checksums."""
+    ``new`` — the roundtrip the changeset_roundtrip contract checksums.
+
+    ``include_old=True`` adds ``old_<c>`` columns (the PRE-image values,
+    NULL for inserts) — what downstream incremental consumers need:
+    aggregate maintenance must RETRACT the old contribution of an update
+    before adding the new one (``incremental_group_totals``)."""
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__ov_{c}") for c in compare],
@@ -250,6 +256,11 @@ def snapshot_diff(
                 for k in keys
             ],
             *[F.col(f"__nv_{c}").alias(c) for c in compare],
+            *(
+                [F.col(f"__ov_{c}").alias(f"old_{c}") for c in compare]
+                if include_old
+                else []
+            ),
         )
     )
 
@@ -275,3 +286,69 @@ def apply_changeset(
         *base.columns
     )
     return kept.unionByName(incoming)
+
+
+def incremental_group_totals(
+    base_totals: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Incremental materialized-view maintenance for per-group
+    (count, scaled-long sum) totals: apply a ``snapshot_diff(...,
+    include_old=True)`` changeset to an existing totals relation WITHOUT
+    touching the base table — the aggregate-maintenance step of every
+    incremental/streaming MV engine, stated as two small DataFrame ops.
+
+    Deltas: a delete retracts (-1, -old_value); an insert adds
+    (+1, +value); an update retracts from its OLD group and adds to its
+    NEW group — group-moving updates (the classic MV-maintenance
+    pitfall) fall out of exploding each U row into a retraction row and
+    an addition row.  The per-group delta aggregate (O(churn) rows) then
+    full-outer-merges with the base totals; groups whose count reaches
+    zero drop out, brand-new groups appear.  Sums are maintained in the
+    scaled-long domain, so retract-then-add is EXACT — no float drift
+    accumulates over any number of maintenance cycles (the property that
+    makes incremental == recompute bit-stable, which the
+    mv_incremental_totals contract proves by hashing this output against
+    the oracle's DIRECT aggregate of the post-change table).
+
+    Column contract: ``base_totals`` has (group_col, n_rows, sum_cents);
+    output has the same schema."""
+    g, v = group_col, value_col
+    cents = lambda c: F.round(F.col(c) * (10 ** scale)).cast("long")  # noqa: E731
+    add = changes.filter(F.col("op").isin("I", "U")).select(
+        F.col(g).alias("__g"),
+        F.lit(1).cast("long").alias("__dn"),
+        cents(v).alias("__dc"),
+    )
+    retract = changes.filter(F.col("op").isin("D", "U")).select(
+        F.col(f"old_{g}").alias("__g") if f"old_{g}" in changes.columns
+        else F.col(g).alias("__g"),
+        F.lit(-1).cast("long").alias("__dn"),
+        (-cents(f"old_{v}")).alias("__dc"),
+    )
+    delta = (
+        add.unionByName(retract)
+        .groupBy("__g")
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__dc").alias("__dc"))
+    )
+    # null-safe group match: a NULL group is a legal aggregate bucket
+    merged = base_totals.join(
+        delta, base_totals[g].eqNullSafe(delta["__g"]), "full_outer"
+    )
+    return (
+        merged.select(
+            F.coalesce(base_totals[g], F.col("__g")).alias(g),
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("sum_cents"), F.lit(0))
+                + F.coalesce(F.col("__dc"), F.lit(0))
+            ).alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -1601,3 +1601,40 @@ def test_ab_test_summary_known_arms(spark):
     assert m["t_stat"] is not None and m["t_stat"] > 10
     assert got["solo"]["t_stat"] is None and got["solo"]["n_b"] is None
     assert got["tiny"]["t_stat"] is None
+
+
+def test_incremental_group_totals_group_moves_and_drops(spark):
+    """MV maintenance semantics on constructed data: a group-moving
+    update retracts from the old group and adds to the new one; a group
+    whose last row is deleted disappears; a brand-new group appears."""
+    from shuttle_spark.operators import lineage as L
+
+    old = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 5.0)],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "g3", 10.0), (2, "g1", 21.0), (4, "g4", 7.0)],
+        "k long, g string, v double",
+    )
+    base = old.groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+    )
+    ch = L.snapshot_diff(old, new, ["k"], ["g", "v"], include_old=True)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_cents"])
+        for r in L.incremental_group_totals(base, ch, "g", "v").collect()
+    }
+    assert got == {"g1": (1, 2100), "g3": (1, 1000), "g4": (1, 700)}
+    # g2 vanished with its only row; totals equal the direct aggregate
+    direct = {
+        r["g"]: (r["n_rows"], r["sum_cents"])
+        for r in new.groupBy("g")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == direct

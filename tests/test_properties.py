@@ -472,3 +472,40 @@ def test_changeset_roundtrip_property(spark, old_rows, new_rows):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+@given(old_rows=snapshot_strategy, new_rows=snapshot_strategy)
+@SLOW
+def test_incremental_totals_equal_recompute_property(spark, old_rows, new_rows):
+    """Incremental MV maintenance == direct recompute for ARBITRARY
+    keyed snapshots: groups are the (nullable) value modulo 3, so random
+    edits constantly move rows between groups and create/destroy
+    groups."""
+    from shuttle_spark.operators import lineage as L
+
+    def mk(rows):
+        dedup = {k: v for k, v in rows}
+        df = spark.createDataFrame(
+            list(dedup.items()) or [(None, None)], "k long, raw long"
+        ).filter(F.col("k").isNotNull())
+        return df.select(
+            "k",
+            (F.col("raw") % 3).cast("string").alias("g"),
+            F.coalesce(F.col("raw").cast("double"), F.lit(0.0)).alias("v"),
+        )
+
+    old, new = mk(old_rows), mk(new_rows)
+    base = old.groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+    )
+    ch = L.snapshot_diff(old, new, ["k"], ["g", "v"], include_old=True)
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+    got = canon(L.incremental_group_totals(base, ch, "g", "v"))
+    direct = canon(
+        new.groupBy("g").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    assert got == direct
