@@ -85,12 +85,18 @@ QUERIES = [
     "ewma_anomalies",
     "linear_attribution",
     "repeated_span_docs",
-    # round-7 additions with linear-cost oracles (kcore_peel_equal is
-    # excluded: its oracle is the constant-TRUE replay gate).
+    # round-7 additions with linear-cost oracles (kcore_peel_equal and
+    # the minhash/simhash replay gates are excluded: constant-TRUE
+    # oracles).
     "ohlc_bars",
     "mad_outliers",
     "trend_slope_user",
     "stratified_split_counts",
+    "ab_test_summary",
+    "merge_intervals_user",
+    "snapshot_diff_counts",
+    "changeset_roundtrip",
+    "mv_incremental_totals",
 ]
 
 
