@@ -6253,8 +6253,8 @@ def q_session_copresence_lift(spark: SparkSession, sf: str) -> DataFrame:
 @contract(
     "ohlc_bars",
     "WITH k AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
-    "   value, lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')"
-    "    || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey"
+    "   value, " + R.LEX_OKEY_SQL.format(ts="ts", tiebreak="event_id")
+    + " AS okey"
     "  FROM events WHERE value IS NOT NULL)"
     " SELECT event_type, bucket,"
     "  arg_min(value, okey) AS open, arg_max(value, okey) AS close,"
@@ -6383,8 +6383,8 @@ def q_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
 @contract(
     "stream_ohlc_bars",
     "WITH k AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS bucket,"
-    "   value, lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')"
-    "    || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey"
+    "   value, " + R.LEX_OKEY_SQL.format(ts="ts", tiebreak="event_id")
+    + " AS okey"
     "  FROM events WHERE value IS NOT NULL)"
     " SELECT event_type, bucket,"
     "  arg_min(value, okey) AS open, arg_max(value, okey) AS close,"
@@ -6411,11 +6411,7 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     cutoff = ev.agg(F.max("ts")).collect()[0][0]
-    okey = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lit(":"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    okey = R.lex_okey("ts", "event_id")
     v = F.col("value")
     stream = (
         events_stream(spark, sf)

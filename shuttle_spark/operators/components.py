@@ -429,7 +429,15 @@ def kcore(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        bad = deg.filter(F.col("deg") < k).select("node")
+        # materialize the (small) below-k node set ONCE per round: the
+        # emptiness probe and BOTH anti-joins reuse it, instead of
+        # re-running the degree aggregate over the checkpointed edge set
+        # three times (round-7 ADVICE item).
+        bad = (
+            deg.filter(F.col("deg") < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         # one bounded driver scalar per round (the CC convergence idiom)
         if bad.limit(1).count() == 0:
             break

@@ -220,27 +220,39 @@ def snapshot_diff(
     ``include_old=True`` adds ``old_<c>`` columns (the PRE-image values,
     NULL for inserts) — what downstream incremental consumers need:
     aggregate maintenance must RETRACT the old contribution of an update
-    before adding the new one (``incremental_group_totals``)."""
+    before adding the new one (``incremental_group_totals``).
+
+    Edge semantics (round-7 ADVICE hardening): ``compare=[]`` is a
+    key-presence-only diff (I/D only, never U); NULL key components
+    match null-safely (``eqNullSafe`` join + explicit presence markers),
+    so a persisting NULL-keyed row is correctly classified unchanged/U
+    instead of a spurious simultaneous I and D."""
+    if not keys:
+        raise ValueError("snapshot_diff: keys must be non-empty")
     o = old.select(
+        F.lit(True).alias("__o_present"),
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__ov_{c}") for c in compare],
     )
     n = new.select(
+        F.lit(True).alias("__n_present"),
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__nv_{c}") for c in compare],
     )
     cond = None
     for k in keys:
-        e = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        e = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = e if cond is None else (cond & e)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
-    changed = None
+    # presence judged by the marker, not key nullability: after the full
+    # outer join the absent side's marker is NULL even when its key
+    # columns would be NULL for a present row too.
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
+    changed = F.lit(False)  # compare=[] -> presence-only diff
     for c in compare:
         # null-safe inequality: differs when NOT (a <=> b)
-        e = ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
-        changed = e if changed is None else (changed | e)
+        changed = changed | ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
     op = (
         F.when(~in_old, F.lit("I"))
         .when(~in_new, F.lit("D"))
@@ -279,7 +291,19 @@ def apply_changeset(
     The touched-key relation is changeset-sized (O(churn)); it is NOT
     statically broadcast — churn is unbounded (a full-table rewrite is a
     legal changeset), so the anti-join is left to AQE, which broadcasts
-    small changesets at runtime.  Column order follows ``base``."""
+    small changesets at runtime.  Column order follows ``base``.
+
+    The changeset must carry every base column (keys + compare must
+    cover the base schema) — asserted up front with a clear error,
+    instead of the AnalysisException the ``select(*base.columns)``
+    would otherwise raise (round-7 ADVICE item)."""
+    missing = [c for c in base.columns if c not in set(changes.columns)]
+    if missing:
+        raise ValueError(
+            "apply_changeset: changeset lacks base columns "
+            f"{missing} — snapshot_diff's keys+compare must cover every "
+            "base column for the roundtrip inversion to hold"
+        )
     touched = changes.filter(F.col("op").isin("D", "U")).select(*keys)
     kept = base.join(touched, keys, "left_anti")
     incoming = changes.filter(F.col("op").isin("I", "U")).select(

@@ -3,10 +3,14 @@
 The LLM-pipeline dedup family (SURVEY.md §2.B B28).  Design notes for the
 100 TB posture:
 
-* **Everything is JVM-side.**  Shingling, hashing, MinHash permutations and
-  SimHash bit counting are built from higher-order functions
-  (transform/aggregate/zip_with) over arrays — whole-stage codegen, no
-  Python in the hot path.
+* **JVM-side by default, Arrow where measured faster.**  Hashing, MinHash
+  permutations and SimHash bit counting are built from higher-order
+  functions (transform/aggregate/zip_with) over arrays.  SHINGLING is the
+  deliberate exception: Spark executes array HOFs interpreted (not
+  codegen'd), and the round-6 measurement showed the per-doc HOF shingle
+  pipeline at ~2 ms/doc vs ~1 µs/doc for a vectorized Arrow
+  (pandas_udf) stage — so shingling runs as one Arrow batch stage and
+  everything downstream of the exploded gram relation stays JVM-side.
 * **Candidate generation is a hash-partitioned equi-join** on
   (band_idx, band_key) — exactly the shuffle shape the reference's service
   exists to execute (partition -> group-by-key -> merge); AQE skew-join

@@ -1319,6 +1319,43 @@ def session_copresence_lift(
     )
 
 
+def lex_okey(ts_col: str, tiebreak: str) -> Column:
+    """Deterministic lexicographic ordering key ``biased-epoch-micros ||
+    ':' || biased-tiebreak`` for min_by/max_by picks that must agree
+    byte-for-byte with a SQL twin.
+
+    Each component is BIASED by 10^19 in decimal(20,0) arithmetic before
+    zero-padding: any BIGINT (including negative pre-1970 epoch micros
+    and negative ids) maps to a positive 18-20 digit number, so the
+    fixed-width lpad(20) never truncates and byte order == numeric order
+    over the FULL long range.  The previous formulation (lpad(micros,20)
+    / lpad(id,12) on the raw values) silently truncated ids >= 10^12 —
+    Spark's lpad truncates longer inputs — and broke ordering for any
+    negative component (round-7 ADVICE item)."""
+    bias = F.lit("10000000000000000000").cast("decimal(20,0)")
+
+    def _b(c: Column) -> Column:
+        return F.lpad(
+            (c.cast("decimal(20,0)") + bias).cast("decimal(20,0)").cast("string"),
+            20,
+            "0",
+        )
+
+    return F.concat(
+        _b(F.unix_micros(F.col(ts_col))), F.lit(":"), _b(F.col(tiebreak))
+    )
+
+
+# DuckDB twin of lex_okey for oracle SQL strings — kept adjacent so the two
+# formulations can only drift visibly.
+LEX_OKEY_SQL = (
+    "lpad(CAST(CAST(epoch_us({ts}::TIMESTAMP) AS HUGEINT)"
+    " + 10000000000000000000 AS VARCHAR), 20, '0') || ':' ||"
+    " lpad(CAST(CAST({tiebreak} AS HUGEINT)"
+    " + 10000000000000000000 AS VARCHAR), 20, '0')"
+)
+
+
 def ohlc_bars(
     events: DataFrame,
     keys: Sequence[str],
@@ -1347,11 +1384,7 @@ def ohlc_bars(
     windows, no second scan; at 100 TB this is the canonical
     pre-aggregation that runs at scan parallelism."""
     keys = list(keys)
-    okey = F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
-        F.lit(":"),
-        F.lpad(F.col(tiebreak).cast("string"), 12, "0"),
-    )
+    okey = lex_okey(ts_col, tiebreak)
     bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
     if step != "1 hour":  # hour is the contract grain; others pass through
         bucket = F.window(F.col(ts_col), step).getField("start").alias("bucket")

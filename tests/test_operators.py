@@ -1558,6 +1558,64 @@ def test_snapshot_diff_classifies_and_inverts(spark):
     )
 
 
+def test_snapshot_diff_edge_semantics(spark):
+    """Round-7 ADVICE hardening: (a) a persisting NULL-keyed row is NOT a
+    spurious I+D pair (null-safe key join + presence markers); (b)
+    compare=[] is a key-presence-only diff; (c) apply_changeset rejects a
+    changeset that doesn't cover the base schema with a clear error."""
+    import pytest
+
+    from shuttle_spark.operators import lineage as L
+
+    old = spark.createDataFrame([(None, 1.0), (1, 10.0)], "k long, v double")
+    new = spark.createDataFrame([(None, 2.0), (1, 10.0)], "k long, v double")
+    rows = L.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    # NULL key persists with a changed value: exactly one U, no I/D
+    assert [(r["op"], r["k"], r["v"]) for r in rows] == [("U", None, 2.0)]
+
+    # presence-only diff: value changes invisible, only key arrivals/exits
+    new2 = spark.createDataFrame([(1, 99.0), (2, 5.0)], "k long, v double")
+    d = {r["k"]: r["op"] for r in L.snapshot_diff(old, new2, ["k"], []).collect()}
+    assert d == {None: "D", 2: "I"}
+
+    base = spark.createDataFrame([(1, 10.0, "x")], "k long, v double, extra string")
+    ch = L.snapshot_diff(old, new, ["k"], ["v"])
+    with pytest.raises(ValueError, match="extra"):
+        L.apply_changeset(base, ch, ["k"])
+
+
+def test_lex_okey_full_long_range(spark):
+    """lex_okey's biased fixed-width key preserves numeric order for
+    negative (pre-1970) epoch micros and tiebreak ids beyond 10^12 — the
+    exact cases the round-7 lpad formulation truncated or misordered."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(1960, 1, 1), -(2**62)),
+        (dt.datetime(1960, 1, 1), 10**13),  # > old 12-char pad
+        (dt.datetime(1969, 12, 31, 23, 59), 0),
+        (dt.datetime(1970, 1, 1), 0),
+        (dt.datetime(2200, 1, 1), 2**62),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, tid long")
+    got = [
+        r["k"]
+        for r in df.select(R.lex_okey("ts", "tid").alias("k"))
+        .orderBy("k")
+        .collect()
+    ]
+    want = [
+        r["k"]
+        for r in df.select(
+            R.lex_okey("ts", "tid").alias("k"), "ts", "tid"
+        )
+        .orderBy("ts", "tid")
+        .collect()
+    ]
+    assert got == want
+    assert all(len(k) == 41 for k in got)  # 20 + ':' + 20, never truncated
+
+
 def test_merge_intervals_semantics(spark):
     """Overlapping and TOUCHING intervals merge (strict-> break rule);
     disjoint spans stay apart; instants count."""
