@@ -6913,29 +6913,41 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # CORRECTNESS_r06.  mv_incremental_totals (incremental MV maintenance
 # proven equal to recompute, group-moving updates included) displaces
 # scd2_intervals (recorded green r06; B17 keeps rolling_window_features
-# + rolling_actives + ohlc_bars).  stream_ohlc_bars, ab_test_summary and
-# merge_intervals_user ship FULL-gated (streaming keeps stream_window_agg
-# + sessionize driver rows; B6 keeps agg_multi_fn — eighteen round-7
-# operators already rotated into the gate this round).
+# + rolling_actives + ohlc_bars).
+#
+# Round-8 rotation (VERDICT r7 item 3): the five round-7 FULL-only
+# contracts enter the gate — minhash_replay_equal + simhash_replay_equal
+# (the replay-equality oracles, r7's strongest verification work),
+# stream_ohlc_bars (live streaming window twin, hash-matched to the
+# batch oracle on closed windows), ab_test_summary, merge_intervals_user.
+# Displaced, each green in CORRECTNESS_r07 and staying FULL-gated:
+# ngram_jaccard_pairs (B28 keeps the strictly-stronger PPJoin
+# ngram_jaccard_prefix + semantic_dedup_kept + both incoming replay
+# oracles), stream_window_agg (B24 keeps sessionize + the incoming
+# stream_ohlc_bars, which subsumes the plain windowed agg), and three
+# over-represented B17/B12 reps — rolling_actives (B17 keeps
+# rolling_window_features/ohlc/trend/mad), range_join_bands (keeps
+# as_of_join_events), join_fanout_census (B12 keeps join_3way_agg +
+# anti_join_count + runtime_filter_join).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
     "agg_multi_fn", "distinct_partkeys", "keep_latest",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
-    "broadcast_join_agg", "join_fanout_census", "anti_join_count",
+    "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
     "intersect_count", "rollup_agg", "ivf_partitioned_probe",
     "rolling_window_features", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
     "snapshot_diff_counts", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "checksum_lineitem", "mad_outliers", "rolling_actives",
+    "checksum_lineitem", "mad_outliers", "ab_test_summary",
     "mv_incremental_totals", "stratified_split_counts", "trend_slope_user",
-    "kcore_peel_equal", "as_of_join_events", "range_join_bands",
+    "kcore_peel_equal", "as_of_join_events", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",
-    "sessionize", "stream_window_agg",
+    "sessionize", "stream_ohlc_bars",
     "doc_typicality", "key_skew_census",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
-    "ngram_jaccard_pairs", "session_copresence_lift",
+    "simhash_replay_equal", "session_copresence_lift",
     "ngram_jaccard_prefix", "hash_split_assignments",
     "decontaminate_counts",
     "changeset_roundtrip",
