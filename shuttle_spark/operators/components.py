@@ -390,6 +390,7 @@ def kcore(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 60,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph in which every node has
     degree >= k — the standard graph-quality screen (a near-dup /
@@ -409,7 +410,14 @@ def kcore(
     bounded driver scalar, not data).  Rounds needed = the graph's
     degeneracy ordering depth, typically << nodes (the 25-round CC bound
     is raised to 60: adversarial path graphs peel one layer per
-    round)."""
+    round).
+
+    ``stats``: pass a dict to receive the observability the scale curve
+    records — ``rounds`` (peel rounds to the fixed point) and
+    ``round_secs`` (wall per round, dominated by the per-round degree
+    aggregate + eager localCheckpoint of the surviving edge set)."""
+    import time as _time
+
     for c in (a_col, b_col):
         kind = dict(pairs.dtypes).get(c, "")
         if kind not in ("tinyint", "smallint", "int", "bigint", "long"):
@@ -422,7 +430,9 @@ def kcore(
             F.col(b_col).cast("long").alias("b"),
         )
     ).localCheckpoint(eager=True)
+    round_secs: list[float] = []
     for _ in range(max_iter):
+        t0 = _time.perf_counter()
         deg = (
             e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
@@ -440,6 +450,7 @@ def kcore(
         )
         # one bounded driver scalar per round (the CC convergence idiom)
         if bad.limit(1).count() == 0:
+            round_secs.append(_time.perf_counter() - t0)
             break
         e = (
             e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
@@ -447,8 +458,12 @@ def kcore(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        round_secs.append(_time.perf_counter() - t0)
     else:
         raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = len(round_secs)
+        stats["round_secs"] = [round(s, 4) for s in round_secs]
     return (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

@@ -1,12 +1,32 @@
-"""Per-query Spark-vs-DuckDB ratio table (the auditable 2x-bar view).
+"""Per-query Spark-vs-DuckDB ratio table (the auditable 2x-bar view),
+measured under a variance-controlled protocol.
 
-Reads BENCH_FULL.json (written by bench.py at the same sf) for Spark wall
-times, times each registered oracle in-process in DuckDB at the same sf_dir,
-and rewrites the `## Per-query head-to-head` section of BASELINE.md.
+Round-8 protocol (replaces the round-2..7 "Spark times from a previous
+BENCH_FULL.json session, DuckDB timed later" convention, whose two
+sides could sit minutes apart and absorb different ambient machine
+state — the r7 verdict's 1.78x->2.07x drift on identical code):
 
-Run AFTER bench.py:
+* **Idle-box gate**: refuses to start unless 1-min loadavg is under
+  ``SPARK_GRAFT_LOAD_MAX`` (default 4.0 on this 32-cpu box) — the
+  contaminated-run failure mode (a concurrent process skewing DuckDB up
+  to ~4x, caught and discarded in round 7) is now rejected by the tool
+  instead of by post-hoc vigilance.  Start/end loadavg are recorded.
+* **Interleaved paired runs**: for every comparable query the engines
+  alternate S,D,S,D,S,D on the same warm processes (one unmeasured
+  warmup pass each first), so any ambient drift hits both sides of
+  every pair equally instead of biasing one engine's whole column.
+* **Median-of-3 with the spread recorded**: the headline ratio is
+  sum(per-query median spark) / sum(per-query median duck); the three
+  time-aligned pass ratios (pass_i spark total / pass_i duck total)
+  are recorded as the honest run-to-run spread, per-query medians and
+  min/max go to BENCH_RATIO.json.
 
-    PYTHONPATH=/root/repo python bench.py
+Excluded rows (property / streaming-replay / rows-only — see the table
+labels) take their display-only Spark wall from BENCH_FULL.json as
+before; they never enter the comparable subset.
+
+Run:
+
     PYTHONPATH=/root/repo python tools/bench_ratio.py [sf_dir]
 """
 
@@ -14,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,6 +45,30 @@ from shuttle_spark.testing import duckdb_views
 
 BEGIN = "<!-- bench-ratio:begin -->"
 END = "<!-- bench-ratio:end -->"
+PASSES = 3
+
+
+def _loadavg1() -> float:
+    return os.getloadavg()[0]
+
+
+def _comparable(c) -> bool:
+    if c.oracle is None:
+        return False
+    # property-TAGGED contracts run deliberately pessimized plan shapes
+    # (broadcast disabled so AQE-skew / bloom machinery has an exchange
+    # to act on) and assert the executed plan alongside the values —
+    # their oracle is a constant, so a wall-clock ratio compares a
+    # stress harness against nothing.  Streaming replays run a real
+    # Structured Streaming query (state stores, fresh checkpoint) vs
+    # the oracle's batch SQL; their batch twins ARE comparable.
+    if c.oracle.lstrip().upper().startswith("SELECT TRUE"):
+        return False
+    if "property" in (c.tags or ()):
+        return False
+    if c.name.startswith("stream_"):
+        return False
+    return True
 
 
 def main() -> None:
@@ -31,127 +76,189 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    with open(os.path.join(root, "BENCH_FULL.json")) as f:
-        bench = json.load(f)
-    spark_times: dict[str, float] = bench["queries"]
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "4.0"))
+    load_start = _loadavg1()
+    if load_start > load_max:
+        print(
+            f"REFUSED: 1-min loadavg {load_start:.2f} > {load_max:.2f} —"
+            " the box is not idle; a concurrent process would contaminate"
+            " the paired measurement (round-7 lesson). Re-run when idle"
+            " or raise SPARK_GRAFT_LOAD_MAX deliberately.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
+    # display-only Spark walls for the excluded rows
+    try:
+        with open(os.path.join(root, "BENCH_FULL.json")) as f:
+            bench_full = json.load(f).get("queries", {})
+    except FileNotFoundError:
+        bench_full = {}
+
+    from shuttle_spark import get_session
+
+    # same session convention as bench.py: 8 reduce partitions and AQE
+    # off at sf0.1 (both per-deployment dials — see bench.py's rationale;
+    # AQE's per-exchange stage jobs are pure scheduling rounds at this SF,
+    # measured -22% on a 36-query slice; session.py keeps AQE on for the
+    # engine's real-scale default).
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
+    spark = get_session(
+        "bench-ratio",
+        **{
+            "spark.sql.shuffle.partitions": shuffle,
+            "spark.sql.adaptive.enabled": aqe,
+        },
+    )
     con = duckdb_views(sf_dir)
-    rows = []
-    duck_total = 0.0
-    comp_spark = comp_duck = 0.0  # comparable subset: real (non-TRUE) oracles
-    for name, c in REGISTRY.items():
-        if name not in spark_times:
-            continue
-        st = spark_times[name]
-        if c.oracle is None:
-            rows.append((name, st, None, "rows-only"))
-            continue
-        # property-TAGGED contracts run deliberately pessimized plan
-        # shapes (broadcast disabled so AQE-skew / bloom machinery has an
-        # exchange to act on) and assert the executed plan alongside the
-        # values — their oracle runs the straight query, so a wall-clock
-        # ratio compares a stress harness against a plain join, same
-        # apples-to-oranges as the streaming replays.
-        trivial = c.oracle.lstrip().upper().startswith(
-            "SELECT TRUE"
-        ) or "property" in (c.tags or ())
-        # SAME timing convention as the Spark side (bench.py: warm
-        # best-of-2 after a cold run) — a single cold DuckDB run pays
-        # parse/optimize/page-cache costs the Spark numbers don't,
-        # quietly biasing every published ratio in Spark's favor.
+
+    comp = [c for c in REGISTRY.values() if _comparable(c)]
+    excluded = [c for c in REGISTRY.values() if not _comparable(c)]
+
+    # Warm both processes once (JVM codegen caches, parquet footers,
+    # DuckDB page cache) before any measured pass.
+    REGISTRY["agg_tpch_q1"].build(spark, sf_dir).collect()
+    con.execute(REGISTRY["agg_tpch_q1"].oracle).fetchall()
+
+    # Measured per-query floor on THIS warm session (median of 7): the
+    # wall cost of plan+schedule+collect of one row, paid per query
+    # regardless of data volume; amortizes away at real scale.
+    floor_samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        floor_samples.append(time.perf_counter() - t0)
+    floor = statistics.median(floor_samples)
+
+    per_q: dict[str, dict] = {}
+    pass_spark = [0.0] * PASSES
+    pass_duck = [0.0] * PASSES
+    for c in comp:
+        # unmeasured warmup pass, engine order fixed S-then-D
+        c.build(spark, sf_dir).collect()
         con.execute(c.oracle).fetchall()
-        dt = float("inf")
-        for _ in range(2):
+        s_samples, d_samples = [], []
+        for i in range(PASSES):
+            t0 = time.perf_counter()
+            c.build(spark, sf_dir).collect()
+            s = time.perf_counter() - t0
             t0 = time.perf_counter()
             con.execute(c.oracle).fetchall()
-            dt = min(dt, time.perf_counter() - t0)
-        duck_total += dt
-        if trivial:
-            # property contract: the Spark side runs a multi-job recall /
-            # tolerance measurement; the oracle is a constant — a wall-time
-            # ratio would compare real work against nothing.
-            rows.append((name, st, dt, "property"))
-        elif name.startswith("stream_"):
-            # streaming replay: Spark runs an actual Structured Streaming
-            # query (state stores, micro-batches, fresh checkpoint) while
-            # the oracle runs the batch-equivalent SQL; the batch twins
-            # (time_window_agg, sessionize, keep_latest) are what compare.
-            rows.append((name, st, dt, "streaming"))
-        else:
-            comp_spark += st
-            comp_duck += dt
-            # compat-tagged rows stay IN the comparable subset (the ratio
-            # is real) but carry the label so the table cannot be read as
-            # the engine's default path for that family.
-            label = " (compat)" if "compat" in (c.tags or ()) else ""
-            rows.append(
-                (name + label, st, dt, st / dt if dt > 0 else float("inf"))
-            )
+            d = time.perf_counter() - t0
+            s_samples.append(s)
+            d_samples.append(d)
+            pass_spark[i] += s
+            pass_duck[i] += d
+        per_q[c.name] = {
+            "spark_med": statistics.median(s_samples),
+            "duck_med": statistics.median(d_samples),
+            "spark_min": min(s_samples),
+            "spark_max": max(s_samples),
+            "duck_min": min(d_samples),
+            "duck_max": max(d_samples),
+            "compat": "compat" in (c.tags or ()),
+        }
 
-    spark_total = sum(r[1] for r in rows)
-    n_comp = sum(1 for r in rows if isinstance(r[3], float))
-    if not rows or comp_duck == 0:
-        print(
-            f"no comparable queries (rows={len(rows)}, comp_duck="
-            f"{comp_duck}); BASELINE.md left untouched", file=sys.stderr,
-        )
-        return
-    floor = float(bench.get("floor_sec") or 0.0)
+    load_end = _loadavg1()
+    comp_spark = sum(q["spark_med"] for q in per_q.values())
+    comp_duck = sum(q["duck_med"] for q in per_q.values())
+    n_comp = len(per_q)
+    pass_ratios = [
+        pass_spark[i] / pass_duck[i] if pass_duck[i] else float("inf")
+        for i in range(PASSES)
+    ]
+    headline = comp_spark / comp_duck if comp_duck else float("inf")
     comp_marginal = max(comp_spark - floor * n_comp, 0.0)
+    marginal_ratio = comp_marginal / comp_duck if comp_duck else float("inf")
+
+    artifact = {
+        "protocol": "interleaved-paired, median-of-3, idle-gated",
+        "sf_dir": sf_dir,
+        "n_comparable": n_comp,
+        "headline_end_to_end": round(headline, 4),
+        "marginal": round(marginal_ratio, 4),
+        "pass_ratios": [round(r, 4) for r in pass_ratios],
+        "pass_spark_sec": [round(s, 2) for s in pass_spark],
+        "pass_duck_sec": [round(d, 2) for d in pass_duck],
+        "comp_spark_sec": round(comp_spark, 2),
+        "comp_duck_sec": round(comp_duck, 2),
+        "floor_sec": round(floor, 4),
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(load_end, 2),
+        "load_max": load_max,
+        "queries": {
+            k: {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                for kk, vv in v.items()}
+            for k, v in per_q.items()
+        },
+    }
+    with open(os.path.join(root, "BENCH_RATIO.json"), "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+
+    spread = (
+        f"{min(pass_ratios):.2f}x–{max(pass_ratios):.2f}x"
+        if pass_ratios else "n/a"
+    )
     lines = [
         BEGIN,
         "## Per-query head-to-head (generated by tools/bench_ratio.py)",
         "",
-        f"sf_dir `{sf_dir}`; Spark times from BENCH_FULL.json (end-to-end:"
-        " plan+execute+collect, shared warm session); DuckDB times are the"
-        " registered oracle SQL run in-process on the same parquet.",
+        f"sf_dir `{sf_dir}`; **variance-controlled protocol**: idle-box"
+        f" gate (1-min loadavg {load_start:.2f} at start, limit"
+        f" {load_max:.1f}; {load_end:.2f} at end — end load is this run's"
+        " own work), then per query one unmeasured warmup pass per engine"
+        " followed by THREE interleaved S,D pairs on the same warm"
+        " processes; per-query medians-of-3 are summed for the headline,"
+        " and the three time-aligned pass ratios are the recorded"
+        " run-to-run spread.  Full per-query medians and min/max are in"
+        " BENCH_RATIO.json.",
         "",
         f"**Comparable subset ({n_comp} batch queries with real SQL"
-        f" oracles): Spark {comp_spark:.1f} s vs DuckDB {comp_duck:.1f} s ="
-        f" {comp_spark / comp_duck:.2f}x end-to-end; subtracting the"
-        f" MEASURED per-query scheduling floor ({floor:.2f} s/query on this"
-        f" warm session, bench.py floor_sec) the marginal data-path cost is"
-        f" {comp_marginal:.1f} s = {comp_marginal / comp_duck:.2f}x —"
-        " the number that scales, since the floor is per-query, not"
-        " per-byte.**  Excluded and listed below:"
-        " property contracts (constant `SELECT TRUE` oracles — the Spark"
-        " side measures recall/tolerance across several jobs, the oracle"
-        " does nothing), rows-only contracts, and streaming replays (the"
-        " Spark side runs a real Structured Streaming query with state"
-        " stores and a fresh checkpoint; their batch twins ARE in the"
-        " subset).  Full-suite"
-        f" Spark wall: {spark_total:.1f} s across {len(rows)} queries,"
-        f" ≈{spark_total / len(rows):.2f} s/query vs the {floor:.2f} s"
-        " measured floor (amortizes away at scale; see the head-to-head"
-        " analysis above).",
+        f" oracles): Spark {comp_spark:.1f} s vs DuckDB {comp_duck:.1f} s"
+        f" = {headline:.2f}x end-to-end (median-of-3; paired pass spread"
+        f" {spread}); subtracting the MEASURED per-query scheduling floor"
+        f" ({floor:.2f} s/query on this warm session) the marginal"
+        f" data-path cost is {comp_marginal:.1f} s ="
+        f" {marginal_ratio:.2f}x — the number that scales, since the"
+        " floor is per-query, not per-byte.**  Excluded and listed"
+        " below: property contracts (constant `SELECT TRUE` oracles — the"
+        " Spark side measures recall/tolerance across several jobs, the"
+        " oracle does nothing), rows-only contracts, and streaming"
+        " replays (the Spark side runs a real Structured Streaming query"
+        " with state stores and a fresh checkpoint; their batch twins ARE"
+        " in the subset).",
         "",
-        "Run-to-run variance disclosure: same-code paired runs of this"
-        " subset spread 1.75x-2.13x end-to-end across rounds 6-7 — the"
-        " spread is DOMINATED by the DuckDB side's heavy recursive-CTE"
-        " oracles (cluster_keep_best's transitive closure swings"
-        " 4.5 s <-> 6.5 s warm best-of-2) and by the measured per-query"
-        " floor drifting 0.06-0.10 s with ambient machine state (which"
-        " moves the floor-subtracted marginal 1.36x-1.63x between"
-        " otherwise-identical runs), not by engine changes.  Round-7"
-        " caution, learned the hard way: a CONCURRENT process skews the"
-        " DuckDB side up to ~4x — one contaminated bench read +20% on the"
-        " common subset and was discarded after an idle-box rerun"
-        " reproduced round-6 timings (the final run reads -7.5%).  Read"
-        " the end-to-end number as ±0.2x; the per-query common-subset"
-        " trend and the scale curve are the stable signals.",
+        "Why this protocol: rounds 2-7 timed the two engines in separate"
+        " sessions minutes apart, so ambient machine state (page cache,"
+        " a neighbor process, floor drift of 0.06-0.10 s/query) moved the"
+        " committed headline 1.75x-2.13x on identical code — round 7"
+        " shipped OVER the 2x bar purely on protocol noise, with one"
+        " contaminated run caught only by hand.  Interleaving makes both"
+        " engines see the same seconds of machine state; the idle gate"
+        " makes contamination a refused run instead of a judgment call;"
+        " the pass spread quantifies what noise remains.",
         "",
-        "| query | spark s | duckdb s | ratio |",
+        "| query | spark s (med) | duckdb s (med) | ratio |",
         "|---|---|---|---|",
     ]
-    for name, st, dt, ratio in sorted(rows, key=lambda r: -r[1]):
-        if ratio == "rows-only":
-            lines.append(f"| {name} | {st:.2f} | (rows-only) | — |")
-        elif ratio == "property":
-            lines.append(f"| {name} | {st:.2f} | (property) | — |")
-        elif ratio == "streaming":
-            lines.append(f"| {name} | {st:.2f} | (streaming replay) | — |")
-        else:
-            lines.append(f"| {name} | {st:.2f} | {dt:.3f} | {ratio:.1f}x |")
+    rows_sorted = sorted(per_q.items(), key=lambda kv: -kv[1]["spark_med"])
+    for name, q in rows_sorted:
+        label = " (compat)" if q["compat"] else ""
+        r = q["spark_med"] / q["duck_med"] if q["duck_med"] else float("inf")
+        lines.append(
+            f"| {name}{label} | {q['spark_med']:.2f} | {q['duck_med']:.3f} |"
+            f" {r:.1f}x |"
+        )
+    for c in sorted(excluded, key=lambda c: c.name):
+        st = bench_full.get(c.name)
+        st_s = f"{st:.2f}" if st is not None else "—"
+        kind = (
+            "rows-only" if c.oracle is None
+            else "streaming replay" if c.name.startswith("stream_")
+            else "property"
+        )
+        lines.append(f"| {c.name} | {st_s} | ({kind}) | — |")
     lines.append(END)
 
     path = os.path.join(root, "BASELINE.md")
@@ -163,7 +270,12 @@ def main() -> None:
     else:
         text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
     open(path, "w").write(text)
-    print(f"updated {path}: spark {spark_total:.1f}s duckdb {duck_total:.1f}s")
+    print(
+        f"updated {path} + BENCH_RATIO.json: {headline:.2f}x end-to-end"
+        f" (passes {', '.join(f'{r:.2f}x' for r in pass_ratios)}),"
+        f" {marginal_ratio:.2f}x marginal, {n_comp} queries,"
+        f" load {load_start:.2f}->{load_end:.2f}"
+    )
 
 
 if __name__ == "__main__":
