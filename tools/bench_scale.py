@@ -97,6 +97,11 @@ QUERIES = [
     "snapshot_diff_counts",
     "changeset_roundtrip",
     "mv_incremental_totals",
+    # round-8 (VERDICT r7 item 4): the ARRIVING-changeset cells — the
+    # apples-to-apples production CDC shape; the two rows above stay as
+    # the (deliberately asymmetric) inversion/maintenance proofs.
+    "changeset_apply_arriving",
+    "mv_arriving_totals",
 ]
 
 
