@@ -6557,6 +6557,68 @@ def _cdc_arriving(spark: SparkSession, sf: str) -> DataFrame:
     return upd.unionByName(dele).unionByName(ins)
 
 
+# Shared by mv_arriving_totals (batch) and stream_mv_maintenance (live
+# foreachBatch twin): the oracle maintains the same totals through the
+# same arriving delta and checksums the resulting MV — one SQL twin
+# proving batch == stream == incremental-recompute.
+_MV_ARRIVING_ORACLE = (
+    "WITH ch AS (" + _CDC_ARRIVING_SQL + "),"
+    " base AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+    "   AS sum_cents FROM orders GROUP BY 1),"
+    " d0 AS ("
+    "  SELECT o_custkey AS g, 1 AS dn,"
+    "   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS dc"
+    "   FROM ch WHERE op IN ('I', 'U')"
+    "  UNION ALL"
+    "  SELECT old_o_custkey, -1,"
+    "   -CAST(ROUND(old_o_totalprice * 100) AS BIGINT)"
+    "   FROM ch WHERE op IN ('D', 'U')),"
+    " delta AS (SELECT g, CAST(SUM(dn) AS BIGINT) AS dn,"
+    "  CAST(SUM(dc) AS BIGINT) AS dc FROM d0 GROUP BY 1),"
+    " mv AS (SELECT COALESCE(b.o_custkey, d.g) AS g,"
+    "  COALESCE(b.n_rows, 0) + COALESCE(d.dn, 0) AS n_rows,"
+    "  COALESCE(b.sum_cents, 0) + COALESCE(d.dc, 0) AS sum_cents"
+    " FROM base b FULL OUTER JOIN delta d"
+    "  ON b.o_custkey IS NOT DISTINCT FROM d.g"
+    " WHERE COALESCE(b.n_rows, 0) + COALESCE(d.dn, 0) > 0)"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,"
+    "  CAST(SUM(n_rows) AS BIGINT) AS total_rows,"
+    "  CAST(SUM(('0x' || substr(md5(CAST(COALESCE(g, -1) AS VARCHAR)"
+    "   || ':' || CAST(n_rows AS VARCHAR) || ':' ||"
+    "   CAST(sum_cents AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS chk"
+    " FROM mv"
+)
+
+
+def _cdc_base_totals(spark: SparkSession, sf: str) -> DataFrame:
+    return _cdc_old(spark, sf).groupBy("o_custkey").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+def _mv_checksum(mv: DataFrame) -> DataFrame:
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    term = md5_prefix32(
+        F.concat(
+            F.coalesce(F.col("o_custkey"), F.lit(-1)).cast("string"),
+            F.lit(":"),
+            F.col("n_rows").cast("string"),
+            F.lit(":"),
+            F.col("sum_cents").cast("string"),
+        )
+    )
+    return mv.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum(term).alias("chk"),
+    )
+
+
 @contract(
     "snapshot_diff_counts",
     "WITH old_t AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),"
@@ -6858,32 +6920,7 @@ def q_changeset_apply_arriving(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "mv_arriving_totals",
-    "WITH ch AS (" + _CDC_ARRIVING_SQL + "),"
-    " base AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,"
-    "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
-    "   AS sum_cents FROM orders GROUP BY 1),"
-    " d0 AS ("
-    "  SELECT o_custkey AS g, 1 AS dn,"
-    "   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS dc"
-    "   FROM ch WHERE op IN ('I', 'U')"
-    "  UNION ALL"
-    "  SELECT old_o_custkey, -1,"
-    "   -CAST(ROUND(old_o_totalprice * 100) AS BIGINT)"
-    "   FROM ch WHERE op IN ('D', 'U')),"
-    " delta AS (SELECT g, CAST(SUM(dn) AS BIGINT) AS dn,"
-    "  CAST(SUM(dc) AS BIGINT) AS dc FROM d0 GROUP BY 1),"
-    " mv AS (SELECT COALESCE(b.o_custkey, d.g) AS g,"
-    "  COALESCE(b.n_rows, 0) + COALESCE(d.dn, 0) AS n_rows,"
-    "  COALESCE(b.sum_cents, 0) + COALESCE(d.dc, 0) AS sum_cents"
-    " FROM base b FULL OUTER JOIN delta d"
-    "  ON b.o_custkey IS NOT DISTINCT FROM d.g"
-    " WHERE COALESCE(b.n_rows, 0) + COALESCE(d.dn, 0) > 0)"
-    " SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,"
-    "  CAST(SUM(n_rows) AS BIGINT) AS total_rows,"
-    "  CAST(SUM(('0x' || substr(md5(CAST(COALESCE(g, -1) AS VARCHAR)"
-    "   || ':' || CAST(n_rows AS VARCHAR) || ':' ||"
-    "   CAST(sum_cents AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS chk"
-    " FROM mv",
+    _MV_ARRIVING_ORACLE,
     "B6",
     "ext",
 )
@@ -6902,31 +6939,85 @@ def q_mv_arriving(spark: SparkSession, sf: str) -> DataFrame:
     keeps the oracle equality exactly as strong (any differing group row
     changes the hash sum)."""
     from shuttle_spark.operators import lineage as L
-    from shuttle_spark.operators.integrity import md5_prefix32
 
-    old = _cdc_old(spark, sf)
-    base = old.groupBy("o_custkey").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "sum_cents"
-        ),
-    )
     mv = L.incremental_group_totals(
-        base, _cdc_arriving(spark, sf), "o_custkey", "o_totalprice"
+        _cdc_base_totals(spark, sf),
+        _cdc_arriving(spark, sf),
+        "o_custkey",
+        "o_totalprice",
     )
-    term = md5_prefix32(
-        F.concat(
-            F.coalesce(F.col("o_custkey"), F.lit(-1)).cast("string"),
-            F.lit(":"),
-            F.col("n_rows").cast("string"),
-            F.lit(":"),
-            F.col("sum_cents").cast("string"),
-        )
+    return _mv_checksum(mv)
+
+
+@contract("stream_mv_maintenance", _MV_ARRIVING_ORACLE, "B24", "ext")
+def q_stream_mv_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MV maintenance as a LIVE STREAM of changesets
+    (streaming.stream_mv_maintenance): the arriving changeset is split
+    into 4 files by key hash, a file-source stream delivers them one per
+    micro-batch, and foreachBatch folds each into the running totals
+    (retract-then-add, scaled-long domain, localCheckpoint-truncated
+    lineage per cycle) — the production shape of an MV downstream of a
+    CDC feed.  Shares mv_arriving_totals' oracle VERBATIM: the checksum
+    can only match if stream == batch == incremental recompute, i.e.
+    maintenance commutes over micro-batch boundaries (it does because a
+    compacted changeset carries at most one op per key)."""
+    from shuttle_spark.streaming.core import stream_mv_maintenance
+
+    totals = stream_mv_maintenance(
+        _cdc_base_totals(spark, sf),
+        _cdc_arriving(spark, sf),
+        "o_custkey",
+        "o_totalprice",
+        key_cols=["o_orderkey"],
+        n_batches=4,
     )
-    return mv.agg(
-        F.count("*").alias("n_groups"),
-        F.sum("n_rows").alias("total_rows"),
-        F.sum(term).alias("chk"),
+    return _mv_checksum(totals)
+
+
+@contract(
+    "locf_impute_cents",
+    "WITH i AS (SELECT event_type, value,"
+    "  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id"
+    "   ORDER BY ts::TIMESTAMP, event_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v"
+    "  FROM events)"
+    " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(CASE WHEN value IS NULL AND v IS NOT NULL THEN 1"
+    "   ELSE 0 END) AS BIGINT) AS n_filled,"
+    "  CAST(SUM(CASE WHEN v IS NOT NULL THEN"
+    "   CAST(ROUND(v * 100) AS BIGINT) ELSE 0 END) AS BIGINT)"
+    "   AS sum_cents"
+    " FROM i GROUP BY 1",
+    "B17",
+    "ext",
+)
+def q_locf_impute(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-observation-carried-forward imputation
+    (relational.locf_impute): per user, NULL event values fill with the
+    most recent non-NULL value in (ts, event_id) order — the leak-free
+    feature-pipeline gap fill (only PAST observations flow forward).
+    Gated on the per-type census of (rows, filled count, scaled-long sum
+    of the imputed column): any wrongly-carried value moves sum_cents.
+    One window over one key partition — a single exchange at any scale;
+    leading NULLs stay NULL on both engines."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        "value", F.col("value").alias("__orig"),
+    )
+    imp = R.locf_impute(ev, ["user_id"], ["ts", "event_id"], ["value"])
+    return imp.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("__orig").isNull() & F.col("value").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_filled"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("sum_cents"),
     )
 
 

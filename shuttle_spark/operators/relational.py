@@ -1704,3 +1704,35 @@ def merge_intervals(
         )
         .drop("__span")
     )
+
+
+def locf_impute(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward imputation: per key, fill NULLs in
+    ``cols`` with the most recent non-NULL value in ``order_by`` order —
+    the standard feature-pipeline gap fill for sensor dropouts, sparse
+    event attributes, and slowly-changing measurements (leak-free by
+    construction: only PAST observations flow forward, never future
+    ones, unlike a symmetric interpolation).
+
+    Each column is ``last(col, ignorenulls=True)`` over an unbounded-
+    preceding row frame — all columns ride ONE window over ONE key
+    partition, so the whole imputation is a single exchange at any
+    scale; leading NULLs (no prior observation) stay NULL, the honest
+    answer.  ``order_by`` should end in a unique tiebreak column: row
+    frames under a non-total order would make "most recent" engine-
+    arbitrary, the same pitfall ohlc_bars' lex_okey exists to close."""
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

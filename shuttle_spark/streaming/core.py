@@ -977,3 +977,71 @@ def stream_ewma_deviants(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_mv_maintenance(
+    base_totals: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_cols: Sequence[str],
+    n_batches: int = 4,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group (count, scaled-long sum) totals maintained through a
+    STREAM of arriving changesets — the live twin of
+    ``lineage.incremental_group_totals``: changeset files land in a
+    directory, a file-source stream delivers them one per micro-batch,
+    and ``foreachBatch`` folds each batch into the running totals
+    (retract-then-add, exact integer domain), exactly how a production
+    MV sits downstream of a CDC feed.
+
+    The arriving changeset is split into ``n_batches`` files by a
+    deterministic key hash, so each key's single op lands in exactly one
+    batch — the standard CDC-compaction invariant (at most one op per
+    key per changeset) that makes maintenance COMMUTE over any batch
+    partitioning: the final totals are independent of micro-batch
+    boundaries and arrival interleaving, which is what lets the
+    stream_mv_maintenance contract share the batch oracle verbatim.
+    Totals are eagerly ``localCheckpoint``-ed after every fold: O(1)
+    plan lineage over unbounded maintenance cycles (the same discipline
+    as the k-core peel), and the scaled-long domain means no float
+    drift accumulates, ever."""
+    from shuttle_spark.operators.lineage import incremental_group_totals
+
+    spark = changes.sparkSession
+    land = tracked_mkdtemp("mvstream_land_")
+    res = F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_batches)
+    )
+    ch = changes.withColumn("__b", res)
+    schema = None
+    for i in range(n_batches):
+        part_dir = tracked_mkdtemp(f"mvstream_part{i}_")
+        b = ch.filter(F.col("__b") == i).drop("__b")
+        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        shutil.move(
+            os.path.join(part_dir, data[0]),
+            os.path.join(land, f"changeset-{i:04d}.parquet"),
+        )
+        schema = b.schema
+    state = {"totals": base_totals.localCheckpoint(eager=True)}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        state["totals"] = incremental_group_totals(
+            state["totals"], batch_df, group_col, value_col, scale
+        ).localCheckpoint(eager=True)
+
+    ckpt = tracked_mkdtemp("mvstream_ckpt_")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["totals"]

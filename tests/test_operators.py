@@ -1696,3 +1696,26 @@ def test_incremental_group_totals_group_moves_and_drops(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_locf_impute_semantics(spark):
+    """Carry-forward fills, leading NULLs stay NULL, keys are isolated,
+    and ties are broken by the order tiebreak (never engine-arbitrary)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t + 0 * s, 1, None),   # leading NULL: stays NULL
+        (1, t + 1 * s, 2, 5.0),
+        (1, t + 2 * s, 3, None),   # fills with 5.0
+        (1, t + 2 * s, 4, 7.0),    # same ts, higher tiebreak
+        (1, t + 3 * s, 5, None),   # fills with 7.0 (tiebreak order)
+        (2, t + 9 * s, 6, None),   # other key: no leak from key 1
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, i long, v double")
+    got = {
+        r["i"]: r["v"]
+        for r in R.locf_impute(df, ["k"], ["ts", "i"], ["v"]).collect()
+    }
+    assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}

@@ -520,3 +520,48 @@ def test_stream_ohlc_equals_batch_multi_batch(spark):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_mv_maintenance_equals_recompute(spark):
+    """Streamed changeset application (4 micro-batches via foreachBatch)
+    lands on exactly the totals of a direct recompute of the post-change
+    table — maintenance commutes over micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.streaming.core import stream_mv_maintenance
+
+    base_rows = [(k, k % 5, float(k)) for k in range(1, 41)]
+    base = spark.createDataFrame(base_rows, "k long, g long, v double")
+    totals = base.groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+    )
+    # one op per key: updates (some group-moving), deletes, inserts
+    ch_rows = (
+        [("U", k, (k % 5) + 1, float(k) + 0.5, k % 5, float(k))
+         for k in range(1, 41, 7)]
+        + [("D", k, None, None, k % 5, float(k)) for k in range(2, 41, 11)]
+        + [("I", 100 + k, k % 5, 9.0, None, None) for k in range(4)]
+    )
+    ch = spark.createDataFrame(
+        ch_rows,
+        "op string, k long, g long, v double, old_g long, old_v double",
+    )
+    got = stream_mv_maintenance(
+        totals, ch, "g", "v", key_cols=["k"], n_batches=4
+    )
+    new_table = (
+        base.join(
+            ch.filter(F.col("op").isin("D", "U")).select("k"), "k", "left_anti"
+        )
+        .unionByName(
+            ch.filter(F.col("op").isin("I", "U")).select("k", "g", "v")
+        )
+    )
+    want = new_table.groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
