@@ -7221,10 +7221,20 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # session_copresence_lift (pipeline keeps key_skew_census +
 # hash_split_assignments + stratified_split_counts) — both green in
 # CORRECTNESS_r07, both staying FULL-gated.
+#
+# Round-8 late additions, same-round rotation: stream_mv_maintenance
+# (live foreachBatch MV maintenance sharing the mv_arriving oracle
+# verbatim — stream == batch == recompute in one checksum) displaces
+# agg_multi_fn (B6 keeps agg_tpch_q1 + rollup_agg + ab_test_summary +
+# mv_arriving_totals); locf_impute_cents (LOCF gap fill vs DuckDB's
+# IGNORE NULLS window) displaces as_of_join_events (B17 keeps
+# rolling_window_features/ohlc/mad/merge_intervals + the incoming LOCF;
+# the as-of join stays FULL-gated).  Both displaced rows are green in
+# CORRECTNESS_r07.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
-    "agg_multi_fn", "distinct_partkeys", "keep_latest",
+    "stream_mv_maintenance", "distinct_partkeys", "keep_latest",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
     "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
     "intersect_count", "rollup_agg", "ivf_partitioned_probe",
@@ -7234,7 +7244,7 @@ _DRIVER_PRIORITY = [
     "snapshot_diff_counts", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "checksum_lineitem", "mad_outliers", "ab_test_summary",
     "mv_incremental_totals", "stratified_split_counts",
-    "changeset_apply_arriving", "kcore_peel_equal", "as_of_join_events", "merge_intervals_user",
+    "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",
     "sessionize", "stream_ohlc_bars",
     "doc_typicality", "key_skew_census",

@@ -1395,11 +1395,11 @@ def test_fuzz_ohlc_bars(spark, duck, key, key_mod):
         (F.col("value").isNotNull()) & (F.col("user_id") % key_mod == 0)
     )
     sdf = R.ohlc_bars(ev, [key], "ts", "value", "event_id")
+    okey_sql = R.LEX_OKEY_SQL.format(ts="ts", tiebreak="event_id")
     sql = (
         f"WITH k AS (SELECT {key},"
         f"  date_trunc('hour', ts::TIMESTAMP) AS bucket, value,"
-        f"  lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')"
-        f"   || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey"
+        f"  {okey_sql} AS okey"
         f" FROM events WHERE value IS NOT NULL AND user_id % {key_mod} = 0)"
         f" SELECT {key}, bucket, arg_min(value, okey) AS open,"
         f"  arg_max(value, okey) AS close, MAX(value) AS high,"
@@ -1506,5 +1506,128 @@ def test_fuzz_stratified_split(spark, duck, strat, train_pct, val_pct, seed):
         f" SELECT {strat}, CASE WHEN rn <= (ns * {b1}) // 10000 THEN 'train'"
         f"  WHEN rn <= (ns * {b2}) // 10000 THEN 'val' ELSE 'test' END"
         f"   AS split, CAST(COUNT(*) AS BIGINT) AS n FROM ranked GROUP BY 1, 2"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 36: LOCF imputation — randomized extra-NULL injection + key choice
+# ---------------------------------------------------------------------------
+
+@given(
+    key=st.sampled_from(["user_id", "event_type"]),
+    null_mod=st.integers(2, 9),
+)
+@FUZZ
+def test_fuzz_locf_impute(spark, duck, key, null_mod):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.col("event_id") % null_mod == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    ev = ev.withColumn("__orig", F.col("value"))
+    imp = R.locf_impute(ev, [key], ["ts", "event_id"], ["value"])
+    sdf = imp.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("__orig").isNull() & F.col("value").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_filled"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("sum_cents"),
+    )
+    sql = (
+        f"WITH e AS (SELECT user_id, event_type, ts, event_id,"
+        f"  CASE WHEN event_id % {null_mod} = 0 THEN NULL"
+        f"   ELSE value END AS value FROM events),"
+        f" i AS (SELECT event_type, value,"
+        f"  last_value(value IGNORE NULLS) OVER (PARTITION BY {key}"
+        f"   ORDER BY ts::TIMESTAMP, event_id"
+        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v"
+        f"  FROM e)"
+        f" SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f"  CAST(SUM(CASE WHEN value IS NULL AND v IS NOT NULL THEN 1"
+        f"   ELSE 0 END) AS BIGINT) AS n_filled,"
+        f"  CAST(SUM(CASE WHEN v IS NOT NULL THEN"
+        f"   CAST(ROUND(v * 100) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        f"   AS sum_cents"
+        f" FROM i GROUP BY 1"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 37: arriving-changeset merge — randomized churn moduli (disjoint
+# U/D by guard, I on offset keys), both engines pay the same merge
+# ---------------------------------------------------------------------------
+
+@given(
+    u_mod=st.integers(3, 23),
+    d_mod=st.integers(3, 23),
+    i_mod=st.integers(3, 23),
+)
+@FUZZ
+def test_fuzz_changeset_apply_arriving(spark, duck, u_mod, d_mod, i_mod):
+    from shuttle_spark.operators import lineage as L
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = o.filter(k % u_mod == 0).select(
+        F.lit("U").alias("op"), "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+    )
+    dele = o.filter((k % u_mod != 0) & (k % d_mod == 1)).select(
+        F.lit("D").alias("op"), "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.filter(k % i_mod == 2).select(
+        F.lit("I").alias("op"),
+        (k + 1_000_000_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+    )
+    merged = L.apply_changeset(
+        o, upd.unionByName(dele).unionByName(ins), ["o_orderkey"]
+    )
+    term = md5_prefix32(
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit(":"),
+            F.col("o_custkey").cast("string"), F.lit(":"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        )
+    )
+    sdf = merged.agg(F.count("*").alias("n_rows"), F.sum(term).alias("chk"))
+    sql = (
+        f"WITH ch AS ("
+        f" SELECT 'U' AS op, o_orderkey, o_custkey,"
+        f"  o_totalprice + 5.0 AS o_totalprice FROM orders"
+        f"  WHERE o_orderkey % {u_mod} = 0"
+        f" UNION ALL SELECT 'D', o_orderkey, CAST(NULL AS BIGINT),"
+        f"  CAST(NULL AS DOUBLE) FROM orders"
+        f"  WHERE o_orderkey % {u_mod} <> 0 AND o_orderkey % {d_mod} = 1"
+        f" UNION ALL SELECT 'I', o_orderkey + 1000000000000, o_custkey,"
+        f"  o_totalprice FROM orders WHERE o_orderkey % {i_mod} = 2),"
+        f" merged AS ("
+        f"  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o"
+        f"   WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.op IN ('D', 'U')"
+        f"    AND ch.o_orderkey = o.o_orderkey)"
+        f"  UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM ch"
+        f"   WHERE op IN ('I', 'U'))"
+        f" SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f"  CAST(SUM(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'"
+        f"   || CAST(o_custkey AS VARCHAR) || ':' ||"
+        f"   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)),"
+        f"   1, 8))::BIGINT) AS BIGINT) AS chk FROM merged"
     )
     _check(sdf, duck, sql)
