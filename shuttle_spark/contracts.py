@@ -7021,6 +7021,75 @@ def q_locf_impute(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "ivf_upsert_equal",
+    "SELECT TRUE AS ok, TRUE AS nonempty",
+    "B29",
+    "ext",
+    "property",
+)
+def q_ivf_upsert_equal(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF index maintenance (similarity.ivf_upsert) under an
+    equality oracle: applying an arriving I/U/D vector changeset (~8%
+    churn, updates rotate the embedding so cells genuinely move) to the
+    indexed corpus must produce EXACTLY the (vec_id, cell) assignment of
+    a full rebuild over the post-change corpus with the SAME frozen
+    centroids — assignment is a pure per-vector function once centroids
+    freeze, so incremental == rebuild is an exact set equality, checked
+    both directions.  No SQL twin: the nearest-centroid argmin runs on
+    driver-trained float centroids DuckDB never sees; the property gate
+    mirrors kcore_peel_equal's replay style."""
+    from shuttle_spark.operators import similarity as S2
+
+    emb = load_table(spark, sf, "embeddings")
+    indexed, cents = S2.ivf_build(emb, dim=64, n_cells=16)
+    rot = lambda n: F.concat(  # noqa: E731
+        F.slice(F.col("embedding"), n + 1, 10_000),
+        F.slice(F.col("embedding"), 1, n),
+    )
+    vid = F.col("vec_id")
+    upd = emb.filter(vid % 17 == 0).select(
+        F.lit("U").alias("op"), "vec_id",
+        rot(1).alias("embedding"), "label",
+    )
+    dele = emb.filter((vid % 17 != 0) & (vid % 19 == 1)).select(
+        F.lit("D").alias("op"), "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    ins = emb.filter(vid % 23 == 2).select(
+        F.lit("I").alias("op"),
+        (vid + 1_000_000_000).alias("vec_id"),
+        rot(2).alias("embedding"), "label",
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    maintained = S2.ivf_upsert(indexed, cents, changes).select(
+        "vec_id", "cell"
+    )
+    post = (
+        emb.join(
+            changes.filter(F.col("op").isin("D", "U")).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+        .unionByName(
+            changes.filter(F.col("op").isin("I", "U")).select(
+                "vec_id", "embedding", "label"
+            )
+        )
+    )
+    rebuilt = S2.assign_cells(post, cents).select("vec_id", "cell")
+    n_maintained = maintained.count()
+    mismatch = (
+        maintained.exceptAll(rebuilt).count()
+        + rebuilt.exceptAll(maintained).count()
+    )
+    ok = mismatch == 0 and n_maintained == post.count()
+    return spark.createDataFrame(
+        [(bool(ok), bool(n_maintained > 0))], "ok boolean, nonempty boolean"
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -7229,8 +7298,11 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # mv_arriving_totals); locf_impute_cents (LOCF gap fill vs DuckDB's
 # IGNORE NULLS window) displaces as_of_join_events (B17 keeps
 # rolling_window_features/ohlc/mad/merge_intervals + the incoming LOCF;
-# the as-of join stays FULL-gated).  Both displaced rows are green in
-# CORRECTNESS_r07.
+# the as-of join stays FULL-gated); ivf_upsert_equal (incremental ANN
+# index maintenance proven equal to a frozen-centroid rebuild — the CDC
+# discipline extended to the similarity family) displaces doc_typicality
+# (B30 keeps decontaminate_counts; typicality stays FULL-gated).  All
+# displaced rows are green in CORRECTNESS_r07.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -7247,7 +7319,7 @@ _DRIVER_PRIORITY = [
     "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",
     "sessionize", "stream_ohlc_bars",
-    "doc_typicality", "key_skew_census",
+    "ivf_upsert_equal", "key_skew_census",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
     "simhash_replay_equal", "mv_arriving_totals",
     "ngram_jaccard_prefix", "hash_split_assignments",

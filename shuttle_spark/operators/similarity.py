@@ -335,6 +335,63 @@ def _nearest_centroid(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return d.argmin(1)
 
 
+def assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add the nearest-centroid ``cell`` column for a FROZEN centroid set
+    — the pure assignment function shared by ``ivf_build`` (initial
+    index) and ``ivf_upsert`` (incremental maintenance).  Because the
+    centroids are fixed, assignment is a deterministic function of the
+    vector alone, which is exactly what makes incremental upsert equal
+    a full reassignment (the ivf_upsert_equal gate).  One Arrow batch
+    stage, no shuffle; NULL embedding -> NULL cell (excluded by every
+    probe's cell filter, the NULL-scores-NULL convention)."""
+    cents = centroids.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        mask = vecs.isna().to_numpy()
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if (~mask).any():
+            m = np.stack(vecs[~mask].to_numpy()).astype(np.float64)
+            out[~mask] = _nearest_centroid(m, cents).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn("cell", nearest_cell(F.col(vec_col)))
+
+
+def ivf_upsert(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    changes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: apply an arriving I/U/D vector
+    changeset to an indexed corpus WITHOUT touching the untouched rows —
+    the ANN twin of ``lineage.apply_changeset`` (fresh embeddings arrive
+    continuously in a production corpus; re-indexing 100 TB per batch is
+    not a plan).  D/U ids leave via one anti-join (churn-sized right
+    side, AQE broadcasts it); I/U rows get their cell from the SAME
+    frozen centroids and union in.  With centroids frozen, assignment is
+    a pure per-vector function, so the maintained index is EXACTLY the
+    index a full rebuild over the post-change corpus would produce — the
+    equality the ivf_upsert_equal contract gates.  Centroid refresh
+    (drift) is a deliberate separate offline step, exactly like
+    re-training the coarse quantizer in any IVF system: assignments stay
+    valid because probes use the same frozen centroids."""
+    touched = changes.filter(F.col("op").isin("D", "U")).select(id_col)
+    kept = indexed.join(touched, id_col, "left_anti")
+    incoming = assign_cells(
+        changes.filter(F.col("op").isin("I", "U")).select(
+            *[c for c in indexed.columns if c != "cell"]
+        ),
+        centroids,
+        vec_col,
+    )
+    return kept.unionByName(incoming)
+
+
 def ivf_build(
     df: DataFrame,
     dim: int,
@@ -381,20 +438,7 @@ def ivf_build(
             members = mat[assign == c]
             if len(members):
                 centroids[c] = members.mean(0)
-    cents = centroids.copy()
-
-    @F.pandas_udf(T.IntegerType())
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        # NULL embedding -> NULL cell: excluded by every probe's cell
-        # filter, consistent with the NULL-scores-NULL scoring convention
-        mask = vecs.isna().to_numpy()
-        out = pd.array([None] * len(vecs), dtype="Int32")
-        if (~mask).any():
-            m = np.stack(vecs[~mask].to_numpy()).astype(np.float64)
-            out[~mask] = _nearest_centroid(m, cents).astype(np.int32)
-        return pd.Series(out)
-
-    indexed = df.withColumn("cell", nearest_cell(F.col(vec_col)))
+    indexed = assign_cells(df, centroids, vec_col)
     if reuse:
         indexed = _ivf_cache.put(key, df, indexed)
         _ivf_cents[key] = centroids.copy()

@@ -1719,3 +1719,36 @@ def test_locf_impute_semantics(spark):
         for r in R.locf_impute(df, ["k"], ["ts", "i"], ["v"]).collect()
     }
     assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}
+
+
+def test_ivf_upsert_matches_rebuild_and_moves_cells(spark):
+    """ivf_upsert: deletes leave, inserts/updates get cells from the
+    FROZEN centroids, untouched rows keep their assignment — and an
+    update that moves a vector across the centroid boundary lands in its
+    new cell (maintained index == full reassignment, hand-checked)."""
+    import numpy as np
+
+    from shuttle_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]), (2, [0.1, 0.9]),   # near centroid A
+            (3, [1.0, 0.0]), (4, [0.9, 0.1]),   # near centroid B
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = np.array([[0.0, 1.0], [1.0, 0.0]])
+    indexed = S.assign_cells(base, cents)
+    changes = spark.createDataFrame(
+        [
+            ("U", 2, [0.95, 0.05]),  # moves A -> B
+            ("D", 3, None),
+            ("I", 9, [0.05, 0.95]),  # lands in A
+        ],
+        "op string, vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_upsert(indexed, cents, changes).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 9: 0}
