@@ -5982,6 +5982,70 @@ def q_stream_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "stream_locf_census",
+    "WITH e AS (SELECT user_id, event_id, ts,"
+    "  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value"
+    "  FROM events),"
+    " i AS (SELECT user_id, event_id, ts::TIMESTAMP AS tts, value,"
+    "  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id"
+    "   ORDER BY ts::TIMESTAMP, event_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v"
+    "  FROM e),"
+    " f AS (SELECT * FROM i WHERE tts <="
+    "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 7201 SECOND FROM events))"
+    " SELECT CAST(user_id % 16 AS BIGINT) AS bucket,"
+    "  CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(CASE WHEN value IS NULL AND v IS NOT NULL THEN 1"
+    "   ELSE 0 END) AS BIGINT) AS n_filled,"
+    "  CAST(SUM(CASE WHEN v IS NOT NULL THEN"
+    "   CAST(FLOOR(v * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)"
+    "   AS sum_cents"
+    " FROM f GROUP BY 1",
+    "B24",
+    "B17",
+)
+def q_stream_locf_census(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF imputation as an ACTUAL Structured Streaming replay
+    (streaming.stream_locf: file stream -> watermark -> stateful
+    carry-forward -> AvailableNow), census-matched against the batch
+    window oracle on the finalized subset — stream == batch for the
+    online feature-fill shape.  The carried value is converted to cents
+    at ingestion (floor(v*100+0.5)) and carried as an integer; the
+    oracle carries the double and converts at the end — identical,
+    because floor of the same float64 is deterministic.  Same 1 s guard
+    inside the 2 h watermark as the other stream replays (ms-grain
+    watermark vs µs-grain event time); same deterministic NULL injection
+    as locf_impute_cents (the shipped table has no NULLs)."""
+    from shuttle_spark.streaming import events_stream, run_available_now
+    from shuttle_spark.streaming.core import stream_locf
+
+    ev = load_table(spark, sf, "events")
+    cutoff_us = (
+        ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 7_201_000_000
+    )
+    src = events_stream(spark, sf).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = run_available_now(
+        stream_locf(src),
+        f"slocf_{abs(hash(sf)) % 99999}",
+        shuffle_partitions=4,
+    )
+    return (
+        out.filter(F.col("ts_us") <= cutoff_us)
+        .groupBy((F.col("user_id") % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("was_filled").cast("long")).alias("n_filled"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("sum_cents"),
+        )
+    )
+
+
+@contract(
     "linear_attribution",
     "WITH conv AS (SELECT event_id AS c_id, user_id, ts::TIMESTAMP AS c_ts,"
     "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c_cents FROM events"
@@ -6976,11 +7040,14 @@ def q_stream_mv_maintenance(spark: SparkSession, sf: str) -> DataFrame:
 
 @contract(
     "locf_impute_cents",
-    "WITH i AS (SELECT event_type, value,"
+    "WITH e AS (SELECT event_type, user_id, ts, event_id,"
+    "  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value"
+    "  FROM events),"
+    " i AS (SELECT event_type, value,"
     "  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id"
     "   ORDER BY ts::TIMESTAMP, event_id"
     "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v"
-    "  FROM events)"
+    "  FROM e)"
     " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,"
     "  CAST(SUM(CASE WHEN value IS NULL AND v IS NOT NULL THEN 1"
     "   ELSE 0 END) AS BIGINT) AS n_filled,"
@@ -6999,10 +7066,16 @@ def q_locf_impute(spark: SparkSession, sf: str) -> DataFrame:
     Gated on the per-type census of (rows, filled count, scaled-long sum
     of the imputed column): any wrongly-carried value moves sum_cents.
     One window over one key partition — a single exchange at any scale;
-    leading NULLs stay NULL on both engines."""
+    leading NULLs stay NULL on both engines.  The shipped events table
+    carries NO NULL values at any SF, so both sides inject gaps
+    deterministically (event_id % 5 -> NULL) — without this the
+    contract would gate a vacuous no-op fill."""
+    null_if = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
     ev = load_table(spark, sf, "events").select(
         "user_id", "event_type", "ts", "event_id",
-        "value", F.col("value").alias("__orig"),
+        null_if.alias("value"), null_if.alias("__orig"),
     )
     imp = R.locf_impute(ev, ["user_id"], ["ts", "event_id"], ["value"])
     return imp.groupBy("event_type").agg(
@@ -7301,7 +7374,11 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # the as-of join stays FULL-gated); ivf_upsert_equal (incremental ANN
 # index maintenance proven equal to a frozen-centroid rebuild — the CDC
 # discipline extended to the similarity family) displaces doc_typicality
-# (B30 keeps decontaminate_counts; typicality stays FULL-gated).  All
+# (B30 keeps decontaminate_counts; typicality stays FULL-gated);
+# stream_locf_census (the stateful carry-forward stream twin, proven
+# stream == batch on the finalized subset) displaces
+# hash_split_assignments (pipeline keeps key_skew_census +
+# stratified_split_counts; hash_split stays FULL-gated).  All
 # displaced rows are green in CORRECTNESS_r07.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
@@ -7322,7 +7399,7 @@ _DRIVER_PRIORITY = [
     "ivf_upsert_equal", "key_skew_census",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
     "simhash_replay_equal", "mv_arriving_totals",
-    "ngram_jaccard_prefix", "hash_split_assignments",
+    "ngram_jaccard_prefix", "stream_locf_census",
     "decontaminate_counts",
     "changeset_roundtrip",
 ]

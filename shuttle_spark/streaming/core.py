@@ -1045,3 +1045,120 @@ def stream_mv_maintenance(
     )
     q.awaitTermination()
     return state["totals"]
+
+
+def stream_locf(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``relational.locf_impute``: last-observation-
+    carried-forward as a live stateful operator (applyInPandasWithState)
+    — the online feature-serving shape, where each event's NULL value
+    must be filled with the key's most recent observation AT ARRIVAL.
+
+    Same finalize-at-watermark protocol as ``stream_ewma_deviants``:
+    rows (NULL values included — they're what gets imputed) buffer in
+    state and emit only once the watermark passes them, processed in
+    (ts, event_id) order.  A finalized row's predecessors are finalized
+    with or before it, so the carried value is exactly the batch
+    operator's unbounded-preceding window: stream == batch on the
+    finalized subset, bit-for-bit in the cents domain
+    (floor(value*100 + 0.5), this module's money convention).
+
+    State per key = (last finalized cents, pending rows) — O(1 +
+    in-flight disorder), the smallest state any operator in this module
+    carries.  Emits (key, event_id, ts_us, cents, was_filled): cents
+    NULL only for leading-NULL rows with no prior observation."""
+    NULL_SENT = -(2**62)  # NULL cents inside the long-array state
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("was_filled", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_cents", T.LongType()),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_eid", T.ArrayType(T.LongType())),
+            T.StructField("p_cents", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        last, p_ts, p_eid, p_c = (
+            (state.get[0], [*state.get[1]], [*state.get[2]], [*state.get[3]])
+            if state.exists
+            else (NULL_SENT, [], [], [])
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+                live = us >= wm_us  # same boundary rule as stream_ewma
+                pdf, us = pdf[live], us[live]
+                if not len(pdf):
+                    continue
+                vals = pdf[value_col].values.astype("float64")
+                nan = np.isnan(vals)
+                cents = np.floor(vals * 100 + 0.5).astype("int64")
+                cents[nan] = NULL_SENT
+                p_ts.extend(int(x) for x in us)
+                p_eid.extend(int(x) for x in pdf["event_id"].values)
+                p_c.extend(int(x) for x in cents)
+        out_rows = []
+        if p_ts:
+            order = np.lexsort((np.asarray(p_eid), np.asarray(p_ts)))
+            rem_ts, rem_eid, rem_c = [], [], []
+            for i in order:
+                i = int(i)
+                if p_ts[i] > wm_us:
+                    rem_ts.append(p_ts[i])
+                    rem_eid.append(p_eid[i])
+                    rem_c.append(p_c[i])
+                    continue
+                raw = p_c[i]
+                filled = raw == NULL_SENT and last != NULL_SENT
+                eff = last if raw == NULL_SENT else raw
+                out_rows.append(
+                    (
+                        key[0],
+                        p_eid[i],
+                        p_ts[i],
+                        None if eff == NULL_SENT else eff,
+                        bool(filled),
+                    )
+                )
+                if raw != NULL_SENT:
+                    last = raw
+            p_ts, p_eid, p_c = rem_ts, rem_eid, rem_c
+        state.update((last, p_ts, p_eid, p_c))
+        if p_ts:
+            state.setTimeoutTimestamp(
+                max(min(p_ts) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[key_col, "event_id", "ts_us", "cents", "was_filled"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -565,3 +565,51 @@ def test_stream_mv_maintenance_equals_recompute(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_locf_equals_batch_single_and_multi_batch(spark):
+    """stream_locf == relational.locf_impute (cents domain) on the
+    finalized subset, in both replay shapes — cross-batch carry of the
+    last observation is the multi-batch case's whole point."""
+    from shuttle_spark.operators import relational as R
+    from shuttle_spark.streaming import events_stream_multi
+    from shuttle_spark.streaming.core import stream_locf
+
+    # inject NULLs deterministically: sf0.001's value column has none,
+    # and a fill-free parity run would prove nothing about the carry
+    null_if = lambda c: F.when(  # noqa: E731
+        F.col("event_id") % 5 == 0, F.lit(None)
+    ).otherwise(c)
+    ev = _events(spark).select(
+        "user_id", "ts", "event_id",
+        null_if(F.col("value")).alias("value"),
+        null_if(F.col("value")).alias("__orig"),
+    )
+    batch = R.locf_impute(ev, ["user_id"], ["ts", "event_id"], ["value"])
+    cutoff = _cutoff(spark) - dt.timedelta(seconds=1)
+    want = _rows(
+        batch.filter(F.col("ts") <= F.lit(cutoff)).select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            (F.col("__orig").isNull() & F.col("value").isNotNull()).alias(
+                "was_filled"
+            ),
+        )
+    )
+    cutoff_us = int(
+        _events(spark).agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+        - 7_201_000_000
+    )
+    for src, name in (
+        (events_stream(spark, SF), "slocf_one"),
+        (events_stream_multi(spark, SF, n_files=4), "slocf_multi"),
+    ):
+        src = src.withColumn("value", null_if(F.col("value")))
+        got = _rows(
+            run_available_now(stream_locf(src), name, shuffle_partitions=4)
+            .filter(F.col("ts_us") <= cutoff_us)
+        )
+        assert got == want, f"{name}: stream != batch"
+    assert any(r[-1] for r in want)  # the data exercises real fills
