@@ -102,6 +102,9 @@ QUERIES = [
     # the (deliberately asymmetric) inversion/maintenance proofs.
     "changeset_apply_arriving",
     "mv_arriving_totals",
+    # round-8 late: one window over one key partition — the purest
+    # single-exchange window row on the curve.
+    "locf_impute_cents",
 ]
 
 
