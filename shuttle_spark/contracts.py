@@ -7094,6 +7094,67 @@ def q_locf_impute(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RECON_SIG_SQL = (
+    "('0x' || substr(md5(COALESCE(CAST(o_orderkey AS VARCHAR), '␀')"
+    " || ':' || COALESCE(CAST(o_custkey AS VARCHAR), '␀')"
+    " || ':' || COALESCE(CAST(cents AS VARCHAR), '␀')), 1, 8))::BIGINT"
+)
+_RECON_CENSUS_SQL = (
+    "SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+    " % 64 AS bucket, COUNT(*) AS n_rows,"
+    " CAST(SUM(" + _RECON_SIG_SQL + ") AS BIGINT) AS h_sum FROM {src}"
+    " GROUP BY 1"
+)
+
+
+@contract(
+    "table_recon_counts",
+    "WITH l0 AS (SELECT o_orderkey, o_custkey,"
+    "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),"
+    " r0 AS (SELECT o_orderkey, o_custkey,"
+    "  CASE WHEN o_orderkey % 997 = 0 THEN"
+    "   CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1"
+    "   ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents"
+    "  FROM orders WHERE o_orderkey % 1499 <> 1),"
+    " lc AS (" + _RECON_CENSUS_SQL.format(src="l0") + "),"
+    " rc AS (" + _RECON_CENSUS_SQL.format(src="r0") + ")"
+    " SELECT COALESCE(lc.bucket, rc.bucket) AS bucket,"
+    "  CAST(COALESCE(lc.n_rows, 0) AS BIGINT) AS left_rows,"
+    "  CAST(COALESCE(rc.n_rows, 0) AS BIGINT) AS right_rows,"
+    "  CASE WHEN lc.n_rows IS NULL THEN 'only_right'"
+    "   WHEN rc.n_rows IS NULL THEN 'only_left'"
+    "   WHEN lc.n_rows <> rc.n_rows THEN 'count_diff'"
+    "   WHEN lc.h_sum <> rc.h_sum THEN 'content_diff'"
+    "   ELSE 'match' END AS status"
+    " FROM lc FULL OUTER JOIN rc ON lc.bucket = rc.bucket",
+    "B23",
+    "ext",
+)
+def q_table_recon(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table reconciliation census (integrity.table_recon): orders
+    vs a sparsely-corrupted replica (a handful of +1-cent content flips,
+    a handful of deleted keys) collapse to 64 per-bucket (count,
+    hash-sum) rows — divergence localizes to its buckets while untouched
+    buckets certify ``match``, the migration-verification shape that
+    answers "equal, and if not WHERE" in two scans and zero row
+    movement.  The sparse corruption guarantees all three interesting
+    statuses appear and most buckets stay ``match`` (the realistic
+    almost-equal-replica case)."""
+    from shuttle_spark.operators.integrity import table_recon
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = load_table(spark, sf, "orders")
+    left = base.select("o_orderkey", "o_custkey", cents.alias("cents"))
+    right = base.filter(F.col("o_orderkey") % 1499 != 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 997 == 0, cents + 1)
+        .otherwise(cents)
+        .alias("cents"),
+    )
+    return table_recon(left, right, ["o_orderkey", "o_custkey", "cents"])
+
+
 @contract(
     "ivf_upsert_equal",
     "SELECT TRUE AS ok, TRUE AS nonempty",

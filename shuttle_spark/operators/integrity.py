@@ -20,6 +20,8 @@ are also exposed for intra-engine use (they ARE the reference's semantics).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -82,3 +84,64 @@ def verify(df: DataFrame, col: Column, expected: int) -> int:
     if actual != expected:
         raise ChecksumMismatch(f"checksum mismatch: expected {expected}, got {actual}")
     return actual
+
+
+def table_recon(
+    left: DataFrame,
+    right: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Cross-table reconciliation census — the scalable migration /
+    replication verification pattern: both tables collapse to ``n_buckets``
+    (count, hash-sum) rows keyed by a hash bucket of the first column, so
+    divergence LOCALIZES without ever moving full rows.  A mismatched
+    bucket is a 1/n_buckets-sized drill-down target (re-run recon on that
+    bucket's rows with more buckets, or diff it directly); matching
+    checksums certify the bucket's content equal with 32-bit-per-row
+    strength.  At 100 TB this is two scans + two n_buckets-row aggregates
+    + one tiny join — the only way to answer "are these two copies equal,
+    and if not WHERE" without a full-table shuffle join.
+
+    ``cols[0]`` is the bucketing identity (the key); every column in
+    ``cols`` enters the row signature via an explicit NULL sentinel (a
+    bare concat would NULL-propagate and silently drop rows from the
+    checksum).  Float columns should be passed pre-quantized (the B6
+    scaled-long discipline) — raw double-to-string rendering differs
+    between engines.  Statuses: ``match``, ``content_diff`` (same count,
+    different content), ``count_diff``, ``only_left``/``only_right``
+    (bucket present on one side — only possible when a side is empty or
+    tiny).  DuckDB twin of the signature/bucket arithmetic in the
+    table_recon_counts contract."""
+    def census(df: DataFrame, side: str) -> DataFrame:
+        parts = []
+        for c in cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("␀")))
+            parts.append(F.lit(":"))
+        sig = F.concat(*parts[:-1])
+        bucket = F.pmod(
+            md5_prefix32(F.col(cols[0]).cast("string")), F.lit(n_buckets)
+        )
+        return (
+            df.select(bucket.alias("bucket"), md5_prefix32(sig).alias("__h"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias(f"{side}_rows"),
+                F.sum("__h").alias(f"{side}_sum"),
+            )
+        )
+    l_c, r_c = census(left, "left"), census(right, "right")
+    j = l_c.join(r_c, "bucket", "full_outer")
+    status = (
+        F.when(F.col("left_rows").isNull(), F.lit("only_right"))
+        .when(F.col("right_rows").isNull(), F.lit("only_left"))
+        .when(F.col("left_rows") != F.col("right_rows"), F.lit("count_diff"))
+        .when(F.col("left_sum") != F.col("right_sum"), F.lit("content_diff"))
+        .otherwise(F.lit("match"))
+    )
+    return j.select(
+        "bucket",
+        F.coalesce("left_rows", F.lit(0)).alias("left_rows"),
+        F.coalesce("right_rows", F.lit(0)).alias("right_rows"),
+        status.alias("status"),
+    )

