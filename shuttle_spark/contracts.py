@@ -6046,6 +6046,33 @@ def q_stream_locf_census(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "decayed_engagement",
+    "WITH r AS (SELECT MAX(epoch_us(ts::TIMESTAMP)) AS ref FROM events)"
+    " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
+    "  CAST(SUM((CAST(ROUND(value * 100) AS BIGINT) * 1000000) //"
+    "   (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST("
+    "    (r.ref - epoch_us(ts::TIMESTAMP)) // 21600000000, 0), 62)"
+    "    AS INT))) AS BIGINT) AS score_microcents"
+    " FROM events, r WHERE value IS NOT NULL GROUP BY 1",
+    "B6",
+    "ext",
+)
+def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted engagement (relational.decayed_group_score): per
+    event type, each event contributes value / 2^(age in 6 h half-lives)
+    relative to the table's newest timestamp — the time-decay ranking
+    signal, in EXACT integer arithmetic: micro-cent terms via integer
+    shift + floor-division, so the sum is association-free and
+    bit-stable (no libm POWER, whose last-ulp differs across engines).
+    One map-side-combined aggregate, one exchange."""
+    ev = load_table(spark, sf, "events")
+    ref_us = int(ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+    return R.decayed_group_score(
+        ev, ["event_type"], ref_us, half_life_hours=6
+    )
+
+
+@contract(
     "linear_attribution",
     "WITH conv AS (SELECT event_id AS c_id, user_id, ts::TIMESTAMP AS c_ts,"
     "  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c_cents FROM events"

@@ -1736,3 +1736,49 @@ def locf_impute(
     for c in cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def decayed_group_score(
+    df: DataFrame,
+    keys: Sequence[str],
+    ref_epoch_us: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_hours: int = 1,
+) -> DataFrame:
+    """Recency-weighted engagement score per key: each event contributes
+    ``value / 2^(age / half_life)`` relative to ``ref_ts`` — the standard
+    time-decay ranking signal (feed ranking, churn features, trending
+    detection), stated so BOTH engines compute it bit-identically.
+
+    Exactness discipline: the weight exponent is the INTEGER number of
+    elapsed half-lives (floored, capped at 62), and each row's term is
+    ``(cents * 10^6) DIV 2^k`` — integer multiply, integer shift,
+    integer floor-division, all exact in any engine — so the per-key SUM
+    is an exact integer in micro-cents: association-free, bit-stable,
+    no float POWER() in sight (libm pow differs across engines in the
+    last ulp; integer shifts don't).  Rows newer than ``ref_ts`` clamp
+    to age 0 rather than amplifying.
+
+    Plan: ONE map-side-combined hash aggregate — a single exchange of
+    the collapsed per-key relation; the decay arithmetic rides the scan
+    at whole-stage-codegen speed."""
+    keys = list(keys)
+    # one SQL string, one expression tree (the py4j round-trip lesson);
+    # all-integer: epoch-µs age, truncating DIV (== floor after the
+    # clamp), shift, floor-division — no float POWER anywhere
+    hl_us = 3_600_000_000 * half_life_hours
+    term = F.expr(
+        f"(CAST(ROUND({value_col} * 100) AS BIGINT) * 1000000) DIV "
+        f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(LEAST(GREATEST("
+        f"(CAST({int(ref_epoch_us)} AS BIGINT) - unix_micros({ts_col}))"
+        f" DIV {hl_us}, 0), 62) AS INT))"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(term).alias("score_microcents"),
+        )
+    )

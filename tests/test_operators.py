@@ -1777,3 +1777,32 @@ def test_table_recon_statuses_and_null_sentinel(spark):
     empty = spark.createDataFrame([], "k long, v long")
     rows = I.table_recon(left, empty, ["k", "v"], n_buckets=4).collect()
     assert {r["status"] for r in rows} == {"only_left"}
+
+
+def test_decayed_group_score_exact_halving(spark):
+    """Hand-checked decay: a 1.00-value event contributes 10^8 microcents
+    at age 0, half that one half-life later, zero effect from clamping a
+    future-dated row below age 0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ref_us = int(t0.timestamp() * 1_000_000)
+    rows = [
+        ("a", t0, 1.0),                               # age 0: 100000000
+        ("a", t0 - dt.timedelta(hours=1), 1.0),       # 1 hl:   50000000
+        ("a", t0 - dt.timedelta(hours=2), 1.0),       # 2 hl:   25000000
+        ("b", t0 + dt.timedelta(hours=5), 2.0),       # future -> age 0
+        ("c", t0 - dt.timedelta(hours=100), 4.0),     # cap 62: 0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["k"]: (r["n_events"], r["score_microcents"])
+        for r in R.decayed_group_score(
+            df, ["k"], ref_us, "ts", "v", half_life_hours=1
+        ).collect()
+    }
+    assert got == {
+        "a": (3, 100_000_000 + 50_000_000 + 25_000_000),
+        "b": (1, 200_000_000),
+        "c": (1, 0),
+    }

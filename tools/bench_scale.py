@@ -105,6 +105,7 @@ QUERIES = [
     # round-8 late: one window over one key partition — the purest
     # single-exchange window row on the curve.
     "locf_impute_cents",
+    "decayed_engagement",
 ]
 
 
