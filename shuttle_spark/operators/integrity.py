@@ -111,8 +111,9 @@ def table_recon(
     between engines.  Statuses: ``match``, ``content_diff`` (same count,
     different content), ``count_diff``, ``only_left``/``only_right``
     (bucket present on one side — only possible when a side is empty or
-    tiny).  DuckDB twin of the signature/bucket arithmetic in the
-    table_recon_counts contract."""
+    tiny).  Two EMPTY tables produce zero rows — the vacuous-equality
+    census, not an error.  DuckDB twin of the signature/bucket
+    arithmetic in the table_recon_counts contract."""
     def census(df: DataFrame, side: str) -> DataFrame:
         parts = []
         for c in cols:
