@@ -7183,6 +7183,89 @@ def q_table_recon(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "table_recon_drill_rows",
+    "WITH l0 AS (SELECT o_orderkey, o_custkey,"
+    "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),"
+    " r0 AS (SELECT o_orderkey, o_custkey,"
+    "  CASE WHEN o_orderkey % 997 = 0 THEN"
+    "   CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1"
+    "   ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents"
+    "  FROM orders WHERE o_orderkey % 1499 <> 1),"
+    " lc AS (" + _RECON_CENSUS_SQL.format(src="l0") + "),"
+    " rc AS (" + _RECON_CENSUS_SQL.format(src="r0") + "),"
+    " bad AS (SELECT COALESCE(lc.bucket, rc.bucket) AS bucket"
+    "  FROM lc FULL OUTER JOIN rc ON lc.bucket = rc.bucket"
+    "  WHERE lc.n_rows IS NULL OR rc.n_rows IS NULL"
+    "   OR lc.n_rows <> rc.n_rows OR lc.h_sum <> rc.h_sum),"
+    " lf AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),"
+    "   1, 8))::BIGINT % 64 AS bucket, * FROM l0"
+    "  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+    "   ::BIGINT % 64 IN (SELECT bucket FROM bad)),"
+    " rf AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),"
+    "   1, 8))::BIGINT % 64 AS bucket, * FROM r0"
+    "  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+    "   ::BIGINT % 64 IN (SELECT bucket FROM bad)),"
+    " d AS (SELECT 'only_left' AS side, *"
+    "   FROM (SELECT * FROM lf EXCEPT ALL SELECT * FROM rf)"
+    "  UNION ALL SELECT 'only_right', *"
+    "   FROM (SELECT * FROM rf EXCEPT ALL SELECT * FROM lf))"
+    " SELECT side, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    "  CAST(SUM(('0x' || substr(md5(CAST(bucket AS VARCHAR) || ':' ||"
+    "   CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)"
+    "   || ':' || CAST(cents AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)"
+    "   AS chk"
+    " FROM d GROUP BY 1",
+    "B23",
+    "ext",
+)
+def q_table_recon_drill(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL two-phase reconciliation workflow
+    (integrity.table_recon -> table_recon_drill): phase 1's census names
+    the divergent buckets (a bounded driver list — it IS the recon
+    report), phase 2 fetches the actual differing row occurrences from
+    just those buckets (the bucket predicate is a pure key function, so
+    it pushes into both scans), and the gate checksums them per side.
+    An updated row surfaces once per side (both versions); deleted keys
+    surface only_left — exactly the repair-job input.  The oracle
+    re-derives the suspect buckets itself in SQL, so the hash can only
+    match if BOTH phases agree end-to-end."""
+    from shuttle_spark.operators.integrity import (
+        md5_prefix32,
+        table_recon,
+        table_recon_drill,
+    )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = load_table(spark, sf, "orders")
+    left = base.select("o_orderkey", "o_custkey", cents.alias("cents"))
+    right = base.filter(F.col("o_orderkey") % 1499 != 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 997 == 0, cents + 1)
+        .otherwise(cents)
+        .alias("cents"),
+    )
+    cols = ["o_orderkey", "o_custkey", "cents"]
+    census = table_recon(left, right, cols)
+    bad = [
+        r["bucket"]
+        for r in census.filter(F.col("status") != "match").collect()
+    ]
+    drilled = table_recon_drill(left, right, cols, bad)
+    term = md5_prefix32(
+        F.concat(
+            F.col("bucket").cast("string"), F.lit(":"),
+            F.col("o_orderkey").cast("string"), F.lit(":"),
+            F.col("o_custkey").cast("string"), F.lit(":"),
+            F.col("cents").cast("string"),
+        )
+    )
+    return drilled.groupBy("side").agg(
+        F.count("*").alias("n_rows"), F.sum(term).alias("chk")
+    )
+
+
+@contract(
     "ivf_upsert_equal",
     "SELECT TRUE AS ok, TRUE AS nonempty",
     "B29",

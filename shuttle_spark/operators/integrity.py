@@ -146,3 +146,38 @@ def table_recon(
         F.coalesce("right_rows", F.lit(0)).alias("right_rows"),
         status.alias("status"),
     )
+
+
+def table_recon_drill(
+    left: DataFrame,
+    right: DataFrame,
+    cols: Sequence[str],
+    buckets: Sequence[int],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Phase 2 of the reconciliation workflow: fetch the ACTUAL differing
+    rows for the buckets ``table_recon`` flagged.  Both sides filter to
+    the suspect buckets FIRST (1/n_buckets of the data per bucket — this
+    is what makes drill-down cheap at 100 TB: the bucket predicate is a
+    pure function of the key, so it pushes into the scan), then the
+    multiset difference runs each way on the full row signature.
+    Returns one row per divergent row occurrence with ``side`` =
+    'only_left' / 'only_right'; a row UPDATED between the copies appears
+    once on each side (its two versions), which is exactly what a repair
+    job needs.  Multiset semantics (exceptAll) so duplicate-row count
+    drift is visible, matching the census' count-based statuses."""
+    bucket_list = [int(b) for b in buckets]
+
+    def prep(df: DataFrame) -> DataFrame:
+        bucket = F.pmod(
+            md5_prefix32(F.col(cols[0]).cast("string")), F.lit(n_buckets)
+        )
+        return (
+            df.withColumn("bucket", bucket)
+            .filter(F.col("bucket").isin(bucket_list))
+            .select("bucket", *cols)
+        )
+    l_p, r_p = prep(left), prep(right)
+    only_l = l_p.exceptAll(r_p).withColumn("side", F.lit("only_left"))
+    only_r = r_p.exceptAll(l_p).withColumn("side", F.lit("only_right"))
+    return only_l.unionByName(only_r)

@@ -1631,3 +1631,91 @@ def test_fuzz_changeset_apply_arriving(spark, duck, u_mod, d_mod, i_mod):
         f"   1, 8))::BIGINT) AS BIGINT) AS chk FROM merged"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 38: exact time-decay engagement — randomized half-life and key
+# ---------------------------------------------------------------------------
+
+@given(
+    key=st.sampled_from(["event_type", "user_id"]),
+    half_life=st.integers(1, 48),
+)
+@FUZZ
+def test_fuzz_decayed_engagement(spark, duck, key, half_life):
+    from shuttle_spark.operators import relational as R
+
+    ev = load_table(spark, SF, "events")
+    ref_us = int(ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+    sdf = R.decayed_group_score(
+        ev, [key], ref_us, half_life_hours=half_life
+    )
+    hl_us = 3_600_000_000 * half_life
+    sql = (
+        f"SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        f" CAST(SUM((CAST(ROUND(value * 100) AS BIGINT) * 1000000) //"
+        f"  (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST("
+        f"   ({ref_us} - epoch_us(ts::TIMESTAMP)) // {hl_us}, 0), 62)"
+        f"   AS INT))) AS BIGINT) AS score_microcents"
+        f" FROM events WHERE value IS NOT NULL GROUP BY 1"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 39: reconciliation census — randomized corruption moduli + buckets
+# ---------------------------------------------------------------------------
+
+@given(
+    flip_mod=st.integers(5, 400),
+    drop_mod=st.integers(5, 400),
+    n_buckets=st.sampled_from([4, 16, 64]),
+)
+@FUZZ
+def test_fuzz_table_recon(spark, duck, flip_mod, drop_mod, n_buckets):
+    from shuttle_spark.operators.integrity import table_recon
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = load_table(spark, SF, "orders")
+    left = base.select("o_orderkey", "o_custkey", cents.alias("cents"))
+    right = base.filter(F.col("o_orderkey") % drop_mod != 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % flip_mod == 0, cents + 1)
+        .otherwise(cents)
+        .alias("cents"),
+    )
+    sdf = table_recon(
+        left, right, ["o_orderkey", "o_custkey", "cents"], n_buckets
+    )
+    sig = (
+        "('0x' || substr(md5(COALESCE(CAST(o_orderkey AS VARCHAR), '␀')"
+        " || ':' || COALESCE(CAST(o_custkey AS VARCHAR), '␀')"
+        " || ':' || COALESCE(CAST(cents AS VARCHAR), '␀')), 1, 8))::BIGINT"
+    )
+    census = (
+        "SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {n_buckets} AS bucket, COUNT(*) AS n_rows,"
+        f" CAST(SUM({sig}) AS BIGINT) AS h_sum FROM {{src}} GROUP BY 1"
+    )
+    sql = (
+        "WITH l0 AS (SELECT o_orderkey, o_custkey,"
+        " CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),"
+        " r0 AS (SELECT o_orderkey, o_custkey,"
+        f" CASE WHEN o_orderkey % {flip_mod} = 0 THEN"
+        "  CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1"
+        "  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents"
+        f" FROM orders WHERE o_orderkey % {drop_mod} <> 1),"
+        " lc AS (" + census.format(src="l0") + "),"
+        " rc AS (" + census.format(src="r0") + ")"
+        " SELECT COALESCE(lc.bucket, rc.bucket) AS bucket,"
+        " CAST(COALESCE(lc.n_rows, 0) AS BIGINT) AS left_rows,"
+        " CAST(COALESCE(rc.n_rows, 0) AS BIGINT) AS right_rows,"
+        " CASE WHEN lc.n_rows IS NULL THEN 'only_right'"
+        "  WHEN rc.n_rows IS NULL THEN 'only_left'"
+        "  WHEN lc.n_rows <> rc.n_rows THEN 'count_diff'"
+        "  WHEN lc.h_sum <> rc.h_sum THEN 'content_diff'"
+        "  ELSE 'match' END AS status"
+        " FROM lc FULL OUTER JOIN rc ON lc.bucket = rc.bucket"
+    )
+    _check(sdf, duck, sql)

@@ -1806,3 +1806,26 @@ def test_decayed_group_score_exact_halving(spark):
         "b": (1, 200_000_000),
         "c": (1, 0),
     }
+
+
+def test_table_recon_drill_fetches_exact_divergence(spark):
+    """Drill-down returns exactly the divergent row occurrences of the
+    flagged buckets: an updated row appears once per side, a deleted row
+    only_left, untouched rows never."""
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (2, 21), (4, 40)], "k long, v long"  # 2 updated, 3 gone
+    )
+    census = I.table_recon(left, right, ["k", "v"], n_buckets=4)
+    bad = [r["bucket"] for r in census.collect() if r["status"] != "match"]
+    rows = I.table_recon_drill(
+        left, right, ["k", "v"], bad, n_buckets=4
+    ).collect()
+    got = sorted((r["side"], r["k"], r["v"]) for r in rows)
+    assert got == [
+        ("only_left", 2, 20),
+        ("only_left", 3, 30),
+        ("only_right", 2, 21),
+    ]
