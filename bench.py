@@ -46,35 +46,14 @@ SKIP: set[str] = set()
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    # Shuffle partitions sized to the benchmark's data, not the test
-    # default: partition count is a per-deployment dial (the session
-    # docstring's "at 100 TB you raise initialPartitionNum, not rewrite
-    # queries" — and at 17 MB you lower it).  At sf0.1 every shuffled
-    # relation is well under one advisory partition per core; 8 reduce
-    # partitions measured ~23% off the comparable-subset wall vs 32 (fewer
-    # per-stage tasks for the same plans — pure scheduling, zero plan
-    # change; AQE still splits skew).  Scan parallelism is governed by
-    # file splits, not this.  SPARK_GRAFT_SHUFFLE_PARTITIONS overrides.
-    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
-    # AQE off at bench SF (round-8, VERDICT r7 item 5): profiling showed
-    # exec wall ~= Spark jobs x ~0.13 s, and AQE materializes every
-    # exchange as its own job — pure scheduling rounds with nothing to
-    # re-plan at sf0.1/8-partitions (no skew worth splitting, nothing to
-    # coalesce).  Measured: a 36-query representative slice runs 16.4 s
-    # with AQE on vs 12.7 s off (-22%), identical results.  This is a
-    # per-deployment dial exactly like shuffle=8 above: the engine
-    # default (session.py) keeps AQE ON for real scale, where runtime
-    # re-planning is worth a scheduling round-trip per stage; contracts
-    # that ASSERT AQE behavior (skew_join_agg) force it back on in their
-    # own scoped conf.  SPARK_GRAFT_AQE=true restores it here.
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
-    spark = get_session(
-        "shuttle-bench",
-        **{
-            "spark.sql.shuffle.partitions": shuffle,
-            "spark.sql.adaptive.enabled": aqe,
-        },
-    )
+    # Round 9 (VERDICT r8 item 1): the small-input dials (8 reduce
+    # partitions, AQE off at MB-scale SF) moved INTO the engine —
+    # session.profile_for_corpus sizes the session to the corpus it will
+    # read, so the config this benchmark measures IS the config
+    # get_session(data_dir=...) ships.  No bench-local conf here;
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_GRAFT_AQE env dials are
+    # honored by get_session itself.
+    spark = get_session("shuttle-bench", data_dir=sf_dir)
 
     # Warm-up: JVM, parquet footer caches, Arrow lanes.
     REGISTRY["agg_tpch_q1"].build(spark, sf_dir).collect()

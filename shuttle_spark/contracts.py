@@ -6049,10 +6049,10 @@ def q_stream_locf_census(spark: SparkSession, sf: str) -> DataFrame:
     "decayed_engagement",
     "WITH r AS (SELECT MAX(epoch_us(ts::TIMESTAMP)) AS ref FROM events)"
     " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
-    "  CAST(SUM((CAST(ROUND(value * 100) AS BIGINT) * 1000000) //"
-    "   (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST("
+    "  CAST(SUM((CAST(ROUND(value * 100) AS BIGINT) * 1000000) >>"
+    "   CAST(LEAST(GREATEST("
     "    (r.ref - epoch_us(ts::TIMESTAMP)) // 21600000000, 0), 62)"
-    "    AS INT))) AS BIGINT) AS score_microcents"
+    "    AS INT)) AS BIGINT) AS score_microcents"
     " FROM events, r WHERE value IS NOT NULL GROUP BY 1",
     "B6",
     "ext",
@@ -6061,9 +6061,10 @@ def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
     """Recency-weighted engagement (relational.decayed_group_score): per
     event type, each event contributes value / 2^(age in 6 h half-lives)
     relative to the table's newest timestamp — the time-decay ranking
-    signal, in EXACT integer arithmetic: micro-cent terms via integer
-    shift + floor-division, so the sum is association-free and
-    bit-stable (no libm POWER, whose last-ulp differs across engines).
+    signal, in EXACT integer arithmetic: micro-cent terms via an
+    arithmetic right-shift (true floor-by-2^k, exact for negative
+    refund values too), so the sum is association-free and bit-stable
+    (no libm POWER, whose last-ulp differs across engines).
     One map-side-combined aggregate, one exchange."""
     ev = load_table(spark, sf, "events")
     ref_us = int(ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0])
@@ -7551,6 +7552,19 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # hash_split_assignments (pipeline keeps key_skew_census +
 # stratified_split_counts; hash_split stays FULL-gated).  All
 # displaced rows are green in CORRECTNESS_r07.
+# Round-9 rotation (VERDICT r8 item 2): the three round-8 post-close
+# contracts enter the gate — table_recon_counts + table_recon_drill_rows
+# (the cross-table reconciliation census and its bucket-localized
+# drill-down, the 100 TB migration-verification shape) and
+# decayed_engagement (exact integer time-decay scores, now a true
+# arithmetic-shift floor valid for negative refund cents too).
+# Displaced, each green in CORRECTNESS_r08 and staying FULL-gated:
+# changeset_roundtrip and mv_incremental_totals (the CDC family keeps
+# snapshot_diff_counts + changeset_apply_arriving + mv_arriving_totals +
+# stream_mv_maintenance — four driver rows; the inversion-roundtrip and
+# snapshot-derived-MV cells stay in tests/FULL), and mad_outliers (B17
+# keeps rolling_window_features + ohlc_bars + merge_intervals_user +
+# locf_impute_cents + stream twins).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -7562,8 +7576,8 @@ _DRIVER_PRIORITY = [
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
     "snapshot_diff_counts", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "checksum_lineitem", "mad_outliers", "ab_test_summary",
-    "mv_incremental_totals", "stratified_split_counts",
+    "checksum_lineitem", "table_recon_counts", "ab_test_summary",
+    "table_recon_drill_rows", "stratified_split_counts",
     "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",
     "sessionize", "stream_ohlc_bars",
@@ -7572,7 +7586,7 @@ _DRIVER_PRIORITY = [
     "simhash_replay_equal", "mv_arriving_totals",
     "ngram_jaccard_prefix", "stream_locf_census",
     "decontaminate_counts",
-    "changeset_roundtrip",
+    "decayed_engagement",
 ]
 
 

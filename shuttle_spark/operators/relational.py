@@ -1753,24 +1753,28 @@ def decayed_group_score(
 
     Exactness discipline: the weight exponent is the INTEGER number of
     elapsed half-lives (floored, capped at 62), and each row's term is
-    ``(cents * 10^6) DIV 2^k`` — integer multiply, integer shift,
-    integer floor-division, all exact in any engine — so the per-key SUM
-    is an exact integer in micro-cents: association-free, bit-stable,
-    no float POWER() in sight (libm pow differs across engines in the
-    last ulp; integer shifts don't).  Rows newer than ``ref_ts`` clamp
-    to age 0 rather than amplifying.
+    ``(cents * 10^6) >> k`` — integer multiply then ARITHMETIC shift
+    right, which is true floor-division by 2^k for negative values too
+    (a ``DIV`` would truncate toward zero and diverge from the decayed
+    value on refunds/chargebacks), so the per-key SUM is an exact
+    integer in micro-cents: association-free, bit-stable, no float
+    POWER() in sight (libm pow differs across engines in the last ulp;
+    integer shifts don't).  Rows newer than ``ref_ts`` clamp to age 0
+    rather than amplifying.  DuckDB's ``>>`` on BIGINT is the same
+    arithmetic shift, so the oracle mirrors the identical bit pattern.
 
     Plan: ONE map-side-combined hash aggregate — a single exchange of
     the collapsed per-key relation; the decay arithmetic rides the scan
     at whole-stage-codegen speed."""
     keys = list(keys)
     # one SQL string, one expression tree (the py4j round-trip lesson);
-    # all-integer: epoch-µs age, truncating DIV (== floor after the
-    # clamp), shift, floor-division — no float POWER anywhere
+    # all-integer: epoch-µs age, truncating DIV for the exponent (==
+    # floor after the GREATEST clamp), then SHIFTRIGHT — Java's
+    # arithmetic >>, i.e. exact floor-by-2^k even for negative cents
     hl_us = 3_600_000_000 * half_life_hours
     term = F.expr(
-        f"(CAST(ROUND({value_col} * 100) AS BIGINT) * 1000000) DIV "
-        f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(LEAST(GREATEST("
+        f"SHIFTRIGHT(CAST(ROUND({value_col} * 100) AS BIGINT) * 1000000, "
+        f"CAST(LEAST(GREATEST("
         f"(CAST({int(ref_epoch_us)} AS BIGINT) - unix_micros({ts_col}))"
         f" DIV {hl_us}, 0), 62) AS INT))"
     )

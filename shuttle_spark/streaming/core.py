@@ -1109,7 +1109,12 @@ def stream_locf(
                     continue
                 vals = pdf[value_col].values.astype("float64")
                 nan = np.isnan(vals)
-                cents = np.floor(vals * 100 + 0.5).astype("int64")
+                # mask BEFORE the int64 cast: NaN->int is undefined-result
+                # territory and numpy emits a RuntimeWarning per micro-batch
+                # (the sentinel overwrite below made it benign but noisy)
+                cents = np.where(nan, 0.0, np.floor(vals * 100 + 0.5)).astype(
+                    "int64"
+                )
                 cents[nan] = NULL_SENT
                 p_ts.extend(int(x) for x in us)
                 p_eid.extend(int(x) for x in pdf["event_id"].values)

@@ -1640,24 +1640,36 @@ def test_fuzz_changeset_apply_arriving(spark, duck, u_mod, d_mod, i_mod):
 @given(
     key=st.sampled_from(["event_type", "user_id"]),
     half_life=st.integers(1, 48),
+    negate_mod=st.integers(2, 50),
 )
 @FUZZ
-def test_fuzz_decayed_engagement(spark, duck, key, half_life):
+def test_fuzz_decayed_engagement(spark, duck, key, half_life, negate_mod):
     from shuttle_spark.operators import relational as R
 
-    ev = load_table(spark, SF, "events")
+    # events.value is all-positive in the fixtures; inject deterministic
+    # sign flips (refund/chargeback shape) on BOTH sides so the
+    # arithmetic-shift floor is exercised on negative cents, where a
+    # truncating DIV would diverge.
+    ev = load_table(spark, SF, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % negate_mod == 0, -F.col("value"))
+        .otherwise(F.col("value")),
+    )
     ref_us = int(ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0])
     sdf = R.decayed_group_score(
         ev, [key], ref_us, half_life_hours=half_life
     )
     hl_us = 3_600_000_000 * half_life
     sql = (
-        f"SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_events,"
-        f" CAST(SUM((CAST(ROUND(value * 100) AS BIGINT) * 1000000) //"
-        f"  (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST("
+        f"WITH ev AS (SELECT * REPLACE ("
+        f"  CASE WHEN event_id % {negate_mod} = 0 THEN -value"
+        f"   ELSE value END AS value) FROM events)"
+        f" SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        f" CAST(SUM((CAST(ROUND(value * 100) AS BIGINT) * 1000000) >>"
+        f"  CAST(LEAST(GREATEST("
         f"   ({ref_us} - epoch_us(ts::TIMESTAMP)) // {hl_us}, 0), 62)"
-        f"   AS INT))) AS BIGINT) AS score_microcents"
-        f" FROM events WHERE value IS NOT NULL GROUP BY 1"
+        f"   AS INT)) AS BIGINT) AS score_microcents"
+        f" FROM ev WHERE value IS NOT NULL GROUP BY 1"
     )
     _check(sdf, duck, sql)
 

@@ -97,20 +97,10 @@ def main() -> None:
 
     from shuttle_spark import get_session
 
-    # same session convention as bench.py: 8 reduce partitions and AQE
-    # off at sf0.1 (both per-deployment dials — see bench.py's rationale;
-    # AQE's per-exchange stage jobs are pure scheduling rounds at this SF,
-    # measured -22% on a 36-query slice; session.py keeps AQE on for the
-    # engine's real-scale default).
-    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
-    aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
-    spark = get_session(
-        "bench-ratio",
-        **{
-            "spark.sql.shuffle.partitions": shuffle,
-            "spark.sql.adaptive.enabled": aqe,
-        },
-    )
+    # Round 9 (VERDICT r8 item 1): no bench-local conf — the size-aware
+    # profile lives in session.profile_for_corpus, so this harness
+    # measures exactly what get_session(data_dir=...) ships.
+    spark = get_session("bench-ratio", data_dir=sf_dir)
     con = duckdb_views(sf_dir)
 
     comp = [c for c in REGISTRY.values() if _comparable(c)]
