@@ -7266,6 +7266,102 @@ def q_table_recon_drill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _profile_sql(src: str, cols: list[str]) -> str:
+    """DuckDB twin of integrity.column_profile (exact-distinct path)."""
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(MIN({c}) AS VARCHAR) AS min_str,"
+        f" CAST(MAX({c}) AS VARCHAR) AS max_str FROM {src}"
+        for c in cols
+    )
+
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+# stats-drifted replica for the drift census: same row count, lang NULLed
+# on a sparse modulus (null_drift), n_chars shifted on another
+# (distinct/range drift), doc_id and source untouched (match)
+_DRIFT_R0 = (
+    "SELECT doc_id,"
+    " CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang, source,"
+    " CASE WHEN doc_id % 89 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars"
+    " FROM documents"
+)
+
+
+@contract(
+    "column_profile_docs",
+    _profile_sql("documents", _PROFILE_COLS),
+    "B23",
+    "ext",
+)
+def q_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column data-quality census (integrity.column_profile): row /
+    NULL / distinct counts + string-rendered min/max for every profiled
+    column, ALL columns riding ONE aggregate over ONE scan (stack
+    unpivot of the collapsed row) — the validation pass a training
+    pipeline runs before and after every big transform.  Exact-distinct
+    path here (COUNT DISTINCT via one scan + Expand(4), the
+    oracle-comparable mode); the scale default is the HLL path with no
+    plan expansion."""
+    from shuttle_spark.operators.integrity import column_profile
+
+    docs = load_table(spark, sf, "documents")
+    return column_profile(docs, _PROFILE_COLS, exact_distinct=True)
+
+
+@contract(
+    "profile_drift_census",
+    "WITH r0 AS (" + _DRIFT_R0 + "),"
+    " lp AS (" + _profile_sql("documents", _PROFILE_COLS) + "),"
+    " rp AS (" + _profile_sql("r0", _PROFILE_COLS) + ")"
+    " SELECT lp.col_name,"
+    "  lp.n_rows AS l_n_rows, lp.n_null AS l_n_null,"
+    "  lp.n_distinct AS l_n_distinct,"
+    "  lp.min_str AS l_min_str, lp.max_str AS l_max_str,"
+    "  rp.n_rows AS r_n_rows, rp.n_null AS r_n_null,"
+    "  rp.n_distinct AS r_n_distinct,"
+    "  rp.min_str AS r_min_str, rp.max_str AS r_max_str,"
+    "  CASE WHEN rp.n_rows IS NULL THEN 'only_left'"
+    "   WHEN lp.n_rows IS NULL THEN 'only_right'"
+    "   WHEN lp.n_rows <> rp.n_rows THEN 'row_count_drift'"
+    "   WHEN lp.n_null <> rp.n_null THEN 'null_drift'"
+    "   WHEN lp.n_distinct <> rp.n_distinct THEN 'distinct_drift'"
+    "   WHEN lp.min_str IS DISTINCT FROM rp.min_str"
+    "    OR lp.max_str IS DISTINCT FROM rp.max_str THEN 'range_drift'"
+    "   ELSE 'match' END AS status"
+    " FROM lp FULL OUTER JOIN rp ON lp.col_name = rp.col_name",
+    "B23",
+    "ext",
+)
+def q_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Stats-drift census between snapshots (integrity.profile_diff):
+    documents vs a replica with sparse NULL injection on ``lang`` and a
+    +1 shift on some ``n_chars`` — two single-pass censuses joined on
+    column name, statuses classified in priority order
+    (only_left/right, row_count_drift, null_drift, distinct_drift,
+    range_drift, match).  The cheap "did anything move?" gate that
+    decides whether table_recon's content pass is even needed; at
+    100 TB it is two scans and a len(cols)-row join, zero row
+    movement."""
+    from shuttle_spark.operators.integrity import profile_diff
+
+    docs = load_table(spark, sf, "documents")
+    right = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % 89 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return profile_diff(docs, right, _PROFILE_COLS, exact_distinct=True)
+
+
 @contract(
     "ivf_upsert_equal",
     "SELECT TRUE AS ok, TRUE AS nonempty",
@@ -7565,6 +7661,17 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # snapshot-derived-MV cells stay in tests/FULL), and mad_outliers (B17
 # keeps rolling_window_features + ohlc_bars + merge_intervals_user +
 # locf_impute_cents + stream twins).
+#
+# Round-9 same-round rotation: column_profile_docs and
+# profile_drift_census (the one-pass per-column data-quality census and
+# its cross-snapshot drift classifier — the stats half of the
+# reconciliation story, new this round) displace snapshot_diff_counts
+# (the CDC family keeps changeset_apply_arriving + mv_arriving_totals +
+# stream_mv_maintenance — three driver rows; the snapshot-derived diff
+# stays FULL-gated) and key_skew_census (the pipeline family keeps
+# stratified_split_counts + decontaminate_counts; the join families keep
+# join_3way_agg + anti_join_count + runtime_filter_join +
+# broadcast_join_agg).  Both displaced rows are green in CORRECTNESS_r08.
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -7575,13 +7682,13 @@ _DRIVER_PRIORITY = [
     "rolling_window_features", "global_rank_distributed",
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
-    "snapshot_diff_counts", "semantic_dedup_kept", "hll_sketch_merge_ok",
+    "column_profile_docs", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "checksum_lineitem", "table_recon_counts", "ab_test_summary",
     "table_recon_drill_rows", "stratified_split_counts",
     "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",
     "sessionize", "stream_ohlc_bars",
-    "ivf_upsert_equal", "key_skew_census",
+    "ivf_upsert_equal", "profile_drift_census",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
     "simhash_replay_equal", "mv_arriving_totals",
     "ngram_jaccard_prefix", "stream_locf_census",

@@ -181,3 +181,114 @@ def table_recon_drill(
     only_l = l_p.exceptAll(r_p).withColumn("side", F.lit("only_left"))
     only_r = r_p.exceptAll(l_p).withColumn("side", F.lit("only_right"))
     return only_l.unionByName(only_r)
+
+
+def column_profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass per-column data-quality census: for every column, row
+    count, NULL count, distinct count, and string-rendered min/max — the
+    validation pass every training-data pipeline runs before (and after)
+    a big transform, and the stats half of what ``table_recon`` does for
+    content.  One row out per column: ``col_name, n_rows, n_null,
+    n_distinct, min_str, max_str``.
+
+    Plan: ALL columns ride ONE aggregate over ONE scan (map-side
+    combined, single exchange of one collapsed row), then a ``stack``
+    unpivot of that row — at 100 TB this is the cost of one pass over
+    the data, not one pass per column.  ``exact_distinct=False`` (the
+    scale default) uses approx_count_distinct (HLL, no plan expansion);
+    ``True`` uses COUNT(DISTINCT col), which Catalyst rewrites to ONE
+    scan + an Expand of len(cols) — exact, oracle-comparable, and the
+    right choice when the census IS the contract (gate SF), but the
+    Expand multiplies shuffled rows by the column count, so prefer the
+    HLL path on real volumes.
+
+    Cross-engine note: min/max are rendered via CAST(x AS STRING);
+    integer and string columns render identically on Spark and DuckDB,
+    floating-point columns may not — quantize doubles first (the B6
+    scaled-long discipline) when the profile feeds a cross-engine gate.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(names):
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{i}"))
+        nd = (
+            F.count_distinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs.append(nd.alias(f"__nd_{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"__mn_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__mx_{i}"))
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
+        for i, c in enumerate(names)
+    )
+    stacked = one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(names)}, {parts}) AS"
+            " (col_name, n_nonnull, n_distinct, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+_PROFILE_METRICS = ("n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def profile_diff(
+    left: DataFrame,
+    right: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Schema/stats drift census between two snapshots: profile both
+    sides (one pass each), join the per-column profiles, and classify —
+    the cheap first question of any migration, backfill, or pipeline
+    upgrade ("did anything move?") answered from two single-pass
+    censuses of len(cols) rows each, no row ever shuffled.  Statuses, in
+    priority order: ``only_left``/``only_right`` (column present on one
+    side — schema drift), ``row_count_drift``, ``null_drift``,
+    ``distinct_drift``, ``range_drift`` (min/max moved, null-safe so an
+    all-NULL column compares equal to itself), ``match``.  When the
+    census says ``match`` it certifies the profiled stats, not content
+    equality — ``table_recon`` is the content check; this is the stats
+    check that tells you whether to bother."""
+    l_names = list(cols) if cols is not None else list(left.columns)
+    r_names = list(cols) if cols is not None else list(right.columns)
+    lp = column_profile(left, l_names, exact_distinct)
+    rp = column_profile(right, r_names, exact_distinct)
+    lp = lp.select("col_name", *[F.col(m).alias(f"l_{m}") for m in _PROFILE_METRICS])
+    rp = rp.select("col_name", *[F.col(m).alias(f"r_{m}") for m in _PROFILE_METRICS])
+    j = lp.join(rp, "col_name", "full_outer")
+    rng_same = F.col("l_min_str").eqNullSafe(F.col("r_min_str")) & F.col(
+        "l_max_str"
+    ).eqNullSafe(F.col("r_max_str"))
+    status = (
+        F.when(F.col("r_n_rows").isNull(), F.lit("only_left"))
+        .when(F.col("l_n_rows").isNull(), F.lit("only_right"))
+        .when(F.col("l_n_rows") != F.col("r_n_rows"), F.lit("row_count_drift"))
+        .when(F.col("l_n_null") != F.col("r_n_null"), F.lit("null_drift"))
+        .when(
+            F.col("l_n_distinct") != F.col("r_n_distinct"),
+            F.lit("distinct_drift"),
+        )
+        .when(~rng_same, F.lit("range_drift"))
+        .otherwise(F.lit("match"))
+    )
+    return j.select("col_name", *[c for c in j.columns if c != "col_name"]).withColumn(
+        "status", status
+    )

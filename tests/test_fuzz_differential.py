@@ -1731,3 +1731,78 @@ def test_fuzz_table_recon(spark, duck, flip_mod, drop_mod, n_buckets):
         " FROM lc FULL OUTER JOIN rc ON lc.bucket = rc.bucket"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 40: profile drift census — randomized corruption moduli + column set
+# ---------------------------------------------------------------------------
+
+@given(
+    null_mod=st.integers(2, 300),
+    shift_mod=st.integers(2, 300),
+    drop_mod=st.integers(0, 400),  # 0/1 -> no row drops
+    cols=st.sets(
+        st.sampled_from(["doc_id", "lang", "source", "n_chars"]),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@FUZZ
+def test_fuzz_profile_drift(spark, duck, null_mod, shift_mod, drop_mod, cols):
+    from shuttle_spark.operators.integrity import profile_diff
+
+    cols = sorted(cols)
+    docs = load_table(spark, SF, "documents")
+    right = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % null_mod == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % shift_mod == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    drop = ""
+    if drop_mod > 1:
+        right = right.filter(F.col("doc_id") % drop_mod != 1)
+        drop = f" WHERE doc_id % {drop_mod} <> 1"
+    sdf = profile_diff(docs, right, cols, exact_distinct=True)
+
+    def prof(src):
+        return " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(MIN({c}) AS VARCHAR) AS min_str,"
+            f" CAST(MAX({c}) AS VARCHAR) AS max_str FROM {src}"
+            for c in cols
+        )
+
+    sql = (
+        "WITH r0 AS (SELECT doc_id,"
+        f" CASE WHEN doc_id % {null_mod} = 0 THEN NULL ELSE lang END AS lang,"
+        " source,"
+        f" CASE WHEN doc_id % {shift_mod} = 0 THEN n_chars + 1"
+        "  ELSE n_chars END AS n_chars"
+        f" FROM documents{drop}),"
+        " lp AS (" + prof("documents") + "),"
+        " rp AS (" + prof("r0") + ")"
+        " SELECT lp.col_name,"
+        "  lp.n_rows AS l_n_rows, lp.n_null AS l_n_null,"
+        "  lp.n_distinct AS l_n_distinct,"
+        "  lp.min_str AS l_min_str, lp.max_str AS l_max_str,"
+        "  rp.n_rows AS r_n_rows, rp.n_null AS r_n_null,"
+        "  rp.n_distinct AS r_n_distinct,"
+        "  rp.min_str AS r_min_str, rp.max_str AS r_max_str,"
+        "  CASE WHEN rp.n_rows IS NULL THEN 'only_left'"
+        "   WHEN lp.n_rows IS NULL THEN 'only_right'"
+        "   WHEN lp.n_rows <> rp.n_rows THEN 'row_count_drift'"
+        "   WHEN lp.n_null <> rp.n_null THEN 'null_drift'"
+        "   WHEN lp.n_distinct <> rp.n_distinct THEN 'distinct_drift'"
+        "   WHEN lp.min_str IS DISTINCT FROM rp.min_str"
+        "    OR lp.max_str IS DISTINCT FROM rp.max_str THEN 'range_drift'"
+        "   ELSE 'match' END AS status"
+        " FROM lp FULL OUTER JOIN rp ON lp.col_name = rp.col_name"
+    )
+    _check(sdf, duck, sql)

@@ -106,6 +106,14 @@ QUERIES = [
     # single-exchange window row on the curve.
     "locf_impute_cents",
     "decayed_engagement",
+    # round-9 (VERDICT r8 item 3): the reconciliation family.  These are
+    # the gate builders verbatim (fixed-FRACTION corruption, so at big SF
+    # most buckets go bad and the drill approaches a full-table diff —
+    # an honest linear-vs-linear ratio row).  The LOCALIZATION claim
+    # (drill cost tracks suspect-bucket volume, not table volume) is a
+    # fixed-COUNT corruption experiment and lives in tools/recon_scale.py.
+    "table_recon_counts",
+    "table_recon_drill_rows",
 ]
 
 
