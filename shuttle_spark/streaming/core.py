@@ -1167,3 +1167,186 @@ def stream_locf(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_locf_packed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+    n_state_buckets: int = 32,
+) -> DataFrame:
+    """``stream_locf`` with PACKED state: many logical keys share one
+    physical state group — the 100 TB state-scaling technique this
+    module's per-key operators eventually need.
+
+    Why it exists (measured, round 9): ``applyInPandasWithState`` costs
+    ~1.3 ms per GROUP INVOCATION regardless of fold body (a trivial
+    count-fold at 1500 keys replays in 2.9 s vs 0.96 s at 10 keys on
+    the same data — pure Arrow group slicing + state round-trip), so a
+    per-key operator pays keys x batches x 1.3 ms: at a production
+    10M-key stream that is the whole budget.  Packing keys into
+    ``n_state_buckets`` hash buckets (pmod of the key — deterministic,
+    uniform for long ids) makes the per-group constant pay once per
+    BUCKET per batch, and the per-key logic runs vectorized
+    (pandas groupby-ffill over the bucket's rows) instead of once per
+    key.  Size ``n_state_buckets`` ~= shuffle partitions x small
+    constant: enough groups to keep every core busy, few enough that
+    the group constant vanishes.
+
+    Semantics are IDENTICAL to ``stream_locf`` (same watermark boundary
+    rule, same finalize-in-(ts,event_id)-order, same carry/was_filled
+    definitions) — asserted by the packed-vs-per-key parity test and by
+    sharing the batch census oracle verbatim.  State per bucket =
+    (keys with a last observation, their last cents) + pending rows as
+    flat parallel arrays — O(keys/bucket + in-flight disorder)."""
+    NULL_SENT = -(2**62)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("was_filled", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("u_ids", T.ArrayType(T.LongType())),
+            T.StructField("u_last", T.ArrayType(T.LongType())),
+            T.StructField("p_u", T.ArrayType(T.LongType())),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_eid", T.ArrayType(T.LongType())),
+            T.StructField("p_cents", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            u_ids, u_last, p_u, p_ts, p_eid, p_c = (
+                np.asarray(x, dtype="int64") for x in state.get
+            )
+        else:
+            u_ids = u_last = p_u = p_ts = p_eid = p_c = np.empty(
+                0, dtype="int64"
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype(
+                    "int64"
+                )
+                live = us >= wm_us  # same boundary rule as stream_locf
+                if not live.any():
+                    continue
+                pdf, us = pdf[live], us[live]
+                vals = pdf[value_col].values.astype("float64")
+                nan = np.isnan(vals)
+                cents = np.where(
+                    nan, 0.0, np.floor(vals * 100 + 0.5)
+                ).astype("int64")
+                cents[nan] = NULL_SENT
+                p_u = np.concatenate(
+                    [p_u, pdf[key_col].values.astype("int64")]
+                )
+                p_ts = np.concatenate([p_ts, us])
+                p_eid = np.concatenate(
+                    [p_eid, pdf["event_id"].values.astype("int64")]
+                )
+                p_c = np.concatenate([p_c, cents])
+        out = None
+        if len(p_ts):
+            fin = p_ts <= wm_us
+            if fin.any():
+                fu, ft, fe, fc = p_u[fin], p_ts[fin], p_eid[fin], p_c[fin]
+                order = np.lexsort((fe, ft, fu))
+                fu, ft, fe, fc = fu[order], ft[order], fe[order], fc[order]
+                raw = fc.astype("float64")
+                raw[fc == NULL_SENT] = np.nan
+                # last-known value per key, seeded from bucket state
+                seed_map = pd.Series(
+                    u_last.astype("float64"), index=u_ids
+                )
+                seed_map[seed_map == float(NULL_SENT)] = np.nan
+                eff = (
+                    pd.Series(raw)
+                    .groupby(pd.Series(fu), sort=False)
+                    .ffill()
+                    .to_numpy()
+                )
+                head = np.isnan(eff)  # rows before a key's first non-NULL
+                if head.any():
+                    eff[head] = seed_map.reindex(fu[head]).to_numpy()
+                filled = np.isnan(raw) & ~np.isnan(eff)
+                # new last per key = last non-NULL RAW in (ts, eid) order
+                valid = ~np.isnan(raw)
+                if valid.any():
+                    lasts = (
+                        pd.Series(raw[valid])
+                        .groupby(pd.Series(fu[valid]), sort=False)
+                        .last()
+                    )
+                    seed_map = seed_map.reindex(
+                        seed_map.index.union(lasts.index)
+                    )
+                    seed_map[lasts.index] = lasts.to_numpy()
+                u_ids = seed_map.index.to_numpy(dtype="int64")
+                u_last = np.where(
+                    np.isnan(seed_map.to_numpy()),
+                    NULL_SENT,
+                    np.nan_to_num(seed_map.to_numpy()),
+                ).astype("int64")
+                out = pd.DataFrame(
+                    {
+                        key_col: fu,
+                        "event_id": fe,
+                        "ts_us": ft,
+                        "cents": pd.array(
+                            np.where(np.isnan(eff), 0, eff).astype("int64"),
+                            dtype="Int64",
+                        ),
+                        "was_filled": filled,
+                    }
+                )
+                out.loc[np.isnan(eff), "cents"] = None
+                rem = ~fin
+                p_u, p_ts, p_eid, p_c = (
+                    p_u[rem], p_ts[rem], p_eid[rem], p_c[rem],
+                )
+        state.update(
+            (
+                [int(x) for x in u_ids],
+                [int(x) for x in u_last],
+                [int(x) for x in p_u],
+                [int(x) for x in p_ts],
+                [int(x) for x in p_eid],
+                [int(x) for x in p_c],
+            )
+        )
+        if len(p_ts):
+            state.setTimeoutTimestamp(
+                max(
+                    int(p_ts.min()) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if out is not None and len(out):
+            yield out
+
+    bucketed = events.withColumn(
+        "__bucket", F.pmod(F.col(key_col), F.lit(n_state_buckets))
+    )
+    return (
+        bucketed.withWatermark(ts_col, watermark)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

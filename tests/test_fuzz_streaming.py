@@ -229,3 +229,61 @@ def test_fuzz_stream_dedup_window_parity(spark, window, delay, filt, by_type):
         return out, _DELAYS[delay]
 
     _replay_vs_batch(spark, build, filt)
+
+
+# ---------------------------------------------------------------------------
+# Packed-state LOCF parity: stream_locf_packed must equal stream_locf
+# row-for-row under randomized bucket counts (1 bucket = every key in one
+# group; large = effectively per-key), NULL moduli, and replay shapes.
+# Each example runs TWO real AvailableNow replays (~4 s/example), so the
+# default example count is small; FUZZ_STREAM_PACKED_EXAMPLES deepens.
+# ---------------------------------------------------------------------------
+
+FUZZ_PACKED = settings(
+    max_examples=int(os.environ.get("FUZZ_STREAM_PACKED_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    n_buckets=st.sampled_from([1, 2, 7, 32]),
+    null_mod=st.integers(2, 9),
+    multi=st.booleans(),
+)
+@FUZZ_PACKED
+def test_fuzz_stream_locf_packed_parity(spark, n_buckets, null_mod, multi):
+    from shuttle_spark.streaming import (
+        events_stream,
+        events_stream_multi,
+        run_available_now,
+    )
+    from shuttle_spark.streaming.core import stream_locf, stream_locf_packed
+
+    tag = f"{n_buckets}_{null_mod}_{int(multi)}"
+
+    def src():
+        s = (
+            events_stream_multi(spark, SF, n_files=4)
+            if multi
+            else events_stream(spark, SF)
+        )
+        return s.withColumn(
+            "value",
+            F.when(F.col("event_id") % null_mod == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+
+    cols = ["user_id", "event_id", "ts_us", "cents", "was_filled"]
+    plain = run_available_now(
+        stream_locf(src()), f"fzl_{tag}", shuffle_partitions=4
+    ).select(*cols)
+    packed = run_available_now(
+        stream_locf_packed(src(), n_state_buckets=n_buckets),
+        f"fzp_{tag}",
+        shuffle_partitions=4,
+    ).select(*cols)
+    assert plain.count() == packed.count() > 0
+    assert plain.exceptAll(packed).count() == 0
+    assert packed.exceptAll(plain).count() == 0

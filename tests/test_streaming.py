@@ -613,3 +613,41 @@ def test_stream_locf_equals_batch_single_and_multi_batch(spark):
         )
         assert got == want, f"{name}: stream != batch"
     assert any(r[-1] for r in want)  # the data exercises real fills
+
+
+def test_stream_locf_packed_parity_and_batch_equality(spark):
+    """stream_locf_packed == stream_locf row-for-row (exceptAll both
+    ways, full output including the not-yet-finalized-free tail) AND ==
+    the batch LOCF on the finalized subset, single- and multi-batch —
+    packing keys into shared state groups is a pure physical-layout
+    change, so ANY divergence is a bug.  Also pins the packed operator
+    at a bucket count that forces real multi-key packing (sf0.001 has
+    ~150 keys -> ~19 keys per bucket at 8 buckets)."""
+    from shuttle_spark.streaming import events_stream_multi
+    from shuttle_spark.streaming.core import stream_locf, stream_locf_packed
+
+    null_if = lambda c: F.when(  # noqa: E731
+        F.col("event_id") % 5 == 0, F.lit(None)
+    ).otherwise(c)
+    cols = ["user_id", "event_id", "ts_us", "cents", "was_filled"]
+    for mk, name in (
+        (lambda: events_stream(spark, SF), "plocf_one"),
+        (lambda: events_stream_multi(spark, SF, n_files=4), "plocf_multi"),
+    ):
+        plain = run_available_now(
+            stream_locf(mk().withColumn("value", null_if(F.col("value")))),
+            f"{name}_a",
+            shuffle_partitions=4,
+        ).select(*cols)
+        packed = run_available_now(
+            stream_locf_packed(
+                mk().withColumn("value", null_if(F.col("value"))),
+                n_state_buckets=8,
+            ),
+            f"{name}_b",
+            shuffle_partitions=4,
+        ).select(*cols)
+        assert plain.count() == packed.count() > 0, name
+        assert plain.exceptAll(packed).count() == 0, name
+        assert packed.exceptAll(plain).count() == 0, name
+        assert packed.filter(F.col("was_filled")).count() > 0, name
