@@ -7482,6 +7482,58 @@ def q_ivf_upsert_equal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract("label_prop_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
+def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (components.label_propagation) under a replay-equality oracle: the
+    distributed rounds (label-vector hash join onto the symmetric edge
+    list + (node,label) count + min-label argmax, SHUFFLE_HASH on the
+    node-sized side, localCheckpoint-truncated lineage) must produce
+    EXACTLY the (node, label) map of a driver-side synchronous replay
+    over the same edges — deterministic because updates are synchronous,
+    the round count is fixed, and ties break to the smallest label.  No
+    SQL twin: per-round argmax-over-neighbor-multiset isn't monotone, so
+    recursive CTEs can't express it.  Graph: the deterministic residue
+    projection shared with kcore/triangle_count."""
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 211).alias("id_a"),
+        (F.col("o_orderkey") % 199).alias("id_b"),
+    )
+    rounds = 4
+    got = {
+        (r["node"], r["label"])
+        for r in CC.label_propagation(o, n_rounds=rounds).collect()
+    }
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in o.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("id_a"),
+            F.least("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+        .collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    exp = set(labels.items())
+    ok = got == exp
+    return spark.createDataFrame(
+        [(bool(ok), bool(len(exp) > 0))], "ok boolean, nonempty boolean"
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -7731,6 +7783,11 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # displaces ngram_jaccard_prefix (B28 keeps minhash_replay_equal +
 # simhash_replay_equal + semantic_dedup_kept; the PPJoin prefix row is
 # green in CORRECTNESS_r08 and stays FULL-gated).
+# label_prop_equal (synchronous label-propagation communities, new this
+# round — replay-equality gated like kcore) displaces checksum_lineitem
+# (green r08; B23 now holds table_recon_counts + table_recon_drill_rows
+# + column_profile_docs + profile_drift_census — the checksum row stays
+# FULL-gated).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -7742,7 +7799,7 @@ _DRIVER_PRIORITY = [
     "scalar_functions", "json_extract_variant_agg",
     "array_ops_agg", "topk_cosine",
     "column_profile_docs", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "checksum_lineitem", "table_recon_counts", "ab_test_summary",
+    "label_prop_equal", "table_recon_counts", "ab_test_summary",
     "table_recon_drill_rows", "stratified_split_counts",
     "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",

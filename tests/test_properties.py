@@ -509,3 +509,36 @@ def test_incremental_totals_equal_recompute_property(spark, old_rows, new_rows):
         )
     )
     assert got == direct
+
+
+@given(edges=edges_strategy, rounds=st.integers(1, 4))
+@SLOW
+def test_label_propagation_matches_synchronous_replay(spark, edges, rounds):
+    """The distributed LPA rounds must equal a driver-side synchronous
+    replay on arbitrary small graphs — same min-label tie-break, same
+    fixed round count — including graphs with self-loops, duplicate and
+    reversed edges, which canonicalization must collapse first."""
+    from shuttle_spark.operators import components as CC
+
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["label"])
+        for r in CC.label_propagation(e, n_rounds=rounds).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        labels = {
+            n: max(
+                ((lab, sum(1 for m in nbrs if labels[m] == lab))
+                 for lab in {labels[m] for m in nbrs}),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for n, nbrs in adj.items()
+        }
+    assert got == set(labels.items())
