@@ -1829,3 +1829,79 @@ def test_table_recon_drill_fetches_exact_divergence(spark):
         ("only_left", 3, 30),
         ("only_right", 2, 21),
     ]
+
+
+def test_column_profile_semantics(spark):
+    """One row per column with exact counts; all-NULL columns render NULL
+    min/max; the empty table profiles to zero rows per column (the
+    vacuous census, not an error)."""
+    from shuttle_spark.operators.integrity import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (2, None, None)],
+        "k long, s string, z string",
+    )
+    got = {
+        r["col_name"]: (
+            r["n_rows"], r["n_null"], r["n_distinct"],
+            r["min_str"], r["max_str"],
+        )
+        for r in column_profile(df, exact_distinct=True).collect()
+    }
+    assert got == {
+        "k": (3, 0, 2, "1", "2"),
+        "s": (3, 1, 2, "a", "b"),
+        "z": (3, 3, 0, None, None),
+    }
+    empty = column_profile(
+        spark.createDataFrame([], "k long, s string"), exact_distinct=True
+    ).collect()
+    assert {r["col_name"] for r in empty} == {"k", "s"}
+    assert all(r["n_rows"] == 0 and r["n_null"] == 0 for r in empty)
+
+
+def test_profile_diff_statuses_and_schema_drift(spark):
+    """Status priority (row_count > null > distinct > range > match) and
+    the schema-drift statuses: a column present on one side only reports
+    only_left/only_right; an all-NULL column compares equal to itself
+    (null-safe range check)."""
+    from shuttle_spark.operators.integrity import profile_diff
+
+    left = spark.createDataFrame(
+        [(1, 10, "x", None), (2, 20, "y", None), (3, 30, "y", None)],
+        "k long, v long, s string, z string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "x", None, 1.0), (2, 25, None, None, 1.0),
+         (3, 30, "y", None, 2.0)],
+        "k long, v long, s string, z string, extra double",
+    )
+    # cols=None profiles each side's own schema -> only_left/only_right
+    got = {
+        r["col_name"]: r["status"] for r in profile_diff(
+            left.drop("z"),
+            right.select("k", "v", "s", "extra"),
+            exact_distinct=True,
+        ).collect()
+    }
+    assert got["extra"] == "only_right"
+    assert got["k"] == "match"
+    assert got["s"] == "null_drift"      # a NULL replaced a 'y'
+    # v: {10,20,30} vs {10,25,30} — same rows/nulls/distinct-count and the
+    # same min/max, so the stats census reports MATCH: the profile's
+    # documented resolution limit (content equality is table_recon's job)
+    assert got["v"] == "match"
+    # all-NULL column on both sides compares match (null-safe min/max)
+    full = {
+        r["col_name"]: r["status"]
+        for r in profile_diff(left, left, exact_distinct=True).collect()
+    }
+    assert set(full.values()) == {"match"}
+    # row-count drift dominates everything
+    rc = {
+        r["col_name"]: r["status"]
+        for r in profile_diff(
+            left, left.limit(2), exact_distinct=True
+        ).collect()
+    }
+    assert set(rc.values()) == {"row_count_drift"}
