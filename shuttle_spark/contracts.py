@@ -7413,6 +7413,50 @@ def q_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
     return profile_diff(docs, right, _PROFILE_COLS, exact_distinct=True)
 
 
+# (column, quantization scale) pairs for the correlation census: scales
+# chosen so per-row quantized products stay far inside int64 (price at
+# dollar grain: 1e5 * 1e5 = 1e10/row -> sums fit to ~1e8 rows; Pearson
+# correlation is scale-invariant, so the grain costs only quantization
+# noise, not correctness).
+_CORR_COLS = [
+    ("l_quantity", 1),
+    ("l_extendedprice", 0),
+    ("l_discount", 2),
+    ("l_tax", 2),
+]
+
+
+def _corr_oracle() -> str:
+    from shuttle_spark.operators.integrity import corr_matrix_oracle_sql
+
+    return corr_matrix_oracle_sql("lineitem", _CORR_COLS)
+
+
+@contract(
+    "corr_matrix_lineitem",
+    _corr_oracle(),
+    "B23",
+    "ext",
+)
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation census (integrity.corr_matrix) over
+    lineitem's four numeric measures: all K(K+3)/2 moments (count, sums,
+    squares, cross products) ride ONE map-side-combined aggregate over
+    ONE column-pruned scan — a single collapsed row crosses the
+    exchange, pair rows are stacked from it.  Moments are exact integer
+    sums of per-column quantized values (scale-invariance of Pearson r
+    makes the quantization grain a noise dial, not a correctness one);
+    the n-fold combination n*Sxy - Sx*Sy is promoted to DECIMAL(38,0) /
+    HUGEINT because it overflows int64 past ~1e6 rows even when every
+    sum fits.  The feature-redundancy / drift-diagnosis pass that runs
+    next to column_profile at 100 TB for the cost of one pass — no
+    join, no window, no second shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    from shuttle_spark.operators.integrity import corr_matrix
+
+    return corr_matrix(li, _CORR_COLS)
+
+
 @contract(
     "ivf_upsert_equal",
     "SELECT TRUE AS ok, TRUE AS nonempty",

@@ -292,3 +292,132 @@ def profile_diff(
     return j.select("col_name", *[c for c in j.columns if c != "col_name"]).withColumn(
         "status", status
     )
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[tuple[str, int]]) -> DataFrame:
+    """Pairwise Pearson correlation census over numeric columns — the
+    feature-redundancy / drift-diagnosis pass a training-data pipeline
+    runs next to ``column_profile`` ("which signals move together?").
+    One output row per unordered column pair: ``col_x, col_y, n_rows,
+    corr`` (corr NULL when either side is constant).
+
+    ``cols`` is ``[(name, scale), ...]``: each column is quantized to
+    ``round(x * 10^scale)`` as int64 FIRST, and every moment (sum,
+    sum-of-squares, cross products) is an exact integer sum — Pearson
+    correlation is scale-invariant, so quantization changes the answer
+    only at the quantization grain while making all K(K+3)/2 moments
+    association-free and bit-stable cross-engine (the B6 scaled-long
+    discipline extended to second moments).  Per-column scales keep the
+    per-row products inside int64 at any realistic magnitude; the final
+    combination ``n*Sxy - Sx*Sy`` is promoted to DECIMAL(38,0) (Spark) /
+    HUGEINT (oracle) because the n-fold products overflow int64 past
+    ~10^6 rows even when each sum fits.
+
+    Rows with a NULL in ANY profiled column are dropped (complete-case),
+    so every pair shares one n and the matrix is positive semidefinite.
+
+    Plan: ALL K(K+3)/2 moments ride ONE map-side-combined aggregate over
+    ONE column-pruned scan (a single collapsed row crosses the exchange);
+    pair rows are stacked from that row driver-side-free.  At 100 TB this
+    is one pass, not one pass per pair — and there is no join, window, or
+    second shuffle anywhere.
+    """
+    names = [c for c, _ in cols]
+    k = len(names)
+    if k < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    base = df.na.drop(subset=names)
+    qcols = [
+        F.round(F.col(c) * (10 ** s)).cast("long").alias(f"__q_{i}")
+        for i, (c, s) in enumerate(cols)
+    ]
+    q = base.select(*qcols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"__q_{i}")).alias(f"__s_{i}"))
+        for j in range(i, k):
+            aggs.append(
+                F.sum(F.col(f"__q_{i}") * F.col(f"__q_{j}")).alias(
+                    f"__p_{i}_{j}"
+                )
+            )
+    one = q.agg(*aggs)
+
+    dec = "decimal(38,0)"
+    n_d = F.col("__n").cast(dec)
+
+    def _var(i: int) -> Column:
+        s = F.col(f"__s_{i}").cast(dec)
+        return (n_d * F.col(f"__p_{i}_{i}").cast(dec) - s * s).cast("double")
+
+    def _cov(i: int, j: int) -> Column:
+        return (
+            n_d * F.col(f"__p_{i}_{j}").cast(dec)
+            - F.col(f"__s_{i}").cast(dec) * F.col(f"__s_{j}").cast(dec)
+        ).cast("double")
+
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            vx, vy = _var(i), _var(j)
+            corr = F.when(
+                (vx > 0) & (vy > 0),
+                F.round(_cov(i, j) / F.sqrt(vx * vy), 6),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(names[i]).alias("col_x"),
+                    F.lit(names[j]).alias("col_y"),
+                    F.col("__n").alias("n_rows"),
+                    corr.alias("corr"),
+                ).alias(f"__pair_{i}_{j}")
+            )
+    stacked = one.select(
+        F.explode(F.array(*pairs)).alias("p")
+    )
+    return stacked.select("p.col_x", "p.col_y", "p.n_rows", "p.corr")
+
+
+def corr_matrix_oracle_sql(
+    table: str, cols: Sequence[tuple[str, int]]
+) -> str:
+    """DuckDB twin of ``corr_matrix`` with the identical expression tree
+    (same quantization, same HUGEINT exact combination, same
+    double-division/sqrt/round order) so agreement is bit-stable."""
+    names = [c for c, _ in cols]
+    k = len(names)
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in names)
+    qsel = ", ".join(
+        f"CAST(ROUND({c} * {10 ** s}) AS BIGINT) AS q_{i}"
+        for i, (c, s) in enumerate(cols)
+    )
+    moments = ["COUNT(*) AS n"]
+    for i in range(k):
+        moments.append(f"CAST(SUM(q_{i}) AS HUGEINT) AS s_{i}")
+        for j in range(i, k):
+            moments.append(
+                f"CAST(SUM(q_{i} * q_{j}) AS HUGEINT) AS p_{i}_{j}"
+            )
+    var = {
+        i: f"CAST(CAST(n AS HUGEINT) * p_{i}_{i} - s_{i} * s_{i} AS DOUBLE)"
+        for i in range(k)
+    }
+    sels = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            cov = (
+                f"CAST(CAST(n AS HUGEINT) * p_{i}_{j}"
+                f" - s_{i} * s_{j} AS DOUBLE)"
+            )
+            sels.append(
+                f"SELECT '{names[i]}' AS col_x, '{names[j]}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n_rows,"
+                f" CASE WHEN {var[i]} > 0 AND {var[j]} > 0 THEN"
+                f" ROUND({cov} / SQRT({var[i]} * {var[j]}), 6)"
+                f" END AS corr FROM m"
+            )
+    return (
+        f"WITH q AS (SELECT {qsel} FROM {table} WHERE {nn}),"
+        f" m AS (SELECT {', '.join(moments)} FROM q) "
+        + " UNION ALL ".join(sels)
+    )

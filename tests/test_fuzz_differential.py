@@ -1806,3 +1806,60 @@ def test_fuzz_profile_drift(spark, duck, null_mod, shift_mod, drop_mod, cols):
         " FROM lp FULL OUTER JOIN rp ON lp.col_name = rp.col_name"
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 41: correlation census — random column/scale subsets + row filter
+# ---------------------------------------------------------------------------
+
+_CORR_POOL = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+              "l_orderkey", "l_partkey"]
+
+
+@given(
+    idx=st.sets(st.integers(0, 5), min_size=2, max_size=4),
+    scales=st.lists(st.integers(0, 2), min_size=4, max_size=4),
+    row_mod=st.integers(0, 7),  # 0/1 -> keep all rows
+    null_mod=st.integers(0, 50),  # 0/1 -> no NULL injection
+)
+@FUZZ
+def test_fuzz_corr_matrix(spark, duck, idx, scales, row_mod, null_mod):
+    """corr_matrix vs a DuckDB twin generated by the SAME oracle builder,
+    over random column subsets, per-column quantization scales, row
+    filters, and NULL injection into the first chosen column (exercises
+    the complete-case drop and the zero-variance NULL path — a key
+    modulus small enough can make a column constant)."""
+    from shuttle_spark.operators.integrity import (
+        corr_matrix,
+        corr_matrix_oracle_sql,
+    )
+
+    names = [_CORR_POOL[i] for i in sorted(idx)]
+    cols = [(c, scales[k % len(scales)]) for k, c in enumerate(names)]
+    li = load_table(spark, SF, "lineitem")
+    where = []
+    if row_mod > 1:
+        li = li.filter(F.col("l_orderkey") % row_mod != 1)
+        where.append(f"l_orderkey % {row_mod} <> 1")
+    first = names[0]
+    if null_mod > 1:
+        li = li.withColumn(
+            first,
+            F.when(F.col("l_linenumber") % null_mod == 0, F.lit(None))
+            .otherwise(F.col(first)),
+        )
+        src = (
+            "(SELECT * REPLACE (CASE WHEN l_linenumber %"
+            f" {null_mod} = 0 THEN NULL ELSE {first} END AS {first})"
+            " FROM lineitem"
+            + (f" WHERE {where[0]}" if where else "")
+            + ")"
+        )
+    else:
+        src = (
+            f"(SELECT * FROM lineitem WHERE {where[0]})"
+            if where
+            else "lineitem"
+        )
+    sdf = corr_matrix(li, cols)
+    _check(sdf, duck, corr_matrix_oracle_sql(src, cols))

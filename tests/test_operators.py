@@ -1905,3 +1905,64 @@ def test_profile_diff_statuses_and_schema_drift(spark):
         ).collect()
     }
     assert set(rc.values()) == {"row_count_drift"}
+
+
+def test_corr_matrix_semantics(spark):
+    """Pearson r of the quantized columns matches numpy.corrcoef on the
+    same quantized values to the rounding grain; constant columns give
+    NULL corr; complete-case: a NULL in any profiled column drops the
+    row from every pair's n."""
+    import numpy as np
+
+    from shuttle_spark.operators.integrity import corr_matrix
+
+    rows = [
+        (1.0, 10.0, 5.0),
+        (2.0, 9.0, 5.0),
+        (3.0, 7.5, 5.0),
+        (4.0, 4.0, 5.0),
+        (5.0, 2.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, c double")
+    got = {
+        (r["col_x"], r["col_y"]): (r["n_rows"], r["corr"])
+        for r in corr_matrix(
+            df, [("x", 2), ("y", 2), ("c", 2)]
+        ).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "c"), ("y", "c")}
+    qx = np.round(np.array([r[0] for r in rows]) * 100)
+    qy = np.round(np.array([r[1] for r in rows]) * 100)
+    want = float(np.corrcoef(qx, qy)[0, 1])
+    n, r_xy = got[("x", "y")]
+    assert n == 5
+    assert abs(r_xy - want) < 1e-6
+    # constant column -> zero variance -> NULL, for both its pairs
+    assert got[("x", "c")] == (5, None)
+    assert got[("y", "c")] == (5, None)
+
+    # complete-case: NULL in y drops the row from the (x, c) pair too
+    df2 = spark.createDataFrame(
+        [(1.0, None, 1.0), (2.0, 1.0, 2.0), (3.0, 2.0, 3.0),
+         (4.0, 1.5, 4.0)],
+        "x double, y double, c double",
+    )
+    got2 = {
+        (r["col_x"], r["col_y"]): r["n_rows"]
+        for r in corr_matrix(
+            df2, [("x", 2), ("y", 2), ("c", 2)]
+        ).collect()
+    }
+    assert set(got2.values()) == {3}
+
+    # perfectly anticorrelated pair hits exactly -1.0
+    df3 = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 2.0), (3.0, 1.0)], "x double, y double"
+    )
+    (only,) = corr_matrix(df3, [("x", 0), ("y", 0)]).collect()
+    assert only["corr"] == -1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corr_matrix(df3, [("x", 0)])
