@@ -5794,6 +5794,39 @@ def q_sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _priority_sample_oracle() -> str:
+    from shuttle_spark.operators.relational import priority_sample_oracle_sql
+
+    return priority_sample_oracle_sql(
+        "orders", ["o_orderpriority"], "o_orderkey", "o_totalprice", k=20,
+        seed=7,
+    )
+
+
+@contract(
+    "priority_sample_orders",
+    _priority_sample_oracle(),
+    "ext",
+    "llm",
+)
+def q_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic WEIGHTED per-group sampling
+    (relational.priority_sample_per_group — priority sampling,
+    Duffield/Lund/Thorup): the 20 orders per priority class with the
+    highest seeded w/u priorities, plus the unbiased subset-sum
+    estimator est_cents = max(w, tau); SUM(est_cents) over the sample
+    estimates the class's total spend.  All-integer arithmetic (md5
+    folded to 22 bits, true integer division — a double floor is one
+    ulp ~ 0.03 coarse at these magnitudes), so the sample is id-exact
+    cross-engine.  One exchange, one sort; rank filter and tau share
+    the sort."""
+    orders = load_table(spark, sf, "orders")
+    return R.priority_sample_per_group(
+        orders, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=20,
+        seed=7,
+    )
+
+
 @contract(
     "semantic_dedup_kept",
     "WITH s AS (SELECT vec_id, embedding,"

@@ -867,6 +867,126 @@ def sample_k_per_group(
     )
 
 
+_PS_U_BITS = 22  # 22-bit uniform keeps w_cents * 2^22 inside int64 to w ~ 2^41
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 7,
+    weight_scale: int = 2,
+) -> DataFrame:
+    """Deterministic WEIGHTED per-group sampling — priority sampling
+    (Duffield/Lund/Thorup, JACM 2007): each row draws a seeded uniform
+    u and competes with priority w/u; the k highest priorities win, so
+    heavy rows are proportionally more likely to survive, and the
+    returned ``est_cents = max(w, tau)`` (tau = the (k+1)-th priority)
+    is the unbiased subset-sum estimator — ``SUM(est_cents)`` over the
+    sample estimates the group's total weight.  The weighted companion
+    to ``sample_k_per_group``: "keep k docs per source, favoring the
+    long/high-quality ones, with calibrated totals".
+
+    Everything is exact integer arithmetic, bit-stable cross-engine:
+    ``w_cents = floor(w * 10^scale + 0.5)`` (the B6 money discipline),
+    ``u`` is the 32-bit md5 prefix of ``id:seed`` folded to 22 bits
+    (+1, so u in [1, 2^22]), and ``priority = (w_cents << 22) div u``
+    — a true integer division (double floor(a/b) is UNSAFE here: at
+    a ~ 2^48 one double ulp is ~0.03, far coarser than the 2^-22 gap
+    separating a rational a/b from an integer).  Rows with NULL or
+    non-positive weight are excluded (a zero weight can never win and
+    would divide the estimator's support).  Ties break by id, so the
+    sample is id-exact, reproducible across engines / partitionings /
+    reruns, and refreshable by bumping ``seed``.
+
+    Plan: one exchange on ``keys``, one sort; the rank filter and the
+    tau extraction share that sort (tau's unordered frame adds no
+    exchange).  Per-group state is O(group), shuffled rows are the
+    filtered input — at 100 TB pre-filter with the weight predicate
+    pushed to the scan."""
+    from shuttle_spark.operators.integrity import md5_prefix32
+
+    m = 10 ** weight_scale
+    wc = F.floor(F.col(weight_col) * m + F.lit(0.5)).cast("long")
+    # NULL-propagating concat (see sample_k_per_group): NULL ids must
+    # hash NULL and be excluded with the NULL weights below
+    u = (
+        md5_prefix32(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
+            )
+        )
+        % F.lit(1 << _PS_U_BITS)
+        + 1
+    )
+    base = (
+        df.withColumn("__wc", wc)
+        .filter(F.col("__wc") > 0)
+        .withColumn("__u", u)
+        .filter(F.col("__u").isNotNull())
+        .withColumn(
+            "__priority", F.expr(f"(__wc * {1 << _PS_U_BITS}) div __u")
+        )
+    )
+    ordered = Window.partitionBy(*keys).orderBy(
+        F.col("__priority").desc(), F.col(id_col)
+    )
+    whole = Window.partitionBy(*keys)
+    ranked = base.withColumn("__rn", F.row_number().over(ordered))
+    tau = F.max(
+        F.when(F.col("__rn") == k + 1, F.col("__priority"))
+    ).over(whole)
+    return (
+        ranked.withColumn("__tau", tau)
+        .filter(F.col("__rn") <= k)
+        .select(
+            *keys,
+            id_col,
+            F.col("__wc").alias("w_cents"),
+            F.col("__priority").alias("priority"),
+            F.greatest(
+                F.col("__wc"), F.coalesce(F.col("__tau"), F.lit(0))
+            ).alias("est_cents"),
+        )
+    )
+
+
+def priority_sample_oracle_sql(
+    table: str,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 7,
+    weight_scale: int = 2,
+) -> str:
+    """DuckDB twin of ``priority_sample_per_group`` — identical hash,
+    folding, integer division, ordering, and estimator expressions."""
+    m = 10 ** weight_scale
+    ks = ", ".join(keys)
+    part = ", ".join(keys)
+    return (
+        f"WITH b AS (SELECT {ks}, {id_col},"
+        f" CAST(FLOOR({weight_col} * {m} + 0.5) AS BIGINT) AS w_cents,"
+        f" (('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':' ||"
+        f" '{seed}'), 1, 8))::BIGINT % {1 << _PS_U_BITS}) + 1 AS u"
+        f" FROM {table} WHERE {weight_col} IS NOT NULL"
+        f" AND FLOOR({weight_col} * {m} + 0.5) > 0"
+        f" AND {id_col} IS NOT NULL),"
+        f" p AS (SELECT {ks}, {id_col}, w_cents,"
+        f" (w_cents * {1 << _PS_U_BITS}) // u AS priority FROM b),"
+        f" r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {part}"
+        f" ORDER BY priority DESC, {id_col}) AS rn FROM p),"
+        f" t AS (SELECT *, MAX(CASE WHEN rn = {k + 1} THEN priority END)"
+        f" OVER (PARTITION BY {part}) AS tau FROM r)"
+        f" SELECT {ks}, {id_col}, w_cents, priority,"
+        f" GREATEST(w_cents, COALESCE(tau, 0)) AS est_cents"
+        f" FROM t WHERE rn <= {k}"
+    )
+
+
 def ewma_deviants(
     df: DataFrame,
     keys: Sequence[str],

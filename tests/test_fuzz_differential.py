@@ -1863,3 +1863,48 @@ def test_fuzz_corr_matrix(spark, duck, idx, scales, row_mod, null_mod):
         )
     sdf = corr_matrix(li, cols)
     _check(sdf, duck, corr_matrix_oracle_sql(src, cols))
+
+
+# ---------------------------------------------------------------------------
+# Mode 42: priority sampling — random k / seed / grouping / weight scale
+# ---------------------------------------------------------------------------
+
+@given(
+    k=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+    grp=st.sampled_from(
+        ["o_orderpriority", "o_orderstatus", "o_custkey % 13"]
+    ),
+    scale=st.integers(0, 3),
+    row_mod=st.integers(0, 6),  # 0/1 -> keep all rows
+)
+@FUZZ
+def test_fuzz_priority_sample(spark, duck, k, seed, grp, scale, row_mod):
+    """priority_sample_per_group vs its generated DuckDB twin over random
+    k, seed, grouping expression, weight quantization scale, and row
+    filters — id-exact sample + exact-integer estimator."""
+    from shuttle_spark.operators.relational import (
+        priority_sample_oracle_sql,
+        priority_sample_per_group,
+    )
+
+    orders = load_table(spark, SF, "orders").withColumn(
+        "grp", F.expr(grp)
+    )
+    src = f"(SELECT *, {grp} AS grp FROM orders"
+    if row_mod > 1:
+        orders = orders.filter(F.col("o_orderkey") % row_mod != 1)
+        src += f" WHERE o_orderkey % {row_mod} <> 1"
+    src += ")"
+    sdf = priority_sample_per_group(
+        orders, ["grp"], "o_orderkey", "o_totalprice", k=k, seed=seed,
+        weight_scale=scale,
+    )
+    _check(
+        sdf,
+        duck,
+        priority_sample_oracle_sql(
+            src, ["grp"], "o_orderkey", "o_totalprice", k=k, seed=seed,
+            weight_scale=scale,
+        ),
+    )

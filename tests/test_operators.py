@@ -1966,3 +1966,60 @@ def test_corr_matrix_semantics(spark):
 
     with _pytest.raises(ValueError):
         corr_matrix(df3, [("x", 0)])
+
+
+def test_priority_sample_semantics(spark):
+    """Priority sampling: formula replicated bit-for-bit in pure Python
+    (hashlib md5 -> 22-bit fold -> integer-div priority -> top-k -> tau
+    estimator); k >= |group| returns the whole group with est == w; NULL
+    and non-positive weights (and NULL ids) are excluded."""
+    import hashlib
+
+    from shuttle_spark.operators.relational import (
+        _PS_U_BITS,
+        priority_sample_per_group,
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 250.0), ("a", 3, 3.5), ("a", 4, 99.99),
+        ("a", 5, 0.004),  # rounds to 0 cents -> excluded
+        ("a", 6, None),   # NULL weight -> excluded
+        ("b", 7, 5.0), ("b", 8, 7.25),
+        ("b", None, 100.0),  # NULL id -> excluded
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    k, seed = 2, 7
+    got = {
+        (r["grp"], r["id"]): (r["w_cents"], r["priority"], r["est_cents"])
+        for r in priority_sample_per_group(
+            df, ["grp"], "id", "w", k=k, seed=seed
+        ).collect()
+    }
+
+    # pure-Python twin
+    import math
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+        u = h % (1 << _PS_U_BITS) + 1
+        wc = math.floor(w * 100 + 0.5)
+        return wc, (wc << _PS_U_BITS) // u
+
+    want = {}
+    for g in ("a", "b"):
+        cand = sorted(
+            (
+                (i, *prio(i, w))
+                for gg, i, w in rows
+                if gg == g and i is not None and w is not None
+                and math.floor(w * 100 + 0.5) > 0
+            ),
+            key=lambda t: (-t[2], t[0]),
+        )
+        tau = cand[k][2] if len(cand) > k else 0
+        for i, wc, p in cand[:k]:
+            want[(g, i)] = (wc, p, max(wc, tau))
+    assert got == want
+    # group b kept whole (only 2 eligible rows) and est == w there
+    assert got[("b", 7)][2] == got[("b", 7)][0]
+    assert got[("b", 8)][2] == got[("b", 8)][0]
