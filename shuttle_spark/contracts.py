@@ -463,6 +463,55 @@ def q_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "event_type", "value")
 
 
+def _golden_oracle() -> str:
+    from shuttle_spark.operators.dedup import golden_record_oracle_sql
+
+    src = (
+        "(SELECT user_id, ts, event_id, event_type,"
+        " CASE WHEN event_id % 5 <> 0 THEN"
+        "  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents,"
+        " CASE WHEN event_id % 7 <> 0 THEN props END AS props"
+        " FROM events)"
+    )
+    return golden_record_oracle_sql(
+        src, ["user_id"], "ts", "event_id",
+        ["event_type", "cents", "props"],
+    )
+
+
+@contract(
+    "golden_record_users",
+    _golden_oracle(),
+    "B8",
+    "ext",
+)
+def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship merge (dedup.golden_record): one row per user where
+    each column independently takes its latest NON-NULL value (value
+    cents and props NULLed on sparse moduli to exercise per-field
+    backfill — the master-data shape keep_latest's whole-row winner
+    cannot express).  Engine-trap note: Spark max_by(v, o) returns NULL
+    if the max-o row's v is NULL while DuckDB arg_max skips NULL v; the
+    operator guards the ordering key with `v IS NOT NULL` so both
+    engines agree.  ONE map-side-combined aggregate, one exchange, no
+    sort — the shuffle carries O(users), not O(events)."""
+    from shuttle_spark.operators.dedup import golden_record
+
+    ev = load_table(spark, sf, "events")
+    eid = F.col("event_id")
+    src = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            eid % 5 != 0,
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("cents"),
+        F.when(eid % 7 != 0, F.col("props")).alias("props"),
+    )
+    return golden_record(
+        src, ["user_id"], "ts", "event_id", ["event_type", "cents", "props"]
+    )
+
+
 # ===========================================================================
 # B9-B11: sorts and top-k
 # ===========================================================================

@@ -155,3 +155,74 @@ def repeated_span_doc_ids(
         wins.groupBy("win").count().filter(F.col("count") > 1).select("win")
     )
     return wins.join(shared, "win", "left_semi").select(id_col).distinct()
+
+
+def golden_record(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship merge ("golden record"): one row per entity where
+    EACH column independently takes its latest NON-NULL value — the
+    master-data consolidation step that ``keep_latest`` (whole-row
+    winner) cannot express: the newest row may carry NULLs for fields an
+    older row filled, and per-field survivorship backfills them.  Output:
+    ``keys..., n_versions, last_ts, <value_cols...>``.
+
+    Per column the pick is ``max_by(col, CASE WHEN col IS NOT NULL THEN
+    okey END)`` with ``okey = lex_okey(ts, tiebreak)`` (total order over
+    the full long range, so ties cannot make the pick ambiguous).  The
+    NULL-guard on the ordering key is load-bearing AND an engine
+    semantics trap: Spark's ``max_by(v, o)`` returns the v AT the max o
+    — NULL if that row's v is NULL — while DuckDB's ``arg_max(v, o)``
+    skips NULL v entirely; guarding o with ``v IS NOT NULL`` makes both
+    engines pick the latest non-NULL v (measured divergence, see
+    test_golden_record_semantics).
+
+    Plan: ONE exchange, map-side combined — each partial aggregate
+    collapses its partition to one candidate per (entity, column), so
+    at 100 TB the shuffle moves O(entities), not O(rows).  Spark plans
+    SortAggregate here (max_by's var-width string buffer disqualifies
+    the fixed-width hash-agg fast path), so each partition sorts by
+    entity key first — in-partition CPU, no extra exchange; the
+    window/row_number formulation would also sort but then shuffle
+    every entity's FULL history instead of the collapsed candidates."""
+    from shuttle_spark.operators.relational import lex_okey
+
+    okey = lex_okey(ts_col, tiebreak)
+    aggs = [
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    ]
+    for c in value_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), okey)
+            ).alias(c)
+        )
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def golden_record_oracle_sql(
+    table: str,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_cols: Sequence[str],
+) -> str:
+    """DuckDB twin of ``golden_record`` (identical okey + NULL-guard)."""
+    from shuttle_spark.operators.relational import LEX_OKEY_SQL
+
+    okey = LEX_OKEY_SQL.format(ts=ts_col, tiebreak=tiebreak)
+    ks = ", ".join(keys)
+    picks = ", ".join(
+        f"arg_max({c}, CASE WHEN {c} IS NOT NULL THEN {okey} END) AS {c}"
+        for c in value_cols
+    )
+    return (
+        f"SELECT {ks}, COUNT(*) AS n_versions,"
+        f" MAX({ts_col}::TIMESTAMP) AS last_ts, {picks}"
+        f" FROM {table} GROUP BY {ks}"
+    )

@@ -1908,3 +1908,91 @@ def test_fuzz_priority_sample(spark, duck, k, seed, grp, scale, row_mod):
             weight_scale=scale,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode 43: golden-record survivorship — random NULL moduli + entity grain
+# ---------------------------------------------------------------------------
+
+@given(
+    cents_mod=st.integers(0, 12),  # 0/1 -> column never NULL
+    props_mod=st.integers(0, 12),
+    type_mod=st.integers(0, 12),
+    ent_mod=st.integers(0, 40),  # 0/1 -> per-user grain, else coarser
+)
+@FUZZ
+def test_fuzz_golden_record(spark, duck, cents_mod, props_mod, type_mod,
+                            ent_mod):
+    """golden_record vs its generated DuckDB twin with randomized NULL
+    injection per column (including the all-NULL-column and never-NULL
+    extremes) and randomized entity grain — per-field latest-non-NULL
+    survivorship must agree id-exactly."""
+    from shuttle_spark.operators.dedup import (
+        golden_record,
+        golden_record_oracle_sql,
+    )
+
+    ev = load_table(spark, SF, "events")
+    eid = F.col("event_id")
+    ent = (
+        F.col("user_id") % ent_mod if ent_mod > 1 else F.col("user_id")
+    ).alias("ent")
+    ent_sql = f"user_id % {ent_mod}" if ent_mod > 1 else "user_id"
+
+    def guard(col, mod):
+        if mod == 0:  # always NULL
+            return F.lit(None).cast("string") if col == "props" else (
+                F.lit(None).cast("long") if col == "cents"
+                else F.lit(None).cast("string")
+            )
+        if mod == 1:
+            return {
+                "cents": F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                    "long"
+                ),
+                "props": F.col("props"),
+                "event_type": F.col("event_type"),
+            }[col]
+        base = {
+            "cents": F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            "props": F.col("props"),
+            "event_type": F.col("event_type"),
+        }[col]
+        return F.when(eid % mod != 0, base)
+
+    def guard_sql(col, mod):
+        base = {
+            "cents": "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+            "props": "props",
+            "event_type": "event_type",
+        }[col]
+        typ = "BIGINT" if col == "cents" else "VARCHAR"
+        if mod == 0:
+            return f"CAST(NULL AS {typ})"
+        if mod == 1:
+            return base
+        return f"CASE WHEN event_id % {mod} <> 0 THEN {base} END"
+
+    src_df = ev.select(
+        ent, "ts", "event_id",
+        guard("event_type", type_mod).alias("event_type"),
+        guard("cents", cents_mod).alias("cents"),
+        guard("props", props_mod).alias("props"),
+    )
+    src_sql = (
+        f"(SELECT {ent_sql} AS ent, ts, event_id,"
+        f" {guard_sql('event_type', type_mod)} AS event_type,"
+        f" {guard_sql('cents', cents_mod)} AS cents,"
+        f" {guard_sql('props', props_mod)} AS props FROM events)"
+    )
+    sdf = golden_record(
+        src_df, ["ent"], "ts", "event_id", ["event_type", "cents", "props"]
+    )
+    _check(
+        sdf,
+        duck,
+        golden_record_oracle_sql(
+            src_sql, ["ent"], "ts", "event_id",
+            ["event_type", "cents", "props"],
+        ),
+    )

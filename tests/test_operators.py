@@ -2023,3 +2023,56 @@ def test_priority_sample_semantics(spark):
     # group b kept whole (only 2 eligible rows) and est == w there
     assert got[("b", 7)][2] == got[("b", 7)][0]
     assert got[("b", 8)][2] == got[("b", 8)][0]
+
+
+def test_golden_record_semantics(spark):
+    """Per-column survivorship: each field independently takes its latest
+    non-NULL value; an entity whose newest row is all-NULL still
+    backfills from older rows; n_versions counts all rows.  Also pins
+    the engine trap this operator guards against: unguarded max_by
+    returns NULL when the newest row's value is NULL."""
+    import datetime as dt
+
+    from shuttle_spark.operators.dedup import golden_record
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: newest row fills email, older fills phone
+        (1, t(1), 101, "p1", None),
+        (1, t(2), 102, None, "e2"),
+        (1, t(3), 103, None, "e3"),
+        # user 2: newest row all-NULL -> both fields backfill
+        (2, t(1), 201, "p9", "e9"),
+        (2, t(2), 202, None, None),
+        # user 3: same ts, tiebreak decides (higher event_id wins)
+        (3, t(5), 301, "pA", None),
+        (3, t(5), 302, "pB", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long,"
+        " phone string, email string"
+    )
+    got = {
+        r["user_id"]: (r["n_versions"], r["phone"], r["email"])
+        for r in golden_record(
+            df, ["user_id"], "ts", "event_id", ["phone", "email"]
+        ).collect()
+    }
+    assert got == {
+        1: (3, "p1", "e3"),
+        2: (2, "p9", "e9"),
+        3: (2, "pB", None),
+    }
+
+    # the trap: unguarded max_by picks the newest ROW's value (NULL here)
+    from pyspark.sql import functions as F
+
+    from shuttle_spark.operators.relational import lex_okey
+
+    naive = (
+        df.filter(F.col("user_id") == 2)
+        .groupBy("user_id")
+        .agg(F.max_by("phone", lex_okey("ts", "event_id")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert naive is None  # guarded form above returned "p9"
