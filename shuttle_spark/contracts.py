@@ -6206,6 +6206,55 @@ def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cusum_oracle() -> str:
+    from shuttle_spark.operators.relational import cusum_oracle_sql
+
+    inner = cusum_oracle_sql(
+        "events", ["event_type"], "ts", "event_id", "value",
+        target_cents=5000, slack_cents=200, threshold_cents=20000,
+    )
+    return (
+        f"WITH pts AS ({inner})"
+        " SELECT event_type, COUNT(*) AS n_points,"
+        " CAST(SUM(CASE WHEN is_alert THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_alerts,"
+        " CAST(MAX(stat_cents) AS BIGINT) AS max_stat_cents,"
+        " MIN(CASE WHEN is_alert THEN ts END) AS first_alert_ts"
+        " FROM pts GROUP BY 1"
+    )
+
+
+@contract(
+    "cusum_drift_census",
+    _cusum_oracle(),
+    "B17",
+    "ext",
+)
+def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection (relational.cusum_points): Page's
+    sequential drift statistic per event-type stream via the exact
+    closed form s_i = c_i - min(0, running-min c) — the "recursive"
+    detector compiled to one cumsum window + one running-min window
+    over the SAME sort (one exchange, no recursion/UDF/iteration),
+    all-integer cents.  Census per stream: points, alarms, max
+    excursion, first alarm time."""
+    from shuttle_spark.operators.relational import cusum_points
+
+    ev = load_table(spark, sf, "events")
+    pts = cusum_points(
+        ev, ["event_type"], "ts", "event_id", "value",
+        target_cents=5000, slack_cents=200, threshold_cents=20000,
+    )
+    return pts.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col("is_alert").cast("long")).alias("n_alerts"),
+        F.max("stat_cents").alias("max_stat_cents"),
+        F.min(F.when(F.col("is_alert"), F.col("ts"))).alias(
+            "first_alert_ts"
+        ),
+    )
+
+
 @contract(
     "linear_attribution",
     "WITH conv AS (SELECT event_id AS c_id, user_id, ts::TIMESTAMP AS c_ts,"

@@ -1906,3 +1906,95 @@ def decayed_group_score(
             F.sum(term).alias("score_microcents"),
         )
     )
+
+
+def cusum_points(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+    scale: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic per key stream — the
+    classic sequential drift detector (Page 1954): s_i = max(0,
+    s_{i-1} + (x_i - target - slack)), alarm when s_i > threshold.
+    The recursion looks window-inexpressible, but CUSUM+ has the exact
+    closed form  s_i = c_i - min(0, min_{j<=i} c_j)  with c the running
+    sum of deviations — so it compiles to ONE cumulative-sum window plus
+    ONE running-min window over the SAME sort (one exchange, one sort
+    per key stream, no recursion, no UDF, no iteration).
+
+    All arithmetic is exact integer cents (x quantized at ``scale``),
+    so the statistic is association-free and bit-stable cross-engine.
+    Returns per-point detail: ``keys..., ts, tiebreak, stat_cents,
+    is_alert`` — aggregate downstream for the census shape (n_alerts /
+    max excursion / first alarm time).  Rows with NULL value are
+    excluded (they carry no evidence; LOCF-impute upstream if gaps
+    should extend the last observation instead).
+
+    At 100 TB: per-key state is the sort, partitioned on keys — the
+    same posture as every window operator here; skewed hot keys are the
+    dial to watch (salt the key or pre-aggregate to a coarser tick)."""
+    m = 10 ** scale
+    drift = target_cents + slack_cents
+    base = df.filter(F.col(value_col).isNotNull())
+    dev = (
+        F.floor(F.col(value_col) * m + F.lit(0.5)).cast("long") - F.lit(drift)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum(dev).over(w)
+    with_c = base.withColumn("__c", c)
+    runmin = F.min(F.col("__c")).over(w)
+    s = F.col("__c") - F.least(F.lit(0), runmin)
+    return (
+        with_c.withColumn("stat_cents", s)
+        .select(
+            *keys,
+            ts_col,
+            tiebreak,
+            "stat_cents",
+            (F.col("stat_cents") > threshold_cents).alias("is_alert"),
+        )
+    )
+
+
+def cusum_oracle_sql(
+    table: str,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    target_cents: int,
+    slack_cents: int,
+    threshold_cents: int,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of ``cusum_points`` (identical quantization, closed
+    form, and ordering)."""
+    m = 10 ** scale
+    drift = target_cents + slack_cents
+    ks = ", ".join(keys)
+    part = ", ".join(keys)
+    frame = (
+        f"PARTITION BY {part} ORDER BY {ts_col}::TIMESTAMP, {tiebreak}"
+        " ROWS UNBOUNDED PRECEDING"
+    )
+    return (
+        f"WITH d AS (SELECT {ks}, {ts_col}, {tiebreak},"
+        f" CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT) - {drift} AS dev"
+        f" FROM {table} WHERE {value_col} IS NOT NULL),"
+        f" c AS (SELECT {ks}, {ts_col}, {tiebreak},"
+        f" CAST(SUM(dev) OVER ({frame}) AS BIGINT) AS cc FROM d),"
+        f" s AS (SELECT {ks}, {ts_col}, {tiebreak},"
+        f" cc - LEAST(0, MIN(cc) OVER ({frame})) AS stat_cents FROM c)"
+        f" SELECT {ks}, {ts_col}::TIMESTAMP AS {ts_col}, {tiebreak},"
+        f" stat_cents, stat_cents > {threshold_cents} AS is_alert FROM s"
+    )

@@ -1996,3 +1996,50 @@ def test_fuzz_golden_record(spark, duck, cents_mod, props_mod, type_mod,
             ["event_type", "cents", "props"],
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode 44: CUSUM drift — random target/slack/threshold/grain + NULLs
+# ---------------------------------------------------------------------------
+
+@given(
+    target=st.integers(0, 12_000),
+    slack=st.integers(0, 2_000),
+    threshold=st.integers(100, 60_000),
+    key=st.sampled_from(["event_type", "user_id % 7"]),
+    null_mod=st.integers(0, 20),  # 0/1 -> no NULL injection
+)
+@FUZZ
+def test_fuzz_cusum(spark, duck, target, slack, threshold, key, null_mod):
+    """cusum_points vs its generated DuckDB twin over random dials,
+    stream grains, and NULL injection — the per-point statistic (not
+    just the census) must agree exactly."""
+    from shuttle_spark.operators.relational import (
+        cusum_oracle_sql,
+        cusum_points,
+    )
+
+    ev = load_table(spark, SF, "events").withColumn("grp", F.expr(key))
+    src = f"(SELECT *, {key} AS grp FROM events"
+    if null_mod > 1:
+        ev = ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % null_mod != 0, F.col("value")),
+        )
+        src = (
+            "(SELECT * REPLACE (CASE WHEN event_id %"
+            f" {null_mod} <> 0 THEN value END AS value),"
+            f" {key} AS grp FROM events"
+        )
+    src += ")"
+    sdf = cusum_points(
+        ev, ["grp"], "ts", "event_id", "value", target, slack, threshold
+    )
+    _check(
+        sdf,
+        duck,
+        cusum_oracle_sql(
+            src, ["grp"], "ts", "event_id", "value", target, slack,
+            threshold,
+        ),
+    )

@@ -2076,3 +2076,44 @@ def test_golden_record_semantics(spark):
         .collect()[0]["m"]
     )
     assert naive is None  # guarded form above returned "p9"
+
+
+def test_cusum_points_semantics(spark):
+    """The closed form (cumsum minus clamped running min) equals Page's
+    recursion s_i = max(0, s_{i-1} + dev_i) replayed in pure Python;
+    NULL values carry no evidence (excluded); same-ts ties order by the
+    tiebreak."""
+    import datetime as dt
+
+    from shuttle_spark.operators.relational import cusum_points
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    vals = [55.0, 40.0, None, 70.0, 70.0, 30.0, 90.0, 90.0, 90.0]
+    rows = [(1, t(i), i, v) for i, v in enumerate(vals)]
+    # two same-ts rows to pin tie order
+    rows.append((1, t(7), 100, 10.0))
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, v double"
+    )
+    got = [
+        (r["eid"], r["stat_cents"], r["is_alert"])
+        for r in sorted(
+            cusum_points(
+                df, ["k"], "ts", "eid", "v",
+                target_cents=5000, slack_cents=500, threshold_cents=3000,
+            ).collect(),
+            key=lambda r: (r["ts"], r["eid"]),
+        )
+    ]
+    # pure-Python recursion over the same (ts, eid) order, NULLs dropped
+    ordered = sorted(
+        ((ts, eid, v) for _, ts, eid, v in rows if v is not None),
+        key=lambda x: (x[0], x[1]),
+    )
+    s, want = 0, []
+    for _, eid, v in ordered:
+        dev = int(v * 100 + 0.5) - 5500
+        s = max(0, s + dev)
+        want.append((eid, s, s > 3000))
+    assert got == want
+    assert any(a for _, _, a in want) and not all(a for _, _, a in want)
