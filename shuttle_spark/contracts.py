@@ -3409,6 +3409,36 @@ def q_word_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _inverted_index_oracle() -> str:
+    from shuttle_spark.operators.pipeline import inverted_index_oracle_sql
+
+    return inverted_index_oracle_sql(
+        "documents", _NORM_SQL.format(col="text"),
+        postings_cap=5, min_df=5, max_df=500,
+    )
+
+
+@contract(
+    "inverted_index_terms",
+    _inverted_index_oracle(),
+    "B21",
+    "ext",
+    "llm",
+)
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build (pipeline.inverted_index): per term the
+    document frequency, total tf, and the first 5 posting doc-ids —
+    with the scale-critical ordering encoded: df census FIRST, viral
+    (stop-word) terms dropped via a term-key semi-join BEFORE posting
+    collection, so no reducer ever materializes an O(corpus) posting
+    list.  All aggregations hash-partition on term (exchange reuse);
+    min_df=5 trims the hapax tail, max_df=500 is the stop-word guard."""
+    from shuttle_spark.operators.pipeline import inverted_index
+
+    docs = load_table(spark, sf, "documents")
+    return inverted_index(docs, postings_cap=5, min_df=5, max_df=500)
+
+
 @contract(
     "ivf_full_probe_topk",
     "SELECT vec_id, ROUND(sim_raw, 6) AS sim FROM"

@@ -624,3 +624,87 @@ def stratified_split(
         .withColumn(split_col, case)
         .drop("__rn", "__ns")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 5,
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the first ``postings_cap`` doc ids (ascending) as a
+    comma-joined posting prefix — the retrieval-side artifact of a text
+    corpus (search, dedup blocking, contamination lookup all start
+    here).  Output: ``term, doc_freq, total_tf, top_postings``.
+
+    Plan: tokenize -> (term, doc) pair aggregate (map-side combined
+    dedup + per-doc tf, ONE exchange on term that every later step
+    reuses).  With ``max_df`` set, term df is computed FIRST and viral
+    terms (stop words) are dropped BEFORE posting collection via a
+    term-key semi-join — at 100 TB this is the load-bearing order:
+    a stop word's full posting list is O(corpus) and would dominate the
+    collect_set state of a single reducer; the df census is a cheap
+    count that never materializes lists.  Both aggregations and the
+    semi-join hash-partition on term, so Spark reuses the exchange.
+    Without ``max_df`` the build is a single aggregate (the cap then
+    bounds only the OUTPUT, not the collect state — set max_df on real
+    corpora)."""
+    pairs = words_relation(docs, (id_col,), text_col).groupBy(
+        "term", id_col
+    ).agg(F.count(F.lit(1)).alias("__tf_doc"))
+    if max_df is not None:
+        dfc = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        keep = dfc.filter(F.col("__df") <= max_df).select("term")
+        pairs = pairs.join(keep, "term", "left_semi")
+    out = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("__tf_doc").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_set(F.col(id_col))),
+                    1,
+                    postings_cap,
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("top_postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out
+
+
+def inverted_index_oracle_sql(
+    table: str,
+    norm_sql_text: str,
+    id_col: str = "doc_id",
+    postings_cap: int = 5,
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of ``inverted_index``; ``norm_sql_text`` is the
+    normalized-text SQL expression (the tokenizer twin's input)."""
+    dfq = f"HAVING COUNT(*) >= {min_df}" if min_df > 1 else ""
+    maxq = (
+        f" WHERE term IN (SELECT term FROM pairs GROUP BY term"
+        f" HAVING COUNT(*) <= {max_df})"
+        if max_df is not None
+        else ""
+    )
+    return (
+        f"WITH words AS (SELECT {id_col},"
+        f" UNNEST(STRING_SPLIT(TRIM({norm_sql_text}), ' ')) AS term"
+        f" FROM {table}),"
+        f" pairs AS (SELECT term, {id_col}, COUNT(*) AS tf_doc"
+        f" FROM words GROUP BY 1, 2)"
+        f" SELECT term, COUNT(*) AS doc_freq,"
+        f" CAST(SUM(tf_doc) AS BIGINT) AS total_tf,"
+        f" array_to_string(list_slice(list(CAST({id_col} AS VARCHAR)"
+        f" ORDER BY {id_col}), 1, {postings_cap}), ',') AS top_postings"
+        f" FROM pairs{maxq} GROUP BY term {dfq}"
+    )

@@ -2043,3 +2043,43 @@ def test_fuzz_cusum(spark, duck, target, slack, threshold, key, null_mod):
             threshold,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode 45: inverted index — random cap / df band + doc subset
+# ---------------------------------------------------------------------------
+
+_II_NORM = "TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+
+
+@given(
+    cap=st.integers(1, 12),
+    min_df=st.integers(1, 6),
+    max_df=st.one_of(st.none(), st.integers(2, 400)),
+    doc_mod=st.integers(0, 6),  # 0/1 -> all docs
+)
+@FUZZ
+def test_fuzz_inverted_index(spark, duck, cap, min_df, max_df, doc_mod):
+    """inverted_index vs its generated DuckDB twin over random posting
+    caps, df bands (including max_df None = single-aggregate path), and
+    document subsets."""
+    from shuttle_spark.operators.pipeline import (
+        inverted_index,
+        inverted_index_oracle_sql,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = "documents"
+    if doc_mod > 1:
+        docs = docs.filter(F.col("doc_id") % doc_mod != 1)
+        src = f"(SELECT * FROM documents WHERE doc_id % {doc_mod} <> 1)"
+    sdf = inverted_index(
+        docs, postings_cap=cap, min_df=min_df, max_df=max_df
+    )
+    _check(
+        sdf,
+        duck,
+        inverted_index_oracle_sql(
+            src, _II_NORM, postings_cap=cap, min_df=min_df, max_df=max_df
+        ),
+    )

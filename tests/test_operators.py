@@ -2117,3 +2117,35 @@ def test_cusum_points_semantics(spark):
         want.append((eid, s, s > 3000))
     assert got == want
     assert any(a for _, _, a in want) and not all(a for _, _, a in want)
+
+
+def test_inverted_index_semantics(spark):
+    """df counts distinct docs (not occurrences), total_tf counts
+    occurrences, postings are the ascending id prefix, min_df trims,
+    and max_df drops viral terms BEFORE posting collection."""
+    from shuttle_spark.operators.pipeline import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the the dog"),
+            (3, "the cat ran"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: (r["doc_freq"], r["total_tf"], r["top_postings"])
+        for r in inverted_index(docs, postings_cap=2).collect()
+    }
+    assert got["the"] == (3, 4, "1,2")      # df=3 docs, tf=4 occurrences
+    assert got["cat"] == (2, 2, "1,3")
+    assert got["dog"] == (1, 1, "2")
+
+    # max_df=2 drops 'the' (df 3); min_df=2 drops the singletons
+    got2 = {
+        r["term"]
+        for r in inverted_index(
+            docs, postings_cap=2, min_df=2, max_df=2
+        ).collect()
+    }
+    assert got2 == {"cat"}
