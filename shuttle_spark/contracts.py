@@ -6236,6 +6236,62 @@ def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _twap_oracle() -> str:
+    from shuttle_spark.operators.relational import twap_oracle_sql
+
+    return twap_oracle_sql("events", ["user_id"], "ts", "event_id", "value")
+
+
+@contract(
+    "twap_user_value",
+    _twap_oracle(),
+    "B17",
+    "ext",
+)
+def q_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (relational.twap): per user, each value
+    weighted by how long it remained current (lead(ts) - ts) — the
+    irregular-sampling fix a plain AVG gets wrong.  Exact int64
+    accumulators (cents x µs); the final quotient converts the same two
+    integers to double on both engines and rounds.  One lead() window +
+    one map-side-combined aggregate."""
+    from shuttle_spark.operators.relational import twap
+
+    ev = load_table(spark, sf, "events")
+    return twap(ev, ["user_id"], "ts", "event_id", "value")
+
+
+def _equi_depth_oracle() -> str:
+    from shuttle_spark.operators.relational import equi_depth_oracle_sql
+
+    return equi_depth_oracle_sql(
+        "(SELECT *, l_orderkey * 8 + l_linenumber AS rid FROM lineitem)",
+        "l_extendedprice", "rid", n_bins=16,
+    )
+
+
+@contract(
+    "equi_depth_lineitem",
+    _equi_depth_oracle(),
+    "B18",
+    "ext",
+)
+def q_equi_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth histogram (relational.equi_depth_histogram): 16
+    quantile bins of l_extendedprice, each holding an equal row share
+    (±1) with its value range — rank formula (rank-1)*B DIV n (NOT
+    NTILE, whose remainders front-load) over global_rank's two-pass
+    range bucketing, so there is NO single-partition window at any
+    scale.  The skew-proof census equi-width price_histogram cannot
+    give."""
+    from shuttle_spark.operators.relational import equi_depth_histogram
+
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "rid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return equi_depth_histogram(li, "l_extendedprice", "rid", n_bins=16)
+
+
 def _cusum_oracle() -> str:
     from shuttle_spark.operators.relational import cusum_oracle_sql
 

@@ -1998,3 +1998,154 @@ def cusum_oracle_sql(
         f" SELECT {ks}, {ts_col}::TIMESTAMP AS {ts_col}, {tiebreak},"
         f" stat_cents, stat_cents > {threshold_cents} AS is_alert FROM s"
     )
+
+
+def twap(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Time-weighted average (TWAP): per key, each observation is
+    weighted by how long it REMAINED the current value (lead(ts) - ts);
+    the stream's last observation carries no duration and drops out —
+    the standard fix for irregular sampling, where a plain AVG
+    overweights chatty periods (telemetry heartbeats, quote bursts).
+
+    Output: ``keys..., n_intervals, dur_us_total, twap_cents``.  Both
+    accumulators are exact int64 (cents x µs durations; the weighted
+    sum holds to ~10^18 µs-cents per key — centuries of a 10^5-cent
+    signal); the final quotient converts the SAME two integers to
+    double on both engines (IEEE-identical), divides, and rounds —
+    the corr_matrix precedent for exactness past 2^53.
+
+    Plan: one lead() window (one exchange + sort per key), one
+    map-side-combined aggregate.  Keys with a single observation emit
+    NULL twap (no interval ever elapsed)."""
+    m = 10 ** scale
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak))
+    dur = F.lead(F.unix_micros(F.col(ts_col))).over(w) - F.unix_micros(
+        F.col(ts_col)
+    )
+    cents = F.floor(F.col(value_col) * m + F.lit(0.5)).cast("long")
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__dur", dur)
+        .filter(F.col("__dur").isNotNull())
+        .withColumn("__wc", cents * F.col("__dur"))
+    )
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dur").alias("dur_us_total"),
+        F.round(
+            F.sum("__wc").cast("double")
+            / F.sum("__dur").cast("double"),
+            6,
+        ).alias("twap_cents"),
+    )
+
+
+def twap_oracle_sql(
+    table: str,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of ``twap`` (identical windows, integer sums, and
+    final double division/round)."""
+    m = 10 ** scale
+    ks = ", ".join(keys)
+    part = ", ".join(keys)
+    return (
+        f"WITH s AS (SELECT {ks},"
+        f" LEAD(epoch_us({ts_col}::TIMESTAMP)) OVER (PARTITION BY {part}"
+        f" ORDER BY {ts_col}::TIMESTAMP, {tiebreak})"
+        f" - epoch_us({ts_col}::TIMESTAMP) AS dur,"
+        f" CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT) AS cents"
+        f" FROM {table} WHERE {value_col} IS NOT NULL),"
+        f" t AS (SELECT {ks}, dur, cents * dur AS wc FROM s"
+        f" WHERE dur IS NOT NULL)"
+        f" SELECT {ks}, COUNT(*) AS n_intervals,"
+        f" CAST(SUM(dur) AS BIGINT) AS dur_us_total,"
+        f" ROUND(CAST(CAST(SUM(wc) AS BIGINT) AS DOUBLE)"
+        f" / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE), 6) AS twap_cents"
+        f" FROM t GROUP BY {ks}"
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: str,
+    n_bins: int = 16,
+    scale: int = 2,
+    buckets: int = 32,
+) -> DataFrame:
+    """Equi-DEPTH histogram (quantile binning): ``n_bins`` bins each
+    holding an equal share of rows (±1), with each bin's row count and
+    value range — the data-skipping / binning census that equi-WIDTH
+    histograms (``price_histogram``) get wrong on skewed data, and the
+    discretization step feature pipelines run before bucketed training.
+
+    Bin assignment is ``(rank - 1) * n_bins DIV n`` over the global
+    (value, tiebreak) order — NOT SQL NTILE, whose remainder rows all
+    front-load into the first bins; this formula spreads them evenly
+    and, being pure integer arithmetic on the rank, is bit-stable
+    cross-engine.  The rank itself is ``global_rank`` (two-pass range
+    bucketing) — NO single-partition window anywhere, so the plan holds
+    at 100 TB where a naive NTILE() OVER () funnels the corpus through
+    one task.  NULL values are excluded (they have no quantile).
+
+    Output: ``bin, n_rows, lo_cents, hi_cents`` (bin depths differ by
+    at most 1; ranges touch at shared boundary values)."""
+    m = 10 ** scale
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.floor(F.col(value_col) * m + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+        F.col(tiebreak).alias("__tb"),
+    )
+    ranked = global_rank(
+        base,
+        "__cents",
+        [F.col("__cents"), F.col("__tb")],
+        alias="__rn",
+        buckets=buckets,
+        keep_total=True,
+    )
+    binned = ranked.withColumn(
+        "bin", F.expr(f"(__rn - 1) * {n_bins} div __n")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__cents").alias("lo_cents"),
+        F.max("__cents").alias("hi_cents"),
+    )
+
+
+def equi_depth_oracle_sql(
+    table: str,
+    value_col: str,
+    tiebreak: str,
+    n_bins: int = 16,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of ``equi_depth_histogram`` (same rank formula —
+    ROW_NUMBER, not NTILE)."""
+    m = 10 ** scale
+    return (
+        f"WITH q AS (SELECT"
+        f" CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT) AS cents,"
+        f" {tiebreak} AS tb FROM {table}"
+        f" WHERE {value_col} IS NOT NULL),"
+        f" r AS (SELECT cents,"
+        f" ROW_NUMBER() OVER (ORDER BY cents, tb) AS rn,"
+        f" COUNT(*) OVER () AS n FROM q)"
+        f" SELECT (rn - 1) * {n_bins} // n AS bin,"
+        f" COUNT(*) AS n_rows, MIN(cents) AS lo_cents,"
+        f" MAX(cents) AS hi_cents FROM r GROUP BY 1"
+    )

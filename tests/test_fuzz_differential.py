@@ -2083,3 +2083,67 @@ def test_fuzz_inverted_index(spark, duck, cap, min_df, max_df, doc_mod):
             src, _II_NORM, postings_cap=cap, min_df=min_df, max_df=max_df
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode 46: TWAP + equi-depth histogram — random grains / bins / scales
+# ---------------------------------------------------------------------------
+
+@given(
+    key=st.sampled_from(["user_id", "event_type", "user_id % 9"]),
+    scale=st.integers(0, 3),
+    null_mod=st.integers(0, 15),
+)
+@FUZZ
+def test_fuzz_twap(spark, duck, key, scale, null_mod):
+    from shuttle_spark.operators.relational import twap, twap_oracle_sql
+
+    ev = load_table(spark, SF, "events").withColumn("grp", F.expr(key))
+    src = f"(SELECT *, {key} AS grp FROM events)"
+    if null_mod > 1:
+        ev = ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % null_mod != 0, F.col("value")),
+        )
+        src = (
+            "(SELECT * REPLACE (CASE WHEN event_id %"
+            f" {null_mod} <> 0 THEN value END AS value),"
+            f" {key} AS grp FROM events)"
+        )
+    sdf = twap(ev, ["grp"], "ts", "event_id", "value", scale=scale)
+    _check(
+        sdf,
+        duck,
+        twap_oracle_sql(src, ["grp"], "ts", "event_id", "value",
+                        scale=scale),
+    )
+
+
+@given(
+    n_bins=st.integers(2, 64),
+    col=st.sampled_from(["l_extendedprice", "l_quantity", "l_discount"]),
+    scale=st.integers(0, 3),
+    buckets=st.sampled_from([2, 8, 32]),
+)
+@FUZZ
+def test_fuzz_equi_depth(spark, duck, n_bins, col, scale, buckets):
+    from shuttle_spark.operators.relational import (
+        equi_depth_histogram,
+        equi_depth_oracle_sql,
+    )
+
+    li = load_table(spark, SF, "lineitem").withColumn(
+        "rid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    sdf = equi_depth_histogram(
+        li, col, "rid", n_bins=n_bins, scale=scale, buckets=buckets
+    )
+    _check(
+        sdf,
+        duck,
+        equi_depth_oracle_sql(
+            "(SELECT *, l_orderkey * 8 + l_linenumber AS rid"
+            " FROM lineitem)",
+            col, "rid", n_bins=n_bins, scale=scale,
+        ),
+    )

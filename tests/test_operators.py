@@ -2149,3 +2149,69 @@ def test_inverted_index_semantics(spark):
         ).collect()
     }
     assert got2 == {"cat"}
+
+
+def test_twap_semantics(spark):
+    """Interval weighting: value held longer weighs more; the last
+    observation per key carries no duration; single-observation keys
+    emit no row (no interval ever elapsed); NULL values are dropped."""
+    import datetime as dt
+
+    from shuttle_spark.operators.relational import twap
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # key 1: 10.0 held 3 s, 40.0 held 1 s, 99.0 is last (no weight)
+        (1, t(0), 1, 10.0),
+        (1, t(3), 2, 40.0),
+        (1, t(4), 3, 99.0),
+        # key 2: single observation -> no output row
+        (2, t(0), 4, 5.0),
+        # key 3: NULL value dropped, so 7.0 spans to the 9.0 obs
+        (3, t(0), 5, 7.0),
+        (3, t(1), 6, None),
+        (3, t(2), 7, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, v double"
+    )
+    got = {
+        r["k"]: (r["n_intervals"], r["dur_us_total"], r["twap_cents"])
+        for r in twap(df, ["k"], "ts", "eid", "v").collect()
+    }
+    # key 1: (1000*3e6 + 4000*1e6) / 4e6 = 1750.0 cents
+    assert got[1] == (2, 4_000_000, 1750.0)
+    assert 2 not in got
+    # key 3: 700 cents held the full 2 s
+    assert got[3] == (1, 2_000_000, 700.0)
+
+
+def test_equi_depth_histogram_semantics(spark):
+    """Bin depths differ by at most 1 and sum to n; bins are ordered,
+    value-disjoint up to shared boundaries; remainders spread evenly
+    (NOT NTILE's front-loading); NULLs excluded."""
+    from shuttle_spark.operators.relational import equi_depth_histogram
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5, 1, 9, 3, 7, 2, 8, 4, 6, 10, 11])] + [(99, None)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    out = sorted(
+        equi_depth_histogram(df, "v", "rid", n_bins=4, buckets=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    depths = [r["n_rows"] for r in out]
+    assert sum(depths) == 11 and max(depths) - min(depths) <= 1
+    # remainder spread differs from NTILE at e.g. n=10, B=4: the
+    # (rn-1)*B DIV n formula alternates 3,2,3,2 while NTILE front-loads
+    # 3,3,2,2 — pin ours
+    out10 = sorted(
+        equi_depth_histogram(
+            df.filter(F.col("v") <= 10.0), "v", "rid", n_bins=4, buckets=4
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["n_rows"] for r in out10] == [3, 2, 3, 2]
+    # ranges ordered and non-overlapping (strictly, since values unique)
+    for a, b in zip(out, out[1:]):
+        assert a["hi_cents"] <= b["lo_cents"]
