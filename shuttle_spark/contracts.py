@@ -6341,6 +6341,66 @@ def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_cusum_oracle() -> str:
+    from shuttle_spark.operators.relational import cusum_oracle_sql
+
+    inner = cusum_oracle_sql(
+        "events", ["event_type"], "ts", "event_id", "value",
+        target_cents=5000, slack_cents=200, threshold_cents=20000,
+    )
+    return (
+        f"WITH pts AS ({inner}),"
+        " f AS (SELECT * FROM pts WHERE ts <="
+        "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 7201 SECOND FROM events))"
+        " SELECT event_type, COUNT(*) AS n_points,"
+        " CAST(SUM(CASE WHEN is_alert THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_alerts,"
+        " CAST(MAX(stat_cents) AS BIGINT) AS max_stat_cents,"
+        " MIN(CASE WHEN is_alert THEN epoch_us(ts) END) AS first_alert_us"
+        " FROM f GROUP BY 1"
+    )
+
+
+@contract(
+    "stream_cusum_census",
+    _stream_cusum_oracle(),
+    "B24",
+    "B17",
+)
+def q_stream_cusum_census(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM drift detection as an ACTUAL Structured Streaming replay
+    (streaming.stream_cusum): file stream -> watermark -> stateful
+    (c, min) carry -> AvailableNow, censused against the BATCH closed
+    form's oracle on the finalized subset — stream == batch for the
+    online alerting shape.  The entire per-key history compresses to
+    two long counters of state; same 1 s guard inside the 2 h watermark
+    as the other stream replays."""
+    from shuttle_spark.streaming import events_stream, run_available_now
+    from shuttle_spark.streaming.core import stream_cusum
+
+    ev = load_table(spark, sf, "events")
+    cutoff_us = (
+        ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 7_201_000_000
+    )
+    out = run_available_now(
+        stream_cusum(events_stream(spark, sf)),
+        f"scusum_{abs(hash(sf)) % 99999}",
+        shuffle_partitions=4,
+    )
+    return (
+        out.filter(F.col("ts_us") <= cutoff_us)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("is_alert").cast("long")).alias("n_alerts"),
+            F.max("stat_cents").alias("max_stat_cents"),
+            F.min(F.when(F.col("is_alert"), F.col("ts_us"))).alias(
+                "first_alert_us"
+            ),
+        )
+    )
+
+
 @contract(
     "linear_attribution",
     "WITH conv AS (SELECT event_id AS c_id, user_id, ts::TIMESTAMP AS c_ts,"

@@ -1350,3 +1350,126 @@ def stream_locf_packed(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_cusum(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target_cents: int = 5000,
+    slack_cents: int = 200,
+    threshold_cents: int = 20000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``relational.cusum_points``: Page's one-sided
+    CUSUM drift detector as a live stateful operator — the online
+    alerting shape ("page me when the metric stream drifts"), where the
+    batch closed form (cumsum - clamped running min) becomes TWO long
+    counters of carried state: ``c`` (running deviation sum) and ``m``
+    (min(0, running min of c)), updated per finalized row in (ts,
+    event_id) order; the emitted statistic is ``c - m``, bit-equal to
+    the batch operator on the finalized subset.
+
+    Same finalize-at-watermark protocol as ``stream_locf``: rows buffer
+    in state, emit once the watermark passes them, late/disordered rows
+    inside the watermark are re-sorted before folding.  NULL values are
+    excluded upstream (they carry no evidence, matching the batch
+    operator's filter).  State per key = two longs + the in-flight
+    disorder buffer — CUSUM is the textbook case for why streaming drift
+    detection is cheap: the entire history compresses to (c, m).
+
+    Emits ``(key, event_id, ts_us, stat_cents, is_alert)``."""
+    drift = target_cents + slack_cents
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("stat_cents", T.LongType()),
+            T.StructField("is_alert", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("c_cum", T.LongType()),
+            T.StructField("c_min", T.LongType()),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_eid", T.ArrayType(T.LongType())),
+            T.StructField("p_cents", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        c, mn, p_ts, p_eid, p_c = (
+            (
+                state.get[0],
+                state.get[1],
+                [*state.get[2]],
+                [*state.get[3]],
+                [*state.get[4]],
+            )
+            if state.exists
+            else (0, 0, [], [], [])
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype(
+                    "int64"
+                )
+                live = us >= wm_us
+                pdf, us = pdf[live], us[live]
+                if not len(pdf):
+                    continue
+                vals = pdf[value_col].values.astype("float64")
+                ok = ~np.isnan(vals)
+                cents = np.zeros(len(vals), dtype="int64")
+                cents[ok] = np.floor(vals[ok] * 100 + 0.5).astype("int64")
+                p_ts.extend(int(x) for x in us[ok])
+                p_eid.extend(int(x) for x in pdf["event_id"].values[ok])
+                p_c.extend(int(x) for x in cents[ok])
+        out_rows = []
+        if p_ts:
+            order = np.lexsort((np.asarray(p_eid), np.asarray(p_ts)))
+            rem_ts, rem_eid, rem_c = [], [], []
+            for i in order:
+                i = int(i)
+                if p_ts[i] > wm_us:
+                    rem_ts.append(p_ts[i])
+                    rem_eid.append(p_eid[i])
+                    rem_c.append(p_c[i])
+                    continue
+                c += p_c[i] - drift
+                mn = min(mn, c)
+                s = c - mn
+                out_rows.append(
+                    (key[0], p_eid[i], p_ts[i], s, s > threshold_cents)
+                )
+            p_ts, p_eid, p_c = rem_ts, rem_eid, rem_c
+        state.update((c, mn, p_ts, p_eid, p_c))
+        if p_ts:
+            state.setTimeoutTimestamp(
+                max(min(p_ts) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[key_col, "event_id", "ts_us", "stat_cents",
+                         "is_alert"],
+            )
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -651,3 +651,42 @@ def test_stream_locf_packed_parity_and_batch_equality(spark):
         assert plain.exceptAll(packed).count() == 0, name
         assert packed.exceptAll(plain).count() == 0, name
         assert packed.filter(F.col("was_filled")).count() > 0, name
+
+
+def test_stream_cusum_equals_batch_single_and_multi_batch(spark):
+    """stream_cusum == relational.cusum_points per POINT on the
+    finalized subset, single- and multi-batch — the two-counter carry
+    (c, min) must survive micro-batch boundaries exactly."""
+    from shuttle_spark.operators import relational as R
+    from shuttle_spark.streaming import events_stream_multi
+    from shuttle_spark.streaming.core import stream_cusum
+
+    dials = dict(target_cents=5000, slack_cents=200, threshold_cents=9000)
+    ev = _events(spark)
+    batch = R.cusum_points(
+        ev, ["event_type"], "ts", "event_id", "value", **dials
+    )
+    cutoff = _cutoff(spark) - dt.timedelta(seconds=1)
+    want = _rows(
+        batch.filter(F.col("ts") <= F.lit(cutoff)).select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "stat_cents",
+            "is_alert",
+        )
+    )
+    cutoff_us = int(
+        ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 7_201_000_000
+    )
+    for src, name in (
+        (events_stream(spark, SF), "scusum_one"),
+        (events_stream_multi(spark, SF, n_files=4), "scusum_multi"),
+    ):
+        got = _rows(
+            run_available_now(
+                stream_cusum(src, **dials), name, shuffle_partitions=4
+            ).filter(F.col("ts_us") <= cutoff_us)
+        )
+        assert got == want, f"{name}: stream != batch"
+    assert any(r[-1] for r in want) and not all(r[-1] for r in want)
