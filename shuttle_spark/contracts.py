@@ -6341,6 +6341,118 @@ def q_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fk_census_oracle() -> str:
+    from shuttle_spark.operators.integrity import fk_integrity_oracle_sql
+
+    return fk_integrity_oracle_sql([
+        ("lineitem_orders",
+         "lineitem", "l_orderkey",
+         "(SELECT * FROM orders WHERE o_orderkey % 97 <> 0)", "o_orderkey"),
+        ("orders_customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem_part",
+         "(SELECT CASE WHEN l_linenumber % 6 <> 0 THEN l_partkey END"
+         " AS l_partkey FROM lineitem)",
+         "l_partkey", "part", "p_partkey"),
+    ])
+
+
+@contract(
+    "fk_integrity_census",
+    _fk_census_oracle(),
+    "B23",
+    "ext",
+)
+def q_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity census (integrity.fk_integrity_census):
+    orphan rows/keys and NULL-FK counts for three relationships in one
+    result — against a corrupted orders replica (every 97th key
+    dropped) to exercise orphan detection, the intact orders→customer
+    edge as the clean case, and a NULL-injected l_partkey for the NULL
+    path.  Scale discipline: the child collapses to (key, count)
+    BEFORE any join, the parent prunes to its key column, and one LEFT
+    join + one aggregate classify everything — O(distinct keys)
+    shuffled, never O(rows)."""
+    from shuttle_spark.operators.integrity import fk_integrity_census
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    part = load_table(spark, sf, "part")
+    corrupt_orders = orders.filter(F.col("o_orderkey") % 97 != 0)
+    li_nulled = li.select(
+        F.when(
+            F.col("l_linenumber") % 6 != 0, F.col("l_partkey")
+        ).alias("l_partkey")
+    )
+    return fk_integrity_census([
+        ("lineitem_orders", li, "l_orderkey", corrupt_orders, "o_orderkey"),
+        ("orders_customer", orders, "o_custkey", cust, "c_custkey"),
+        ("lineitem_part", li_nulled, "l_partkey", part, "p_partkey"),
+    ])
+
+
+# synthetic CDC op log derived from events: op from the event type
+# (signup/purchase insert, click/view update, error delete), seq =
+# event_id (unique), payload = integer cents + props
+_CDC_OP_SQL = (
+    "CASE WHEN event_type IN ('signup', 'purchase') THEN 'I'"
+    " WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+)
+
+
+def _compact_changeset_oracle() -> str:
+    from shuttle_spark.operators.lineage import compact_changeset_oracle_sql
+
+    src = (
+        f"(SELECT user_id, event_id, {_CDC_OP_SQL} AS op,"
+        " CASE WHEN event_type <> 'error' THEN"
+        "  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents,"
+        " CASE WHEN event_type <> 'error' THEN props END AS props"
+        " FROM events)"
+    )
+    return compact_changeset_oracle_sql(
+        src, ["user_id"], "event_id", ["cents", "props"]
+    )
+
+
+@contract(
+    "compact_changeset_net",
+    _compact_changeset_oracle(),
+    "B8",
+    "ext",
+)
+def q_compact_changeset(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changeset compaction (lineage.compact_changeset): a raw
+    multi-op-per-key log folds to its net effect — at most one I/U/D
+    per key, values from the last non-delete row, insert-then-delete
+    keys vanishing — the Kafka-compaction step that DISCHARGES the
+    one-op-per-key invariant stream_mv_maintenance states as a
+    precondition.  ONE map-side-combined aggregate, one exchange of
+    O(keys).  Op log synthesized deterministically from events
+    (signup/purchase=I, click/view=U, error=D, seq=event_id)."""
+    from shuttle_spark.operators.lineage import compact_changeset
+
+    ev = load_table(spark, sf, "events")
+    not_del = F.col("event_type") != "error"
+    src = ev.select(
+        "user_id", "event_id",
+        F.when(
+            F.col("event_type").isin("signup", "purchase"), F.lit("I")
+        )
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(
+            not_del, F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+        F.when(not_del, F.col("props")).alias("props"),
+    )
+    return compact_changeset(
+        src, ["user_id"], "event_id", ["cents", "props"]
+    )
+
+
 def _stream_cusum_oracle() -> str:
     from shuttle_spark.operators.relational import cusum_oracle_sql
 
@@ -8109,26 +8221,45 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # (green r08; B23 now holds table_recon_counts + table_recon_drill_rows
 # + column_profile_docs + profile_drift_census — the checksum row stays
 # FULL-gated).
+#
+# Round-9 extension rotation (all eight operators new this round, all
+# displaced rows green in CORRECTNESS_r08 and staying FULL-gated; rows
+# that entered the gate earlier THIS round stay to earn their first
+# driver row):
+#   golden_record_users      <- keep_latest        (B8 generalization)
+#   cusum_drift_census       <- rolling_window_features (B17 keeps
+#                               ohlc/merge_intervals/locf/stream twins)
+#   stream_cusum_census      <- stream_locf_census (the packed twin
+#                               shares that oracle VERBATIM and stays)
+#   priority_sample_orders   <- stratified_split_counts (sampling
+#                               family; splits stay FULL-gated)
+#   equi_depth_lineitem      <- global_rank_distributed (equi-depth
+#                               exercises global_rank internally)
+#   inverted_index_terms     <- array_ops_agg       (B21 continues via
+#                               the index build's explode/collect path)
+#   twap_user_value          <- ab_test_summary     (B17)
+#   corr_matrix_lineitem     <- ivf_partitioned_probe (B29 keeps
+#                               topk_cosine + ivf_upsert_equal)
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
-    "stream_mv_maintenance", "distinct_partkeys", "keep_latest",
+    "stream_mv_maintenance", "distinct_partkeys", "golden_record_users",
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
     "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
-    "intersect_count", "rollup_agg", "ivf_partitioned_probe",
-    "rolling_window_features", "global_rank_distributed",
+    "intersect_count", "rollup_agg", "corr_matrix_lineitem",
+    "cusum_drift_census", "equi_depth_lineitem",
     "scalar_functions", "json_extract_variant_agg",
-    "array_ops_agg", "topk_cosine",
+    "inverted_index_terms", "topk_cosine",
     "column_profile_docs", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "label_prop_equal", "table_recon_counts", "ab_test_summary",
-    "table_recon_drill_rows", "stratified_split_counts",
+    "label_prop_equal", "table_recon_counts", "twap_user_value",
+    "table_recon_drill_rows", "priority_sample_orders",
     "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
     "runtime_filter_join", "ohlc_bars",
     "sessionize", "stream_ohlc_bars",
     "ivf_upsert_equal", "profile_drift_census",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
     "simhash_replay_equal", "mv_arriving_totals",
-    "stream_locf_packed_census", "stream_locf_census",
+    "stream_locf_packed_census", "stream_cusum_census",
     "decontaminate_counts",
     "decayed_engagement",
 ]

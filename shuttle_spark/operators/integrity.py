@@ -421,3 +421,93 @@ def corr_matrix_oracle_sql(
         f" m AS (SELECT {', '.join(moments)} FROM q) "
         + " UNION ALL ".join(sels)
     )
+
+
+def fk_integrity_census(
+    child_fks: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity census over a set of FK relationships: per
+    relationship the child row count, NULL-FK count, orphan ROW count,
+    and orphan KEY count — the cross-table half of data-quality
+    validation (``column_profile`` checks columns, ``table_recon``
+    checks replicas; this checks the JOINS a warehouse depends on).
+
+    ``child_fks`` is ``[(name, child_df, fk_col, parent_df, pk_col)]``.
+
+    Plan per relationship: the child collapses to (fk, row_count) FIRST
+    (map-side combined — every later step then runs on O(distinct
+    keys), not O(rows)), the parent is column-pruned and
+    key-deduplicated, and ONE LEFT join + ONE aggregate classify every
+    key as present/orphan/NULL in a single pass (no anti-join branch,
+    no cross join of partial censuses).  At 100 TB this is the only
+    viable order: joining raw child rows against a fact-sized parent
+    shuffles the whole table; the collapsed form shuffles one row per
+    distinct key.  All relationships union into one census result
+    (each branch is an independent subtree — they parallelize as
+    separate stages)."""
+    outs = []
+    for name, child, fk, parent, pk in child_fks:
+        per_key = (
+            child.select(F.col(fk).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        marked = per_key.join(
+            parent.select(F.col(pk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1)),
+            "__k",
+            "left",
+        )
+        k_ok = F.col("__k").isNotNull()
+        orphan = k_ok & F.col("__hit").isNull()
+        outs.append(
+            marked.agg(
+                F.coalesce(
+                    F.sum(F.when(k_ok, F.col("__cnt"))), F.lit(0)
+                ).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(~k_ok, F.col("__cnt"))), F.lit(0)
+                ).alias("n_null_fk"),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("__cnt"))), F.lit(0)
+                ).alias("n_orphan_rows"),
+                F.count(F.when(orphan, F.lit(1))).alias("n_orphan_keys"),
+            ).select(
+                F.lit(name).alias("fk_name"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fk_integrity_oracle_sql(
+    child_fks: Sequence[tuple[str, str, str, str, str]],
+) -> str:
+    """DuckDB twin of ``fk_integrity_census``; tuples are
+    ``(name, child_sql, fk_col, parent_sql, pk_col)``."""
+    parts = []
+    for name, child, fk, parent, pk in child_fks:
+        parts.append(
+            f"SELECT '{name}' AS fk_name,"
+            f" CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL THEN cnt END), 0)"
+            f"  AS BIGINT) AS n_rows,"
+            f" CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN cnt END), 0)"
+            f"  AS BIGINT) AS n_null_fk,"
+            f" CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND hit IS NULL"
+            f"  THEN cnt END), 0) AS BIGINT) AS n_orphan_rows,"
+            f" COUNT(CASE WHEN k IS NOT NULL AND hit IS NULL"
+            f"  THEN 1 END) AS n_orphan_keys"
+            f" FROM (SELECT c.k, c.cnt, p.hit FROM"
+            f" (SELECT {fk} AS k, COUNT(*) AS cnt FROM {child}"
+            f"  GROUP BY 1) c"
+            f" LEFT JOIN (SELECT DISTINCT {pk} AS k, 1 AS hit"
+            f"  FROM {parent}) p ON c.k = p.k)"
+        )
+    return " UNION ALL ".join(parts)

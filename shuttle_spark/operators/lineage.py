@@ -376,3 +376,92 @@ def incremental_group_totals(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def compact_changeset(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Compact an ORDERED multi-op changeset to its net effect: at most
+    one I/U/D per key — the Kafka-compaction / CDC-batching step that
+    turns a raw op log (a key inserted, updated three times, deleted,
+    re-inserted within one window) into the minimal changeset whose
+    ``apply_changeset`` result is identical.  This operator DISCHARGES
+    the one-op-per-key precondition the streaming MV maintenance fold
+    states as an invariant: run the raw feed through here first.
+
+    Net rules (fold over ops in ``seq_col`` order): the key existed
+    before the window iff its FIRST op is U or D (an I means it did
+    not); it exists after iff its LAST op is I or U.  existed & exists
+    -> U, !existed & exists -> I, existed & !exists -> D, and a key
+    created then destroyed inside the window vanishes entirely.  Net
+    I/U values come from the last non-D row (max_by guarded on op <>
+    'D' — D rows carry NULL payloads and must not win the pick).
+
+    ``seq_col`` must be unique per key (a CDC log's LSN / offset is);
+    equal sequence numbers would make the first/last picks ambiguous.
+
+    Plan: ONE map-side-combined aggregate per key (first/last op +
+    guarded last values), one exchange of O(keys), no sort, no window
+    — at 100 TB the raw op log collapses within each scan partition
+    first, exactly like golden_record."""
+    first_op = F.min_by(F.col("op"), F.col(seq_col))
+    last_op = F.max_by(F.col("op"), F.col(seq_col))
+    aggs = [
+        first_op.alias("__first_op"),
+        last_op.alias("__last_op"),
+    ]
+    for c in value_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col("op") != "D", F.col(seq_col))
+            ).alias(c)
+        )
+    folded = changes.groupBy(*keys).agg(*aggs)
+    existed = F.col("__first_op").isin("U", "D")
+    exists = F.col("__last_op").isin("I", "U")
+    net = (
+        F.when(existed & exists, F.lit("U"))
+        .when(~existed & exists, F.lit("I"))
+        .when(existed & ~exists, F.lit("D"))
+    )
+    out_vals = [
+        F.when(F.col("__last_op") != "D", F.col(c)).alias(c)
+        for c in value_cols
+    ]
+    return (
+        folded.withColumn("op", net)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, "op", *out_vals)
+    )
+
+
+def compact_changeset_oracle_sql(
+    table: str,
+    keys: list[str],
+    seq_col: str,
+    value_cols: list[str],
+) -> str:
+    """DuckDB twin of ``compact_changeset`` (identical guards/fold)."""
+    ks = ", ".join(keys)
+    picks = ", ".join(
+        f"arg_max({c}, CASE WHEN op <> 'D' THEN {seq_col} END) AS {c}"
+        for c in value_cols
+    )
+    outs = ", ".join(
+        f"CASE WHEN last_op <> 'D' THEN {c} END AS {c}" for c in value_cols
+    )
+    return (
+        f"WITH f AS (SELECT {ks},"
+        f" arg_min(op, {seq_col}) AS first_op,"
+        f" arg_max(op, {seq_col}) AS last_op, {picks}"
+        f" FROM {table} GROUP BY {ks}),"
+        f" n AS (SELECT *, CASE"
+        f" WHEN first_op IN ('U','D') AND last_op IN ('I','U') THEN 'U'"
+        f" WHEN first_op = 'I' AND last_op IN ('I','U') THEN 'I'"
+        f" WHEN first_op IN ('U','D') AND last_op = 'D' THEN 'D'"
+        f" END AS op FROM f)"
+        f" SELECT {ks}, op, {outs} FROM n WHERE op IS NOT NULL"
+    )

@@ -2147,3 +2147,93 @@ def test_fuzz_equi_depth(spark, duck, n_bins, col, scale, buckets):
             col, "rid", n_bins=n_bins, scale=scale,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode 47: CDC compaction + FK census — random op mixes / corruption
+# ---------------------------------------------------------------------------
+
+@given(
+    i_mod=st.integers(2, 9),
+    d_mod=st.integers(2, 9),
+    key_mod=st.integers(2, 200),
+)
+@FUZZ
+def test_fuzz_compact_changeset(spark, duck, i_mod, d_mod, key_mod):
+    """compact_changeset vs its DuckDB twin over random op assignment
+    (overlapping I/D moduli, U otherwise) and key grains — more keys
+    per modulus means deeper multi-op chains."""
+    from shuttle_spark.operators.lineage import (
+        compact_changeset,
+        compact_changeset_oracle_sql,
+    )
+
+    op_sql = (
+        f"CASE WHEN event_id % {i_mod} = 0 THEN 'I'"
+        f" WHEN event_id % {d_mod} = 1 THEN 'D' ELSE 'U' END"
+    )
+    ev = load_table(spark, SF, "events")
+    eid = F.col("event_id")
+    op = (
+        F.when(eid % i_mod == 0, F.lit("I"))
+        .when(eid % d_mod == 1, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    src_df = ev.select(
+        (F.col("user_id") % key_mod).alias("k"), "event_id",
+        op.alias("op"),
+        F.when(
+            op != "D",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("cents"),
+    )
+    src_sql = (
+        f"(SELECT user_id % {key_mod} AS k, event_id, {op_sql} AS op,"
+        f" CASE WHEN {op_sql} <> 'D' THEN"
+        " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents"
+        " FROM events)"
+    )
+    sdf = compact_changeset(src_df, ["k"], "event_id", ["cents"])
+    _check(
+        sdf, duck,
+        compact_changeset_oracle_sql(src_sql, ["k"], "event_id", ["cents"]),
+    )
+
+
+@given(
+    drop_mod=st.integers(0, 60),   # 0/1 -> intact parent
+    null_mod=st.integers(0, 8),    # 0/1 -> no NULL injection
+)
+@FUZZ
+def test_fuzz_fk_census(spark, duck, drop_mod, null_mod):
+    from shuttle_spark.operators.integrity import (
+        fk_integrity_census,
+        fk_integrity_oracle_sql,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    o_sql = "orders"
+    if drop_mod > 1:
+        orders = orders.filter(F.col("o_orderkey") % drop_mod != 0)
+        o_sql = f"(SELECT * FROM orders WHERE o_orderkey % {drop_mod} <> 0)"
+    li_sql = "lineitem"
+    if null_mod > 1:
+        li = li.select(
+            F.when(
+                F.col("l_linenumber") % null_mod != 0, F.col("l_orderkey")
+            ).alias("l_orderkey")
+        )
+        li_sql = (
+            f"(SELECT CASE WHEN l_linenumber % {null_mod} <> 0"
+            " THEN l_orderkey END AS l_orderkey FROM lineitem)"
+        )
+    sdf = fk_integrity_census(
+        [("e", li, "l_orderkey", orders, "o_orderkey")]
+    )
+    _check(
+        sdf, duck,
+        fk_integrity_oracle_sql(
+            [("e", li_sql, "l_orderkey", o_sql, "o_orderkey")]
+        ),
+    )

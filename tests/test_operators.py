@@ -2215,3 +2215,68 @@ def test_equi_depth_histogram_semantics(spark):
     # ranges ordered and non-overlapping (strictly, since values unique)
     for a, b in zip(out, out[1:]):
         assert a["hi_cents"] <= b["lo_cents"]
+
+
+def test_compact_changeset_semantics(spark):
+    """Net-effect fold: I..D vanishes, D..I nets to U (existed before,
+    exists after), values come from the last non-D row, D payload is
+    NULL, and applying the compacted set == applying the raw ops
+    sequentially (replayed in pure Python)."""
+    from shuttle_spark.operators.lineage import compact_changeset
+
+    ops = [
+        # key 1: I then U then U -> net I with last values
+        (1, 10, "I", 100), (1, 11, "U", 200), (1, 12, "U", 300),
+        # key 2: U then D -> net D, NULL payload
+        (2, 20, "U", 500), (2, 21, "D", None),
+        # key 3: I then D -> vanishes
+        (3, 30, "I", 700), (3, 31, "D", None),
+        # key 4: D then I -> net U (delete + re-insert = update)
+        (4, 40, "D", None), (4, 41, "I", 900),
+        # key 5: D then I then D -> net D
+        (5, 50, "D", None), (5, 51, "I", 111), (5, 52, "D", None),
+    ]
+    df = spark.createDataFrame(ops, "k long, seq long, op string, v long")
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in compact_changeset(df, ["k"], "seq", ["v"]).collect()
+    }
+    assert got == {
+        1: ("I", 300),
+        2: ("D", None),
+        4: ("U", 900),
+        5: ("D", None),
+    }
+
+    # equivalence: sequential replay of raw ops == applying the net set
+    state_raw: dict[int, int] = {}
+    for k, _, op, v in sorted(ops, key=lambda t: t[1]):
+        if op == "D":
+            state_raw.pop(k, None)
+        else:
+            state_raw[k] = v
+    state_net: dict[int, int] = {2: 500, 4: -1, 5: -1}  # pre-existing keys
+    for k, (op, v) in got.items():
+        if op == "D":
+            state_net.pop(k, None)
+        else:
+            state_net[k] = v
+    assert state_raw == state_net
+
+
+def test_fk_integrity_census_semantics(spark):
+    """Orphan rows vs keys, NULL FKs counted separately, clean edge all
+    zeros, duplicate child keys collapse before the join."""
+    from shuttle_spark.operators.integrity import fk_integrity_census
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    (row,) = fk_integrity_census(
+        [("edge", child, "fk", parent, "pk")]
+    ).collect()
+    assert (
+        row["n_rows"], row["n_null_fk"],
+        row["n_orphan_rows"], row["n_orphan_keys"],
+    ) == (6, 1, 3, 1)
