@@ -3409,6 +3409,35 @@ def q_word_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bigram_lm_oracle() -> str:
+    from shuttle_spark.operators.pipeline import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql(
+        "documents", _NORM_SQL.format(col="text"), top_k=50
+    )
+
+
+@contract(
+    "bigram_lm_top",
+    _bigram_lm_oracle(),
+    "B21",
+    "ext",
+    "llm",
+)
+def q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM statistics (pipeline.bigram_lm_stats): the 50 most
+    frequent adjacent token pairs with their exact integer association
+    lift P(w1 w2)/(P(w1)P(w2)) — PMI without the libm log, the
+    collocation/BPE-merge-selection signal.  Bigrams come from one
+    in-row transform over the token array (no posexplode self-join);
+    marginals ride the session-staged token relation; the corpus total
+    folds in as a driver literal, not a join."""
+    from shuttle_spark.operators.pipeline import bigram_lm_stats
+
+    docs = load_table(spark, sf, "documents")
+    return bigram_lm_stats(docs, top_k=50)
+
+
 def _inverted_index_oracle() -> str:
     from shuttle_spark.operators.pipeline import inverted_index_oracle_sql
 

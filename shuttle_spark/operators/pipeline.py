@@ -708,3 +708,100 @@ def inverted_index_oracle_sql(
         f" ORDER BY {id_col}), 1, {postings_cap}), ',') AS top_postings"
         f" FROM pairs{maxq} GROUP BY term {dfq}"
     )
+
+
+def bigram_lm_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Bigram language-model statistics: the ``top_k`` most frequent
+    adjacent token pairs with their exact association lift
+    ``P(w1 w2) / (P(w1) P(w2))`` — the collocation signal (PMI without
+    the log) that n-gram LM training, tokenizer-merge selection (the
+    BPE pair-count step IS a bigram count), and phrase mining all start
+    from.  Output: ``w1, w2, pair_n, lift_micro`` (lift scaled to
+    micro-units by exact integer division — no libm log, whose last
+    ulp differs across engines).
+
+    Plan: bigrams come from ONE in-row ``transform(sequence(...))``
+    over the token array (no posexplode self-join — the pair relation
+    never leaves the row it came from until the count aggregate), then
+    one hash agg on (w1, w2); unigram marginals ride the session-staged
+    token relation (one hash agg on term); the two marginal joins
+    hash-partition on w1/w2 (vocabulary-sized relations).  The corpus
+    token total is collected once driver-side and folded in as a
+    literal — a 1-row broadcast, not a join.  Top-k orders by
+    (pair_n DESC, w1, w2) — a unique total order."""
+    from shuttle_spark.functions import text as TXF
+
+    staged = docs.select(
+        F.col(id_col), TXF.tokens(F.col(text_col)).alias("__toks")
+    )
+    pair_expr = (
+        "CASE WHEN size(__toks) >= 2 THEN"
+        " transform(sequence(1, size(__toks) - 1),"
+        "  i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+        " ELSE array() END"
+    )
+    pairs = (
+        staged.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    uni = (
+        words_relation(docs, (id_col,), text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    total = int(uni.agg(F.sum("__n")).collect()[0][0])
+    dec = "decimal(38,0)"
+    joined = (
+        pairs.join(uni.select(F.col("term").alias("w1"),
+                              F.col("__n").alias("__n1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"),
+                         F.col("__n").alias("__n2")), "w2")
+    )
+    return (
+        joined.withColumn(
+            "lift_micro",
+            F.expr(
+                f"CAST(CAST(pair_n AS {dec}) * CAST({total} AS {dec})"
+                f" * CAST(1000000 AS {dec})"
+                f" DIV (CAST(__n1 AS {dec}) * CAST(__n2 AS {dec}))"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("pair_n"), "w1", "w2")
+        .limit(top_k)
+        .select("w1", "w2", "pair_n", "lift_micro")
+    )
+
+
+def bigram_lm_oracle_sql(
+    table: str,
+    norm_sql_text: str,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of ``bigram_lm_stats`` (identical tokenization, pair
+    construction, and integer-division lift)."""
+    return (
+        f"WITH t AS (SELECT"
+        f" STRING_SPLIT(TRIM({norm_sql_text}), ' ') AS l FROM {table}),"
+        " p AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM t,"
+        "  UNNEST(range(1, len(l))) AS r(i)),"
+        " pc AS (SELECT w1, w2, COUNT(*) AS pair_n FROM p GROUP BY 1, 2),"
+        f" w AS (SELECT UNNEST(STRING_SPLIT(TRIM({norm_sql_text}), ' '))"
+        f" AS term FROM {table}),"
+        " u AS (SELECT term, COUNT(*) AS n FROM w GROUP BY 1),"
+        " tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS total FROM u)"
+        " SELECT pc.w1, pc.w2, pc.pair_n,"
+        " CAST(CAST(pc.pair_n AS HUGEINT) * tot.total * 1000000"
+        "  // (CAST(u1.n AS HUGEINT) * CAST(u2.n AS HUGEINT)) AS BIGINT)"
+        "  AS lift_micro"
+        " FROM pc JOIN u u1 ON pc.w1 = u1.term"
+        " JOIN u u2 ON pc.w2 = u2.term, tot"
+        f" ORDER BY pc.pair_n DESC, pc.w1, pc.w2 LIMIT {top_k}"
+    )

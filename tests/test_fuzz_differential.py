@@ -2237,3 +2237,27 @@ def test_fuzz_fk_census(spark, duck, drop_mod, null_mod):
             [("e", li_sql, "l_orderkey", o_sql, "o_orderkey")]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode 48: bigram LM stats — random top-k + document subsets
+# ---------------------------------------------------------------------------
+
+@given(
+    top_k=st.integers(5, 120),
+    doc_mod=st.integers(0, 7),  # 0/1 -> all docs
+)
+@FUZZ
+def test_fuzz_bigram_lm(spark, duck, top_k, doc_mod):
+    from shuttle_spark.operators.pipeline import (
+        bigram_lm_oracle_sql,
+        bigram_lm_stats,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = "documents"
+    if doc_mod > 1:
+        docs = docs.filter(F.col("doc_id") % doc_mod != 1)
+        src = f"(SELECT * FROM documents WHERE doc_id % {doc_mod} <> 1)"
+    sdf = bigram_lm_stats(docs, top_k=top_k)
+    _check(sdf, duck, bigram_lm_oracle_sql(src, _II_NORM, top_k=top_k))

@@ -2280,3 +2280,33 @@ def test_fk_integrity_census_semantics(spark):
         row["n_rows"], row["n_null_fk"],
         row["n_orphan_rows"], row["n_orphan_keys"],
     ) == (6, 1, 3, 1)
+
+
+def test_bigram_lm_semantics(spark):
+    """Pair counts over adjacent tokens only; lift is the exact
+    floor-scaled P(w1 w2)/(P(w1)P(w2)); single-token and empty docs
+    contribute no pairs; a pair occurring twice in one doc counts
+    twice."""
+    from shuttle_spark.operators.pipeline import bigram_lm_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # pairs: (a,b) x2, (b,a) x1
+            (2, "a b c"),       # (a,b), (b,c)
+            (3, "x"),           # no pairs
+            (4, ""),            # no pairs
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["pair_n"], r["lift_micro"])
+        for r in bigram_lm_stats(docs, top_k=10).collect()
+    }
+    # unigrams: a=3, b=3, c=1, x=1, ''=1 (empty doc tokenizes to [''])
+    total = 9
+    def lift(pn, n1, n2):
+        return pn * total * 1_000_000 // (n1 * n2)
+    assert got[("a", "b")] == (3, lift(3, 3, 3))
+    assert got[("b", "a")] == (1, lift(1, 3, 3))
+    assert got[("b", "c")] == (1, lift(1, 3, 1))
+    assert ("x", "x") not in got and len(got) == 3

@@ -114,6 +114,21 @@ QUERIES = [
     # fixed-COUNT corruption experiment and lives in tools/recon_scale.py.
     "table_recon_counts",
     "table_recon_drill_rows",
+    # round-9 extensions, all linear-cost oracles: the one-pass moment
+    # census, the aggregate-shaped survivorship/compaction/census family,
+    # the single-sort window detectors, the weighted sampler, and the
+    # two-pass distributed-rank histogram.  stream_cusum_census is
+    # excluded like every streaming replay (the oracle never pays the
+    # replay path).
+    "corr_matrix_lineitem",
+    "golden_record_users",
+    "compact_changeset_net",
+    "fk_integrity_census",
+    "cusum_drift_census",
+    "twap_user_value",
+    "priority_sample_orders",
+    "equi_depth_lineitem",
+    "inverted_index_terms",
 ]
 
 
