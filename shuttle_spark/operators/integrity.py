@@ -308,10 +308,13 @@ def corr_matrix(df: DataFrame, cols: Sequence[tuple[str, int]]) -> DataFrame:
     only at the quantization grain while making all K(K+3)/2 moments
     association-free and bit-stable cross-engine (the B6 scaled-long
     discipline extended to second moments).  Per-column scales keep the
-    per-row products inside int64 at any realistic magnitude; the final
-    combination ``n*Sxy - Sx*Sy`` is promoted to DECIMAL(38,0) (Spark) /
-    HUGEINT (oracle) because the n-fold products overflow int64 past
-    ~10^6 rows even when each sum fits.
+    per-row products inside int64 at any realistic magnitude; the
+    ACCUMULATORS themselves (``Sx`` and ``Sxy``) are summed as
+    DECIMAL(38,0) (Spark) / HUGEINT (oracle) — a long-typed ``F.sum``
+    would silently wrap past ~9.2e18, reachable near ~1e9 rows when the
+    per-row products sit around 1e10, exactly the 100 TB design point —
+    and the final combination ``n*Sxy - Sx*Sy`` stays in DECIMAL(38,0) /
+    HUGEINT because the n-fold products overflow int64 far earlier.
 
     Rows with a NULL in ANY profiled column are dropped (complete-case),
     so every pair shares one n and the matrix is positive semidefinite.
@@ -332,18 +335,21 @@ def corr_matrix(df: DataFrame, cols: Sequence[tuple[str, int]]) -> DataFrame:
         for i, (c, s) in enumerate(cols)
     ]
     q = base.select(*qcols)
+    dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i in range(k):
-        aggs.append(F.sum(F.col(f"__q_{i}")).alias(f"__s_{i}"))
+        # Sum in DECIMAL(38,0): exact to 1e38 like the oracle's HUGEINT
+        # (the per-row value/product is exact in int64; only the
+        # accumulator needs the wide type).
+        aggs.append(F.sum(F.col(f"__q_{i}").cast(dec)).alias(f"__s_{i}"))
         for j in range(i, k):
             aggs.append(
-                F.sum(F.col(f"__q_{i}") * F.col(f"__q_{j}")).alias(
-                    f"__p_{i}_{j}"
-                )
+                F.sum(
+                    (F.col(f"__q_{i}") * F.col(f"__q_{j}")).cast(dec)
+                ).alias(f"__p_{i}_{j}")
             )
     one = q.agg(*aggs)
 
-    dec = "decimal(38,0)"
     n_d = F.col("__n").cast(dec)
 
     def _var(i: int) -> Column:
@@ -445,6 +451,10 @@ def fk_integrity_census(
     distinct key.  All relationships union into one census result
     (each branch is an independent subtree — they parallelize as
     separate stages)."""
+    if not child_fks:
+        raise ValueError(
+            "fk_integrity_census needs at least one relationship"
+        )
     outs = []
     for name, child, fk, parent, pk in child_fks:
         per_key = (

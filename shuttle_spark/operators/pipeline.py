@@ -732,7 +732,10 @@ def bigram_lm_stats(
     token relation (one hash agg on term); the two marginal joins
     hash-partition on w1/w2 (vocabulary-sized relations).  The corpus
     token total is collected once driver-side and folded in as a
-    literal — a 1-row broadcast, not a join.  Top-k orders by
+    literal — a 1-row broadcast, not a join; NOTE this makes
+    DataFrame CONSTRUCTION eager (one scalar-aggregate job runs at call
+    time, not at action time).  An empty corpus (zero tokens)
+    short-circuits to an empty result.  Top-k orders by
     (pair_n DESC, w1, w2) — a unique total order."""
     from shuttle_spark.functions import text as TXF
 
@@ -756,7 +759,12 @@ def bigram_lm_stats(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    total = int(uni.agg(F.sum("__n")).collect()[0][0])
+    total = int(uni.agg(F.sum("__n")).collect()[0][0] or 0)
+    if total == 0:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "w1 string, w2 string, pair_n bigint, lift_micro bigint"
+        )
     dec = "decimal(38,0)"
     joined = (
         pairs.join(uni.select(F.col("term").alias("w1"),

@@ -2022,8 +2022,11 @@ def twap(
     the corr_matrix precedent for exactness past 2^53.
 
     Plan: one lead() window (one exchange + sort per key), one
-    map-side-combined aggregate.  Keys with a single observation emit
-    NULL twap (no interval ever elapsed)."""
+    map-side-combined aggregate.  Keys with a single observation are
+    ABSENT from the output (no interval ever elapsed — the NULL-duration
+    filter runs before the groupBy, so such keys never reach the
+    aggregate; left-join the key dimension back in if every-key rows
+    are wanted)."""
     m = 10 ** scale
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak))
     dur = F.lead(F.unix_micros(F.col(ts_col))).over(w) - F.unix_micros(

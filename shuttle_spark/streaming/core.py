@@ -1361,6 +1361,8 @@ def stream_cusum(
     slack_cents: int = 200,
     threshold_cents: int = 20000,
     watermark: str = "2 hours",
+    tiebreak_col: str = "event_id",
+    scale: int = 2,
 ) -> DataFrame:
     """Streaming twin of ``relational.cusum_points``: Page's one-sided
     CUSUM drift detector as a live stateful operator — the online
@@ -1379,12 +1381,17 @@ def stream_cusum(
     disorder buffer — CUSUM is the textbook case for why streaming drift
     detection is cheap: the entire history compresses to (c, m).
 
-    Emits ``(key, event_id, ts_us, stat_cents, is_alert)``."""
+    ``tiebreak_col`` and ``scale`` mirror ``cusum_points``' signature
+    exactly (defaults ``event_id`` / 2), so non-default batch callers
+    get the same stream twin, not a silently divergent one.
+
+    Emits ``(key, tiebreak, ts_us, stat_cents, is_alert)``."""
     drift = target_cents + slack_cents
+    m_scale = 10 ** scale
     out_schema = T.StructType(
         [
             T.StructField(key_col, T.StringType()),
-            T.StructField("event_id", T.LongType()),
+            T.StructField(tiebreak_col, T.LongType()),
             T.StructField("ts_us", T.LongType()),
             T.StructField("stat_cents", T.LongType()),
             T.StructField("is_alert", T.BooleanType()),
@@ -1427,9 +1434,11 @@ def stream_cusum(
                 vals = pdf[value_col].values.astype("float64")
                 ok = ~np.isnan(vals)
                 cents = np.zeros(len(vals), dtype="int64")
-                cents[ok] = np.floor(vals[ok] * 100 + 0.5).astype("int64")
+                cents[ok] = np.floor(vals[ok] * m_scale + 0.5).astype(
+                    "int64"
+                )
                 p_ts.extend(int(x) for x in us[ok])
-                p_eid.extend(int(x) for x in pdf["event_id"].values[ok])
+                p_eid.extend(int(x) for x in pdf[tiebreak_col].values[ok])
                 p_c.extend(int(x) for x in cents[ok])
         out_rows = []
         if p_ts:
@@ -1457,7 +1466,7 @@ def stream_cusum(
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
-                columns=[key_col, "event_id", "ts_us", "stat_cents",
+                columns=[key_col, tiebreak_col, "ts_us", "stat_cents",
                          "is_alert"],
             )
 
