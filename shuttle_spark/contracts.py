@@ -7262,6 +7262,7 @@ def q_changeset_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     changes = L.snapshot_diff(
         old, _cdc_new(spark, sf), ["o_orderkey"],
         ["o_custkey", "o_totalprice"],
+        keys_nullable=False,  # o_orderkey is the PK — NULL-free
     )
     applied = L.apply_changeset(old, changes, ["o_orderkey"])
     term = md5_prefix32(
@@ -7421,6 +7422,7 @@ def q_mv_incremental(spark: SparkSession, sf: str) -> DataFrame:
         ["o_orderkey"],
         ["o_custkey", "o_totalprice"],
         include_old=True,
+        keys_nullable=False,  # o_orderkey is the PK — NULL-free
     )
     return L.incremental_group_totals(
         base, changes, "o_custkey", "o_totalprice"
@@ -8269,6 +8271,47 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 #   twap_user_value          <- ab_test_summary     (B17)
 #   corr_matrix_lineitem     <- ivf_partitioned_probe (B29 keeps
 #                               topk_cosine + ivf_upsert_equal)
+# Round-10 rotation (VERDICT r9 items 2+6) — clears the 3-contract debt
+# and starts the STANDING SCHEDULE that retires the never-driver-gated
+# tail at >=13 rows/round (56 at r9 close -> 40 after this batch):
+#   r10 (this list): compact_changeset_net + fk_integrity_census +
+#        bigram_lm_top (the r9 post-close debt), tpch q2/q4/q6/q8/q9/
+#        q10/q12 (B12 shapes), stream_decontaminate_count +
+#        stream_dedup_dup_count + stream_pii_scrub (exactly-once
+#        micro-batch paths, verdict item 6), date_functions +
+#        string_functions (B19), window_lag_lead (B17).
+#   r11 (planned): tpch q11/q13/q14/q15/q16/q17, sliding_window_agg,
+#        window_ntile_pctrank, stats_agg, percentile_agg,
+#        conditional_agg, minmax_by_agg, collect_set_agg.
+#   r12 (planned): tpch q19/q20/q22, cte_sql, sql_correlated_subquery,
+#        full_outer_null_prices, global_pctrank_distributed,
+#        grouped_map_normalize, udtf_chunk_stats, upsert_merge,
+#        unpivot_measures, variant_json_agg, map_keys_agg.
+#   r13 (planned): the remainder (array_elem_stats, bpe_token_count_agg,
+#        chunk_text_stats, compact_roundtrip_checksum, fingerprint_
+#        distinct, freq_items_ok, incremental_near_dup, ivf_partial_
+#        probe_recall_ok, mixture_weights, ngram_jaccard_maxdf,
+#        observe_metrics_ok, quantized_topk_recall_ok,
+#        sample_fraction_ok, stratified_sample_ok) — tail cleared.
+# Every displaced row below is green in CORRECTNESS_r09 and stays
+# FULL-gated; every §2.B family keeps at least one row IN the r10 gate
+# (B4/B7/B10/B13/B15/B16 rows are their families' only contracts and
+# therefore never rotate out).  Displacements by family: B12 keeps
+# join_3way_agg + the seven incoming q-shapes (out: runtime_filter_join);
+# B17 keeps ohlc_bars + twap's window machinery via incoming
+# window_lag_lead (out: locf_impute_cents, merge_intervals_user,
+# cusum_drift_census, twap_user_value); B24 keeps stream_mv_maintenance
+# + the three incoming stream rows (out: stream_ohlc_bars,
+# stream_locf_packed_census, stream_cusum_census); B28 keeps
+# minhash_replay_equal + semantic_dedup_kept (out: simhash_replay_equal,
+# decontaminate_counts — the decontamination family keeps its incoming
+# stream twin); B29 keeps topk_cosine (out: ivf_upsert_equal); B23 keeps
+# table_recon_counts + column_profile_docs + incoming
+# fk_integrity_census (out: table_recon_drill_rows,
+# profile_drift_census); CDC keeps changeset_apply_arriving + incoming
+# compact_changeset_net (out: mv_arriving_totals); graph keeps
+# label_prop_equal (out: kcore_peel_equal); stats ext (out:
+# decayed_engagement).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -8276,21 +8319,21 @@ _DRIVER_PRIORITY = [
     "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
     "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
     "intersect_count", "rollup_agg", "corr_matrix_lineitem",
-    "cusum_drift_census", "equi_depth_lineitem",
+    "equi_depth_lineitem",
     "scalar_functions", "json_extract_variant_agg",
     "inverted_index_terms", "topk_cosine",
     "column_profile_docs", "semantic_dedup_kept", "hll_sketch_merge_ok",
-    "label_prop_equal", "table_recon_counts", "twap_user_value",
-    "table_recon_drill_rows", "priority_sample_orders",
-    "changeset_apply_arriving", "kcore_peel_equal", "locf_impute_cents", "merge_intervals_user",
-    "runtime_filter_join", "ohlc_bars",
-    "sessionize", "stream_ohlc_bars",
-    "ivf_upsert_equal", "profile_drift_census",
+    "label_prop_equal", "table_recon_counts",
+    "priority_sample_orders",
+    "changeset_apply_arriving", "ohlc_bars",
+    "sessionize",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
-    "simhash_replay_equal", "mv_arriving_totals",
-    "stream_locf_packed_census", "stream_cusum_census",
-    "decontaminate_counts",
-    "decayed_engagement",
+    "compact_changeset_net", "fk_integrity_census", "bigram_lm_top",
+    "tpch_q2_shape", "tpch_q4_shape", "tpch_q6_shape", "tpch_q8_shape",
+    "tpch_q9_shape", "tpch_q10_shape", "tpch_q12_shape",
+    "stream_decontaminate_count", "stream_dedup_dup_count",
+    "stream_pii_scrub",
+    "date_functions", "string_functions", "window_lag_lead",
 ]
 
 

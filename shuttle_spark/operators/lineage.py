@@ -200,6 +200,7 @@ def snapshot_diff(
     keys: list[str],
     compare: list[str],
     include_old: bool = False,
+    keys_nullable: bool = True,
 ) -> DataFrame:
     """CDC changeset between two snapshots of a keyed table: one row per
     changed key with ``op`` in {'I','U','D'} and the NEW values for I/U
@@ -226,7 +227,17 @@ def snapshot_diff(
     key-presence-only diff (I/D only, never U); NULL key components
     match null-safely (``eqNullSafe`` join + explicit presence markers),
     so a persisting NULL-keyed row is correctly classified unchanged/U
-    instead of a spurious simultaneous I and D."""
+    instead of a spurious simultaneous I and D.
+
+    ``keys_nullable=False`` declares the key columns NULL-free (the
+    usual primary-key shape) and switches the join condition to plain
+    equality.  Semantics are identical on NULL-free keys; the point is
+    physical: Spark rewrites each ``eqNullSafe`` join key into a
+    ``coalesce``/``isnull`` key PAIR, which no longer matches a bucketed
+    table's ``HashPartitioning(keys)``, so bucketed snapshots shuffle
+    anyway — with plain equality the full-outer sort-merge join elides
+    BOTH exchanges on key-bucketed inputs (the 100 TB deployment shape;
+    measured in tools/cdc_bucketed_scale.py)."""
     if not keys:
         raise ValueError("snapshot_diff: keys must be non-empty")
     o = old.select(
@@ -241,7 +252,8 @@ def snapshot_diff(
     )
     cond = None
     for k in keys:
-        e = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        lhs, rhs = F.col(f"__ok_{k}"), F.col(f"__nk_{k}")
+        e = (lhs == rhs) if not keys_nullable else lhs.eqNullSafe(rhs)
         cond = e if cond is None else (cond & e)
     j = o.join(n, cond, "full_outer")
     # presence judged by the marker, not key nullability: after the full
