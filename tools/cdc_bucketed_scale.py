@@ -71,6 +71,7 @@ def run_point(spark, sf_dir: str) -> dict:
     from shuttle_spark.operators import lineage as L
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tag = "".join(ch if ch.isalnum() else "_" for ch in tag)
     old_src, new_src = _cdc_old(spark, sf_dir), _cdc_new(spark, sf_dir)
 
     # Materialize both snapshots ONCE (plain parquet and key-bucketed
