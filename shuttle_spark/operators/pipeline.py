@@ -297,13 +297,16 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     — the worst per-row kernel residual on the scale curve; this Arrow
     stage halves it (round-7 curve: 6.7x marginal, 0.400 -> 0.188 s/sf;
     the rest is sre-vs-RE2 DFA throughput, an engine constant absent a
-    re2/hyperscan binding).  It cuts the work to three ``re.search``
-    scans per document plus
-    substitutions GATED on a match being possible (a replace pass is a
-    provable no-op unless its own search hit or an earlier replacement
-    rewrote the text), and sre's C matcher beats java.util.regex on these
-    character-class patterns.  Stateless and row-local either way: rides
-    batch and streaming pipelines at scan parallelism, no shuffle.
+    re2/hyperscan binding).  It cuts the work to AT MOST three
+    ``re.search`` scans per document — each search gated behind a
+    C-speed implied-literal membership test ('@' / '.' / '-'; round 10,
+    measured 1.7x on the injected gate corpus and ~40x on a PII-free
+    corpus) — plus substitutions GATED on a match being possible (a
+    replace pass is a provable no-op unless its own search hit or an
+    earlier replacement rewrote the text), and sre's C matcher beats
+    java.util.regex on these character-class patterns.  Stateless and
+    row-local either way: rides batch and streaming pipelines at scan
+    parallelism, no shuffle.
     """
     import re
 
@@ -313,6 +316,17 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     compiled = [
         (name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS
     ]
+    # Implied-literal gates (VERDICT r9 item 4): each pattern PROVABLY
+    # requires one of these characters (email needs '@'; the IP's three
+    # dots need '.'; the phone separator class is [-.]), so a C-speed
+    # membership test skips the sre search outright when the literal is
+    # absent — sound, exact, and far cheaper than a regex pass.  The
+    # single-alternation fold the verdict suggested was measured SLOWER
+    # (0.68-0.88x: one broad alternation loses sre's per-pattern
+    # first-char optimizations); these gates measured 1.7x on the gate's
+    # ~55%-injected corpus and ~40x on a no-PII corpus (200k docs,
+    # pure-kernel A/B) — see BASELINE.md.
+    gate_chars = {"email": ("@",), "ip": (".",), "phone": ("-", ".")}
     fields = list(docs.schema.fields) + [
         # nullable like the JVM twin: rlike(NULL) is NULL, not False
         T.StructField(f"{name}_found", T.BooleanType(), True)
@@ -338,8 +352,12 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     # the replace pass runs on the CURRENT text.  Skip a
                     # sub only when it is a provable no-op: no match in
                     # the original AND no earlier rewrite (then current
-                    # == original, so no match in current either).
-                    hit = pat.search(orig) is not None
+                    # == original, so no match in current either).  The
+                    # gate is exact: absence of every implied literal in
+                    # the original means the search cannot hit.
+                    hit = any(
+                        c in orig for c in gate_chars[name]
+                    ) and pat.search(orig) is not None
                     flags[name][i] = hit
                     if hit or dirty:
                         t2 = pat.sub(repl, t)
