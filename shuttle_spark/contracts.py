@@ -6970,14 +6970,18 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     AvailableNow), hash-matched against the batch OHLC oracle on the
     finalized subset (windows the 2 h watermark has closed) — stream ==
     batch proven for the order-sensitive open/close picks too, because
-    the lexicographic okey makes them commutative over ANY micro-batch
-    arrival order (a plain first/last would be replay-order-dependent
-    and could never pass this gate)."""
+    the total-order okey (struct(epoch_micros, event_id), Spark side;
+    the order-equivalent lex string in the oracle) makes them
+    commutative over ANY micro-batch arrival order (a plain first/last
+    would be replay-order-dependent and could never pass this gate)."""
     from shuttle_spark.streaming import events_stream, run_available_now
 
     ev = load_table(spark, sf, "events")
     cutoff = ev.agg(F.max("ts")).collect()[0][0]
-    okey = R.lex_okey("ts", "event_id")
+    okey = F.struct(
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.col("event_id").alias("i"),
+    )
     v = F.col("value")
     stream = (
         events_stream(spark, sf)

@@ -172,8 +172,16 @@ def golden_record(
     ``keys..., n_versions, last_ts, <value_cols...>``.
 
     Per column the pick is ``max_by(col, CASE WHEN col IS NOT NULL THEN
-    okey END)`` with ``okey = lex_okey(ts, tiebreak)`` (total order over
-    the full long range, so ties cannot make the pick ambiguous).  The
+    okey END)`` with ``okey = struct(epoch_micros, tiebreak)`` — a total
+    order whenever the tiebreak is unique, so ties cannot make the pick
+    ambiguous.  The SQL twin keeps the ORDER-EQUIVALENT ``LEX_OKEY_SQL``
+    string key (identical sort order over the full long range), so both
+    engines pick the same row — pick equality is what the oracle hashes,
+    not key bytes.  The Spark side used the string key too until round
+    10: with one max_by per survived column the 41-char key build+compare
+    repeats per column, and the struct form measured 2x faster at sf10
+    (0.98 vs 1.9-2.1 s, identical rows; still SortAggregate either way —
+    the win is pure key arithmetic).  The
     NULL-guard on the ordering key is load-bearing AND an engine
     semantics trap: Spark's ``max_by(v, o)`` returns the v AT the max o
     — NULL if that row's v is NULL — while DuckDB's ``arg_max(v, o)``
@@ -189,9 +197,10 @@ def golden_record(
     entity key first — in-partition CPU, no extra exchange; the
     window/row_number formulation would also sort but then shuffle
     every entity's FULL history instead of the collapsed candidates."""
-    from shuttle_spark.operators.relational import lex_okey
-
-    okey = lex_okey(ts_col, tiebreak)
+    okey = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(tiebreak).alias("i"),
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_versions"),
         F.max(F.col(ts_col)).alias("last_ts"),

@@ -1492,19 +1492,28 @@ def ohlc_bars(
     serving; SURVEY §2.B B17/B24).
 
     open/close are deterministic even under timestamp ties: ``min_by`` /
-    ``max_by`` order on a LEXICOGRAPHIC STRING key ``zero-padded
-    epoch-micros || tiebreak`` — byte comparison is identical in every
-    engine, whereas min_by on a bare timestamp picks an arbitrary row
-    among ties (and struct ordering is not portable to the SQL twin).
-    high/low are exact picks of stored doubles (the B6 discipline), the
-    total is a scaled-long sum.
+    ``max_by`` order on ``struct(epoch_micros, tiebreak)`` — a total
+    order whenever the tiebreak is unique, so a bare-timestamp min_by's
+    arbitrary pick among ties cannot occur.  The SQL twin orders on the
+    ORDER-EQUIVALENT lexicographic string key ``LEX_OKEY_SQL``
+    (zero-padded biased decimals): the two formulations sort identically
+    over the full long range, so both engines pick the SAME unique row —
+    pick equality, not key-byte equality, is what the oracle hashes.
+    The Spark side used the string key too until round 10; the struct
+    compares two longs instead of building+comparing a 41-char string
+    per row and measured ~8% faster at sf10 (0.76 vs 0.80-0.85 s wall),
+    values identical.  high/low are exact picks of stored doubles (the
+    B6 discipline), the total is a scaled-long sum.
 
     Plan: ONE map-side partial + final hash aggregate on (keys, bucket)
     — a single exchange of the already-collapsed bar relation, no
     windows, no second scan; at 100 TB this is the canonical
     pre-aggregation that runs at scan parallelism."""
     keys = list(keys)
-    okey = lex_okey(ts_col, tiebreak)
+    okey = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(tiebreak).alias("i"),
+    )
     bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
     if step != "1 hour":  # hour is the contract grain; others pass through
         bucket = F.window(F.col(ts_col), step).getField("start").alias("bucket")
