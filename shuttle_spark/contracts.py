@@ -7597,6 +7597,134 @@ def q_locf_impute(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_INTERP_SRC_SQL = (
+    "SELECT user_id, event_type, ts, event_id,"
+    " CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS value"
+    " FROM events"
+)
+
+
+def _interp_oracle() -> str:
+    from shuttle_spark.operators.relational import interp_impute_oracle_sql
+
+    inner = interp_impute_oracle_sql(
+        f"({_INTERP_SRC_SQL})",
+        ["user_id", "event_type"],
+        "ts",
+        "event_id",
+        "value",
+    )
+    return (
+        f"WITH o AS ({inner})"
+        " SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        "  CAST(SUM(CASE WHEN is_interpolated THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_interp,"
+        "  CAST(SUM(CASE WHEN value_cents IS NOT NULL THEN"
+        "   CAST(ROUND(value_cents * 1000000) AS BIGINT) ELSE 0 END)"
+        "   AS BIGINT) AS chk_micro"
+        " FROM o GROUP BY 1"
+    )
+
+
+@contract(
+    "interp_impute_census",
+    _interp_oracle(),
+    "B17",
+    "ext",
+)
+def q_interp_impute(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation imputation (relational.interp_impute): per
+    (user, event_type) series, NULL values fill on the straight line
+    between the bracketing non-NULL observations in (ts, event_id)
+    order — the symmetric resampling twin of locf_impute (which only
+    carries the past forward).  Gaps are injected deterministically
+    (event_id % 4 -> NULL; the shipped table has none), and the gate
+    hashes the per-type census of (rows, interpolated count, 6dp-exact
+    micro-unit checksum of the filled column) — a single wrongly-
+    bracketed or wrongly-rounded interpolation moves chk_micro.  Both
+    bracket lookups ride ONE window sort (one exchange at any scale);
+    edge NULLs stay NULL on both engines."""
+    null_if = F.when(F.col("event_id") % 4 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        null_if.alias("value"),
+    )
+    out = R.interp_impute(
+        ev, ["user_id", "event_type"], "ts", "event_id", "value"
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("is_interpolated").cast("long")).alias("n_interp"),
+        F.sum(
+            F.when(
+                F.col("value_cents").isNotNull(),
+                F.round(F.col("value_cents") * 1_000_000).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("chk_micro"),
+    )
+
+
+_KANON_SRC_SQL = (
+    "SELECT event_type AS qi_type,"
+    " CAST(ts::TIMESTAMP AS DATE) AS qi_day,"
+    " user_id % 97 AS qi_ubucket,"
+    " CASE WHEN value IS NOT NULL THEN"
+    "  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 50 END AS sens"
+    " FROM events"
+)
+
+
+def _kanon_oracle() -> str:
+    from shuttle_spark.operators.pipeline import k_anonymity_oracle_sql
+
+    return k_anonymity_oracle_sql(
+        f"({_KANON_SRC_SQL})",
+        ["qi_type", "qi_day", "qi_ubucket"],
+        k=5,
+        sensitive_col="sens",
+        l_threshold=3,
+    )
+
+
+@contract(
+    "k_anonymity_events",
+    _kanon_oracle(),
+    "B30",
+    "ext",
+)
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """K-anonymity / l-diversity census (pipeline.k_anonymity_census):
+    the structured-data privacy audit beside scrub_pii's free-text pass
+    — how re-identifiable is the table under a quasi-identifier tuple,
+    and are small classes sensitive-homogeneous?  QI here: (event type,
+    day, user-id residue bucket); sensitive: a cents residue.  ONE hash
+    aggregate collapses events to its equivalence classes (exchange is
+    O(classes)); a second 1-row aggregate computes the census — every
+    field an exact integer, so the single-row hash pins the entire
+    class-size and diversity distribution on both engines."""
+    from shuttle_spark.operators.pipeline import k_anonymity_census
+
+    ev = load_table(spark, sf, "events")
+    staged = ev.select(
+        F.col("event_type").alias("qi_type"),
+        F.to_date("ts").alias("qi_day"),
+        (F.col("user_id") % 97).alias("qi_ubucket"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 50,
+        ).alias("sens"),
+    )
+    return k_anonymity_census(
+        staged,
+        ["qi_type", "qi_day", "qi_ubucket"],
+        k=5,
+        sensitive_col="sens",
+        l_threshold=3,
+    )
+
+
 _RECON_SIG_SQL = (
     "('0x' || substr(md5(COALESCE(CAST(o_orderkey AS VARCHAR), '␀')"
     " || ':' || COALESCE(CAST(o_custkey AS VARCHAR), '␀')"
@@ -8297,6 +8425,13 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 #        probe_recall_ok, mixture_weights, ngram_jaccard_maxdf,
 #        observe_metrics_ok, quantized_topk_recall_ok,
 #        sample_fraction_ok, stratified_sample_ok) — tail cleared.
+# Round-10 additions, rotated in the SAME session they landed (the r9
+# debt lesson): interp_impute_census (B17 linear-interpolation twin of
+# locf) displaces join_3way_agg (B12 keeps the seven incoming q-shapes
+# plus broadcast_join_agg for B13); k_anonymity_events (privacy census
+# beside scrub_pii) displaces distinct_partkeys (B7 keeps the incoming
+# stream_dedup_dup_count; exact_dedup_docs keeps B27).  Both displaced
+# rows are green in CORRECTNESS_r09 and stay FULL-gated.
 # Every displaced row below is green in CORRECTNESS_r09 and stays
 # FULL-gated; every §2.B family keeps at least one row IN the r10 gate
 # (B4/B7/B10/B13/B15/B16 rows are their families' only contracts and
@@ -8319,8 +8454,8 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
-    "stream_mv_maintenance", "distinct_partkeys", "golden_record_users",
-    "global_sort_topk", "sort_within_partitions_invariance", "join_3way_agg",
+    "stream_mv_maintenance", "k_anonymity_events", "golden_record_users",
+    "global_sort_topk", "sort_within_partitions_invariance", "interp_impute_census",
     "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
     "intersect_count", "rollup_agg", "corr_matrix_lineitem",
     "equi_depth_lineitem",

@@ -27,6 +27,8 @@ Scale posture (the 100 TB question):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -432,6 +434,109 @@ def group_diversity_gini(
                 6,
             ).alias("gini"),
         )
+    )
+
+
+def k_anonymity_census(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """K-anonymity / l-diversity census over quasi-identifier columns —
+    the STRUCTURED-data privacy check that complements ``scrub_pii``'s
+    free-text pass: before releasing or training on a keyed table, how
+    re-identifiable is it?  A row is k-anonymous when its equivalence
+    class (the rows sharing its quasi-identifier tuple) has >= k
+    members; a class is l-diverse when its sensitive column takes >= l
+    distinct values (k-anonymity alone leaks when a small class is
+    sensitive-homogeneous).  Sweeney 2002 / Machanavajjhala 2006 — the
+    standard pre-release audit, here as one aggregate pass.
+
+    Output (ONE row, all exact integers): ``n_rows, n_classes,
+    min_class_size, n_classes_below_k, n_rows_below_k`` and, when
+    ``sensitive_col`` is given, ``min_l, n_classes_below_l,
+    n_rows_below_l``.  NULL quasi-identifier components group as values
+    (a NULL zip code is itself a linkable signature); NULL sensitive
+    values are not counted as a diversity value.
+
+    Plan: ONE map-side-combined hash aggregate collapses the fact table
+    to its equivalence classes (the exchange carries O(classes), not
+    O(rows)), then a second 1-row aggregate over that collapsed
+    relation computes the census.  No window, no join, no second scan —
+    at 100 TB this is the same two-level-aggregate shape as
+    ``column_profile``, and the class relation is the natural input for
+    a follow-up suppression/generalization pass.  The l-diversity count
+    is an exact COUNT(DISTINCT) per class — inside the same aggregate,
+    planned as Spark's standard two-phase distinct expansion."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_census needs at least one column")
+    qi = [F.col(c) for c in quasi_cols]
+    aggs = [F.count(F.lit(1)).alias("__sz")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("__ldiv")
+        )
+    classes = df.groupBy(*qi).agg(*aggs)
+    census = [
+        F.sum("__sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__sz").alias("min_class_size"),
+        F.sum((F.col("__sz") < k).cast("long")).alias("n_classes_below_k"),
+        F.sum(
+            F.when(F.col("__sz") < k, F.col("__sz")).otherwise(F.lit(0))
+        ).alias("n_rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        census += [
+            F.min("__ldiv").alias("min_l"),
+            F.sum((F.col("__ldiv") < l_threshold).cast("long")).alias(
+                "n_classes_below_l"
+            ),
+            F.sum(
+                F.when(
+                    F.col("__ldiv") < l_threshold, F.col("__sz")
+                ).otherwise(F.lit(0))
+            ).alias("n_rows_below_l"),
+        ]
+    return classes.agg(*census)
+
+
+def k_anonymity_oracle_sql(
+    table_expr: str,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_threshold: int = 2,
+) -> str:
+    """DuckDB twin of ``k_anonymity_census`` (identical class collapse
+    and census arithmetic; ``table_expr`` may be a subquery)."""
+    qs = ", ".join(quasi_cols)
+    sel = [f"COUNT(*) AS sz"]
+    if sensitive_col is not None:
+        sel.append(f"COUNT(DISTINCT {sensitive_col}) AS ldiv")
+    census = [
+        "CAST(SUM(sz) AS BIGINT) AS n_rows",
+        "CAST(COUNT(*) AS BIGINT) AS n_classes",
+        "CAST(MIN(sz) AS BIGINT) AS min_class_size",
+        f"CAST(SUM(CASE WHEN sz < {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_classes_below_k",
+        f"CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT)"
+        " AS n_rows_below_k",
+    ]
+    if sensitive_col is not None:
+        census += [
+            "CAST(MIN(ldiv) AS BIGINT) AS min_l",
+            f"CAST(SUM(CASE WHEN ldiv < {l_threshold} THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_classes_below_l",
+            f"CAST(SUM(CASE WHEN ldiv < {l_threshold} THEN sz ELSE 0 END)"
+            " AS BIGINT) AS n_rows_below_l",
+        ]
+    return (
+        f"WITH cls AS (SELECT {qs}, {', '.join(sel)}"
+        f" FROM {table_expr} GROUP BY {qs})"
+        f" SELECT {', '.join(census)} FROM cls"
     )
 
 

@@ -1867,6 +1867,137 @@ def locf_impute(
     return out
 
 
+def interp_impute(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Linear-interpolation imputation — the symmetric twin of
+    ``locf_impute`` for continuous signals: per key, each NULL value is
+    filled on the straight line between the BRACKETING non-NULL
+    observations in (ts, tiebreak) order (sensor resampling, price
+    curves, telemetry gap repair).  Leading/trailing NULLs (no bracket
+    on one side) stay NULL — the honest answer; LOCF them afterwards if
+    an edge fill is wanted.  Unlike LOCF this uses FUTURE observations
+    by construction: it is for reconstruction/resampling, not leak-free
+    feature generation — pick per use.
+
+    Output: ``keys..., ts, tiebreak, value_cents (double, 6dp),
+    is_interpolated``.  Exactness: observations are quantized to scaled
+    longs FIRST; the interpolated value is ONE fixed-shape IEEE
+    expression over four exact integers —
+    ``prev + (next - prev) * (t - t0) / (t1 - t0)`` with the identical
+    cast/association order in the SQL twin — so both engines emit the
+    same double bit-for-bit.  A zero-width bracket (prev and next at
+    the same microsecond) carries the previous value rather than
+    dividing 0/0.
+
+    Plan: BOTH bracket lookups ride windows over the SAME (keys) x
+    (ts, tiebreak) sort — ``last(_, ignorenulls)`` over unbounded
+    preceding and ``first(_, ignorenulls)`` over unbounded following —
+    so the whole operator is ONE exchange + ONE per-partition sort at
+    any scale (Spark computes both frames in one WindowExec pass over
+    the sorted run; no join, no self-union).  At 100 TB: identical
+    posture to every window operator here — partition by key, watch hot
+    keys."""
+    keys = list(keys)
+    m = 10 ** scale
+    t_us = F.unix_micros(F.col(ts_col))
+    cents = F.floor(F.col(value_col) * m + F.lit(0.5)).cast("long")
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(t_us.alias("t"), cents.alias("c")),
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col(tiebreak))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    staged = df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(tiebreak),
+        F.col(value_col).alias("__v"),
+        t_us.alias("__t"),
+        F.last(obs, ignorenulls=True).over(w_prev).alias("__p"),
+        F.first(obs, ignorenulls=True).over(w_next).alias("__n"),
+    )
+    p_t, p_c = F.col("__p.t"), F.col("__p.c")
+    n_t, n_c = F.col("__n.t"), F.col("__n.c")
+    interp = F.when(
+        n_t > p_t,
+        p_c.cast("double")
+        + (n_c - p_c).cast("double")
+        * (F.col("__t") - p_t).cast("double")
+        / (n_t - p_t).cast("double"),
+    ).otherwise(p_c.cast("double"))
+    filled = F.when(
+        F.col("__v").isNotNull(),
+        F.floor(F.col("__v") * m + F.lit(0.5)).cast("long").cast("double"),
+    ).when(p_t.isNotNull() & n_t.isNotNull(), interp)
+    return staged.select(
+        *keys,
+        ts_col,
+        tiebreak,
+        F.round(filled, 6).alias("value_cents"),
+        (F.col("__v").isNull() & filled.isNotNull()).alias(
+            "is_interpolated"
+        ),
+    )
+
+
+def interp_impute_oracle_sql(
+    table_expr: str,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of ``interp_impute`` (identical quantization, bracket
+    windows, and IEEE expression shape)."""
+    m = 10 ** scale
+    ks = ", ".join(keys)
+    frame = (
+        f"PARTITION BY {ks} ORDER BY {ts_col}::TIMESTAMP, {tiebreak}"
+    )
+    return (
+        f"WITH s AS (SELECT {ks}, {ts_col}, {tiebreak},"
+        f" {value_col} AS v,"
+        f" CAST(epoch_us({ts_col}::TIMESTAMP) AS BIGINT) AS t,"
+        f" CASE WHEN {value_col} IS NOT NULL THEN struct_pack("
+        f"  t := CAST(epoch_us({ts_col}::TIMESTAMP) AS BIGINT),"
+        f"  c := CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT)) END AS o"
+        f" FROM {table_expr}),"
+        f" b AS (SELECT *,"
+        f" last_value(o IGNORE NULLS) OVER ({frame}"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,"
+        f" first_value(o IGNORE NULLS) OVER ({frame}"
+        "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n"
+        " FROM s),"
+        " f AS (SELECT *, CASE"
+        "  WHEN v IS NOT NULL THEN"
+        f"   CAST(CAST(FLOOR(v * {m} + 0.5) AS BIGINT) AS DOUBLE)"
+        "  WHEN p.t IS NOT NULL AND n.t IS NOT NULL THEN"
+        "   CASE WHEN n.t > p.t THEN"
+        "    CAST(p.c AS DOUBLE) + CAST(n.c - p.c AS DOUBLE)"
+        "     * CAST(t - p.t AS DOUBLE) / CAST(n.t - p.t AS DOUBLE)"
+        "   ELSE CAST(p.c AS DOUBLE) END"
+        "  END AS filled FROM b)"
+        f" SELECT {ks}, {ts_col}, {tiebreak},"
+        "  ROUND(filled, 6) AS value_cents,"
+        "  (v IS NULL AND filled IS NOT NULL) AS is_interpolated FROM f"
+    )
+
+
 def decayed_group_score(
     df: DataFrame,
     keys: Sequence[str],

@@ -2261,3 +2261,112 @@ def test_fuzz_bigram_lm(spark, duck, top_k, doc_mod):
         src = f"(SELECT * FROM documents WHERE doc_id % {doc_mod} <> 1)"
     sdf = bigram_lm_stats(docs, top_k=top_k)
     _check(sdf, duck, bigram_lm_oracle_sql(src, _II_NORM, top_k=top_k))
+
+
+# ---------------------------------------------------------------------------
+# Mode 49: linear-interpolation imputation — randomized gap moduli and
+# series keys; census (rows / interpolated / 6dp micro checksum) must
+# hash-match the identical bracket-window SQL
+# ---------------------------------------------------------------------------
+
+@given(
+    null_mod=st.integers(3, 9),
+    per_type=st.booleans(),
+)
+@FUZZ
+def test_fuzz_interp_impute(spark, duck, null_mod, per_type):
+    from shuttle_spark.operators.relational import (
+        interp_impute,
+        interp_impute_oracle_sql,
+    )
+
+    keys = ["user_id", "event_type"] if per_type else ["user_id"]
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.col("event_id") % null_mod == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = interp_impute(ev, keys, "ts", "event_id", "value")
+    group = "event_type" if per_type else "user_id"
+    sdf = out.groupBy(group).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("is_interpolated").cast("long")).alias("n_interp"),
+        F.sum(
+            F.when(
+                F.col("value_cents").isNotNull(),
+                F.round(F.col("value_cents") * 1_000_000).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("chk_micro"),
+    )
+    src = (
+        "SELECT user_id, event_type, ts, event_id,"
+        f" CASE WHEN event_id % {null_mod} = 0 THEN NULL"
+        " ELSE value END AS value FROM events"
+    )
+    inner = interp_impute_oracle_sql(
+        f"({src})", keys, "ts", "event_id", "value"
+    )
+    sql = (
+        f"WITH o AS ({inner})"
+        f" SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        "  CAST(SUM(CASE WHEN is_interpolated THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_interp,"
+        "  CAST(SUM(CASE WHEN value_cents IS NOT NULL THEN"
+        "   CAST(ROUND(value_cents * 1000000) AS BIGINT) ELSE 0 END)"
+        "   AS BIGINT) AS chk_micro"
+        f" FROM o GROUP BY 1"
+    )
+    _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 50: k-anonymity / l-diversity census — randomized thresholds and
+# quasi-identifier granularity; the 1-row exact-integer census pins the
+# whole class-size + diversity distribution
+# ---------------------------------------------------------------------------
+
+@given(
+    k=st.integers(2, 9),
+    l_threshold=st.integers(2, 5),
+    ubucket=st.integers(31, 199),
+    sens_mod=st.integers(7, 60),
+    with_sens=st.booleans(),
+)
+@FUZZ
+def test_fuzz_k_anonymity(spark, duck, k, l_threshold, ubucket, sens_mod,
+                          with_sens):
+    from shuttle_spark.operators.pipeline import (
+        k_anonymity_census,
+        k_anonymity_oracle_sql,
+    )
+
+    ev = load_table(spark, SF, "events")
+    staged = ev.select(
+        F.col("event_type").alias("qi_type"),
+        F.to_date("ts").alias("qi_day"),
+        (F.col("user_id") % ubucket).alias("qi_ubucket"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            % sens_mod,
+        ).alias("sens"),
+    )
+    sens = "sens" if with_sens else None
+    sdf = k_anonymity_census(
+        staged, ["qi_type", "qi_day", "qi_ubucket"],
+        k=k, sensitive_col=sens, l_threshold=l_threshold,
+    )
+    src = (
+        "SELECT event_type AS qi_type,"
+        " CAST(ts::TIMESTAMP AS DATE) AS qi_day,"
+        f" user_id % {ubucket} AS qi_ubucket,"
+        " CASE WHEN value IS NOT NULL THEN"
+        f"  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % {sens_mod} END"
+        " AS sens FROM events"
+    )
+    sql = k_anonymity_oracle_sql(
+        f"({src})", ["qi_type", "qi_day", "qi_ubucket"],
+        k=k, sensitive_col=sens, l_threshold=l_threshold,
+    )
+    _check(sdf, duck, sql)

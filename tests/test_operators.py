@@ -2310,3 +2310,68 @@ def test_bigram_lm_semantics(spark):
     assert got[("b", "a")] == (1, lift(1, 3, 3))
     assert got[("b", "c")] == (1, lift(1, 3, 1))
     assert ("x", "x") not in got and len(got) == 3
+
+
+def test_interp_impute_semantics(spark):
+    """NULLs fill on the exact straight line between brackets; leading/
+    trailing NULLs stay NULL; observed rows pass through exactly; a
+    zero-width bracket carries the previous value instead of 0/0."""
+    rows = [
+        # key a: obs 10.0 @t0, NULL @t0+10s, NULL @t0+30s, obs 14.0 @t0+40s
+        ("a", "2024-01-01 00:00:00", 1, 10.0),
+        ("a", "2024-01-01 00:00:10", 2, None),
+        ("a", "2024-01-01 00:00:30", 3, None),
+        ("a", "2024-01-01 00:00:40", 4, 14.0),
+        # key b: leading NULL (no prev bracket), then one obs, trailing NULL
+        ("b", "2024-01-01 00:00:00", 5, None),
+        ("b", "2024-01-01 00:00:10", 6, 5.0),
+        ("b", "2024-01-01 00:00:20", 7, None),
+        # key c: zero-width bracket — same ts, NULL between two obs ties
+        ("c", "2024-01-01 00:00:00", 8, 1.0),
+        ("c", "2024-01-01 00:00:00", 9, None),
+        ("c", "2024-01-01 00:00:00", 10, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: (r["value_cents"], r["is_interpolated"])
+        for r in R.interp_impute(
+            df, ["k"], "ts", "event_id", "value"
+        ).collect()
+    }
+    assert out[1] == (1000.0, False)
+    # t=10s on the (t0, 1000c) -> (t0+40s, 1400c) line: 1000 + 400*10/40
+    assert out[2] == (1100.0, True)
+    assert out[3] == (1300.0, True)
+    assert out[4] == (1400.0, False)
+    assert out[5] == (None, False)   # leading NULL: no bracket
+    assert out[6] == (500.0, False)
+    assert out[7] == (None, False)   # trailing NULL: no bracket
+    assert out[9] == (100.0, True)   # zero-width: carries previous
+
+
+def test_k_anonymity_census_semantics(spark):
+    """Class sizes and diversity counted exactly; NULL QI groups as a
+    value; NULL sensitive is not a diversity value; empty QI list
+    raises."""
+    import pytest
+
+    from shuttle_spark.operators.pipeline import k_anonymity_census
+
+    rows = [
+        ("x", 1, "s1"), ("x", 1, "s1"), ("x", 1, "s2"),  # class (x,1): 3, l=2
+        ("x", 2, "s1"),                                   # class (x,2): 1, l=1
+        (None, 1, None), (None, 1, None),                 # class (∅,1): 2, l=0
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 long, sens string")
+    got = k_anonymity_census(
+        df, ["q1", "q2"], k=3, sensitive_col="sens", l_threshold=2
+    ).collect()[0].asDict()
+    assert got == {
+        "n_rows": 6, "n_classes": 3, "min_class_size": 1,
+        "n_classes_below_k": 2, "n_rows_below_k": 3,
+        "min_l": 0, "n_classes_below_l": 2, "n_rows_below_l": 3,
+    }
+    with pytest.raises(ValueError):
+        k_anonymity_census(df, [])
