@@ -129,6 +129,9 @@ QUERIES = [
     "priority_sample_orders",
     "equi_depth_lineitem",
     "inverted_index_terms",
+    # round-10 additions
+    "interp_impute_census",
+    "k_anonymity_events",
 ]
 
 
