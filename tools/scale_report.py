@@ -72,6 +72,26 @@ RESIDUALS = """
 - `checksum_lineitem` (~6x marginal): md5 per row — the price of
   association-free cross-engine exactness; both engines scale linearly,
   DuckDB's hash kernel is simply faster per core.
+- `corr_matrix_lineitem` (round 10): widening the 15 moment accumulators
+  from long to DECIMAL(38,0) — closing the silent int64 wrap the r9
+  advice flagged at ~1e9 rows, matching the oracle's HUGEINT exactly —
+  costs ~2x on the moment pass (sf10 wall 3.0 -> 6.1 s; Decimal128 adds
+  leave codegen's long fast path).  The documented exactness trade:
+  correct at the 100 TB design point instead of fast-but-wrapping;
+  callers who can BOUND n reclaim the long path by lowering per-column
+  scales.  A 21-bit LIMB accumulator (three long sums per moment,
+  decimal recombination on the collapsed row, exact to 2^41 rows) was
+  built and measured as the would-be fast path: 7.3 s vs decimal's
+  6.1 s at sf10 under identical conditions — 60 shift/mask/add columns
+  cost more than 20 Decimal128 adds — so the simpler decimal form
+  ships.  Still 4.7x end-to-end / 3.7x marginal at sf10.
+- `ohlc_bars` residual **CLOSED in round 10** (8.1x -> 3.8x marginal)
+  by switching the min_by/max_by ordering key from the 41-char biased
+  lex string to struct(epoch_micros, tiebreak) — order-equivalent, so
+  the SQL twin keeps its lex string and both engines still pick the
+  same unique row.  The same switch puts `golden_record_users` at 1.8x
+  END-TO-END at sf10 (five per-column max_by each rebuilt the string
+  per row; 1.9-2.1 -> 0.98 s).
 - `tpch_q18_shape` (~7-9x marginal): the HAVING-semi-join re-aggregation
   touches every orderkey group twice; this is the plan you'd ship — the
   windowed alternative was measured SLOWER (recorded in the operator
@@ -86,7 +106,16 @@ RESIDUALS = """
   columns runs 0.06-0.07 s on BOTH engines at sf10, while the full
   queries diverge — the gap is DuckDB's vectorized RE2 kernels against
   JVM java.util.regex for 6 regex passes x 500k documents, linear on
-  both sides.  `tpch_q3_shape`'s uptick is exchange cost on the fact
+  both sides.  Round 10 (VERDICT r9 item 4) attacked the Arrow
+  default's kernel both ways the verdict named, measured on 200k real
+  docs with byte-equal outputs asserted: folding the three patterns
+  into ONE alternation is SLOWER (0.68-0.88x — a broad alternation
+  loses sre's per-pattern first-char optimizations), while gating each
+  search behind its implied LITERAL ('@'/'.'/'-' membership at C
+  speed; exact, each pattern provably requires its literal) is 1.7x on
+  the injected gate corpus and ~40x on a clean corpus — the gates
+  shipped, marginal 7.4x -> 5.1x, and the remainder is the sre-vs-RE2
+  constant.  `tpch_q3_shape`'s uptick is exchange cost on the fact
   join — the shape that actually distributes.  The heavy ALGORITHMIC
   families (near-dup, linkage, ANN join) stay at or under ~2x because
   their cost is the algorithm.
