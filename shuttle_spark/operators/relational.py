@@ -1562,9 +1562,11 @@ def group_outliers_mad(
     magnitude under the fact count.  The naive formulation (Spark's
     imperative ``percentile`` aggregate over raw rows, twice, plus a
     row-level threshold pass) measured 15.5 s at sf10; this histogram
-    form measures 5.3 s there (1.3x marginal after the ~2.3 s ten-job
-    fixed floor — checkpoint materializations and AQE-staged broadcast
-    rounds — which amortizes away with data volume).  The interpolated
+    form measures ~8-11 s there after the round-10 checkpoint removal
+    (see the in-line note at the histogram — lineage truncation was
+    re-measured and LOST at every scale), with the remaining fixed
+    floor the AQE-staged broadcast rounds, which amortize away with
+    data volume.  The interpolated
     median over the histogram is computed with the same R-7 arithmetic
     (pos = (n-1)/2; lower + 0.5*(upper-lower) when n is even)."""
     v = F.col(value) if isinstance(value, str) else value
@@ -1615,12 +1617,15 @@ def group_outliers_mad(
         .groupBy(*keys, "__ui")
         .agg(F.count("*").alias("__cnt"))
         # The histogram is referenced by THREE downstream branches (value
-        # median, deviation histogram, outlier count); without lineage
-        # truncation each reference duplicates the fact scan + aggregate
-        # subtree (a 39-exchange logical plan).  The lazy localCheckpoint
-        # materializes the |groups|x|values| relation ONCE on first use
-        # — the fact table is genuinely touched a single time.
-        .localCheckpoint(eager=False)
+        # median, deviation histogram, outlier count).  An earlier round
+        # truncated lineage here with a lazy localCheckpoint so the fact
+        # scan would run once; re-measured in round 10, the checkpoint
+        # LOST or tied at every scale (sf0.1: a wash at ~2.8 s; sf10:
+        # 10.6-17.1 s -> 7.9-10.6 s without it) — serializing the
+        # |groups|x|values| relation
+        # to block storage costs more than Spark's physical-plan reuse
+        # of the identical aggregate subtree saves, so the plan is left
+        # un-truncated on purpose.
     )
     med = _wmedian(hist.withColumnRenamed("__ui", "__v"), "__v")
     dev_hist = (
@@ -1632,7 +1637,6 @@ def group_outliers_mad(
         )
         .groupBy(*keys, "__v")
         .agg(F.sum("__cnt").alias("__cnt"))
-        .localCheckpoint(eager=False)  # same two-branch reuse as hist
     )
     mad = _wmedian(dev_hist, "__v").select(
         *keys, F.col("__med").alias("__mad")
