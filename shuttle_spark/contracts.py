@@ -8145,6 +8145,63 @@ def q_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract("bpe_merges_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer-merge training (pipeline.bpe_train) under a
+    replay-equality oracle: the distributed rounds (ONE corpus-collapse
+    to the word-frequency dict, then per round a vocab-sized pair-count
+    aggregate + a total-order argmax + a literal-gated Arrow merge
+    apply) must produce EXACTLY the merge table of a pure-Python replay
+    of the identical algorithm (same ``bpe_pair_merge`` kernel, same
+    (count DESC, left, right) tie-break) over the collected word dict.
+    No SQL twin: the merge loop rewrites the relation it aggregates
+    each round — recursive CTEs cannot carry the mutable vocab.  The
+    merge TABLE is the artifact a tokenizer ships; exact table equality
+    (rank, pair, merged symbol, count) is the strongest available gate."""
+    from shuttle_spark.functions import text as TXF
+    from shuttle_spark.operators.pipeline import bpe_pair_merge, bpe_train
+
+    n_merges = 15
+    docs = load_table(spark, sf, "documents")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    word_rows = (
+        docs.select(F.explode(TXF.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    vocab = [[list(r["w"]), int(r["n"])] for r in word_rows]
+    exp = []
+    for rank in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        exp.append((rank, left, right, left + right, c))
+        for entry in vocab:
+            if left in entry[0] and right in entry[0]:
+                entry[0] = bpe_pair_merge(entry[0], left, right)
+    ok = got == exp
+    return spark.createDataFrame(
+        [(bool(ok), bool(len(exp) > 0))], "ok boolean, nonempty boolean"
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -8445,8 +8502,11 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # locf) displaces join_3way_agg (B12 keeps the seven incoming q-shapes
 # plus broadcast_join_agg for B13); k_anonymity_events (privacy census
 # beside scrub_pii) displaces distinct_partkeys (B7 keeps the incoming
-# stream_dedup_dup_count; exact_dedup_docs keeps B27).  Both displaced
-# rows are green in CORRECTNESS_r09 and stay FULL-gated.
+# stream_dedup_dup_count; exact_dedup_docs keeps B27); bpe_merges_equal
+# (distributed BPE tokenizer-merge training, replay-equality gated like
+# kcore/label_prop) displaces scalar_functions (B19 keeps the incoming
+# date_functions + string_functions).  All displaced rows are green in
+# CORRECTNESS_r09 and stay FULL-gated.
 # Every displaced row below is green in CORRECTNESS_r09 and stays
 # FULL-gated; every §2.B family keeps at least one row IN the r10 gate
 # (B4/B7/B10/B13/B15/B16 rows are their families' only contracts and
@@ -8474,7 +8534,7 @@ _DRIVER_PRIORITY = [
     "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
     "intersect_count", "rollup_agg", "corr_matrix_lineitem",
     "equi_depth_lineitem",
-    "scalar_functions", "json_extract_variant_agg",
+    "bpe_merges_equal", "json_extract_variant_agg",
     "inverted_index_terms", "topk_cosine",
     "column_profile_docs", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "label_prop_equal", "table_recon_counts",

@@ -936,3 +936,128 @@ def bigram_lm_oracle_sql(
         " JOIN u u2 ON pc.w2 = u2.term, tot"
         f" ORDER BY pc.pair_n DESC, pc.w1, pc.w2 LIMIT {top_k}"
     )
+
+
+def bpe_pair_merge(symbols: list, left: str, right: str) -> list:
+    """Greedy left-to-right single-pair merge — the BPE reference step,
+    shared verbatim by the distributed apply (Arrow batch below) and the
+    pure-Python replay oracle so both can only drift together."""
+    out, i, n = [], 0, len(symbols)
+    merged = left + right
+    while i < n:
+        if i + 1 < n and symbols[i] == left and symbols[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 40,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016) —
+    the tokenizer-training step of an LLM data pipeline, distributed.
+    Returns the learned merge table: ``rank, left, right, merged,
+    pair_count`` (rank 0 = first merge), the artifact a tokenizer ships.
+
+    Scale shape: ONE corpus-scale pass — a hash aggregate collapsing the
+    corpus to its distinct-WORD frequency dict (classic BPE trains on
+    (word, count), so a 100 TB corpus reduces to a vocabulary-sized
+    relation in a single map-side-combined aggregate) — then
+    ``n_merges`` rounds over that vocab relation only: per round one
+    pair-count aggregate (adjacent symbol pairs via the in-row
+    ``transform(sequence(...))`` bigram kernel, weighted by word count,
+    counting overlapping positions like the reference algorithm), ONE
+    collected argmax row (count DESC, then (left, right) ASC — a total
+    order, so ties are deterministic), and one vectorized Arrow merge
+    application GATED JVM-side on ``array_contains(left) AND
+    array_contains(right)`` (the pii literal-gate discipline: words
+    that cannot contain the pair are passed through untouched without
+    entering Python).  Each round's vocab relation is
+    ``localCheckpoint``-ed like the connected-components rounds so plan
+    lineage stays O(1) across iterations.
+
+    Word model: whitespace tokens of the normalized text, each word a
+    character-symbol sequence with no end-of-word marker (merges never
+    cross word boundaries; add a marker upstream if word-final symbols
+    should stay distinct).  Training stops early when the best pair's
+    count drops below ``min_pair_count`` — the returned table may be
+    shorter than ``n_merges``.
+
+    Determinism: exact integer counts + the total-order tie-break make
+    the merge table bit-stable; the contract replays the identical loop
+    (same ``bpe_pair_merge``) in pure Python over the collected word
+    dict and requires exact table equality."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split(F.col("w"), "").alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    n_parts = max(words.rdd.getNumPartitions(), 1)
+    pair_expr = (
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        "  i -> struct(syms[i-1] AS l, syms[i] AS r))"
+        " ELSE array() END"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        best = (
+            words.select(F.explode(F.expr(pair_expr)).alias("p"), "n")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, left, right, left + right, cnt))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["syms"] = [
+                    bpe_pair_merge(list(s), _l, _r) for s in pdf["syms"]
+                ]
+                yield pdf
+
+        hit = F.array_contains("syms", left) & F.array_contains(
+            "syms", right
+        )
+        rewritten = (
+            words.filter(hit)
+            .mapInPandas(apply_merge, out_schema)
+            .unionByName(words.filter(~hit))
+            # the two filter branches each inherit the parent's partition
+            # count, so the union would DOUBLE partitions every round
+            # (exponential task growth over the loop); coalesce pins the
+            # vocab relation at its collapse-time width — a narrow merge,
+            # no shuffle
+            .coalesce(n_parts)
+        )
+        words = rewritten.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank long, left string, right string, merged string,"
+        " pair_count long",
+    )

@@ -2370,3 +2370,61 @@ def test_fuzz_k_anonymity(spark, duck, k, l_threshold, ubucket, sens_mod,
         k=k, sensitive_col=sens, l_threshold=l_threshold,
     )
     _check(sdf, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# Mode 51: BPE merge training — randomized merge counts and corpus
+# subsets; the distributed loop must equal the pure-Python replay (same
+# bpe_pair_merge kernel, same total-order tie-break) EXACTLY
+# ---------------------------------------------------------------------------
+
+@given(
+    n_merges=st.integers(2, 10),
+    doc_mod=st.integers(1, 5),
+)
+@settings(
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES_SLOW", "10")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_bpe_train(spark, duck, n_merges, doc_mod):
+    from shuttle_spark.functions import text as TXF
+    from shuttle_spark.operators.pipeline import bpe_pair_merge, bpe_train
+
+    docs = load_table(spark, SF, "documents")
+    if doc_mod > 1:
+        docs = docs.filter(F.col("doc_id") % doc_mod != 1)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=n_merges).orderBy("rank").collect()
+    ]
+    vocab = [
+        [list(r["w"]), int(r["n"])]
+        for r in docs.select(
+            F.explode(TXF.tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    exp = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        exp.append((rank, left, right, left + right, c))
+        for entry in vocab:
+            if left in entry[0] and right in entry[0]:
+                entry[0] = bpe_pair_merge(entry[0], left, right)
+    assert got == exp

@@ -2375,3 +2375,43 @@ def test_k_anonymity_census_semantics(spark):
     }
     with pytest.raises(ValueError):
         k_anonymity_census(df, [])
+
+
+def test_bpe_train_semantics(spark):
+    """The classic Sennrich worked example: merge ranks follow exact
+    weighted pair counts with the (count DESC, left, right) tie-break;
+    greedy left-to-right application; counts weighted by word frequency."""
+    from shuttle_spark.operators.pipeline import bpe_pair_merge, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest"),
+         (3, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == [
+        (0, "e", "s", "es", 9),     # newest x6 + widest x3
+        (1, "es", "t", "est", 9),
+        (2, "l", "o", "lo", 7),     # low x5 + lower x2
+        (3, "lo", "w", "low", 7),
+        (4, "e", "w", "ew", 6),     # newest x6
+        (5, "ew", "est", "ewest", 6),
+    ]
+    # greedy left-to-right: overlapping pair collapses once per position
+    assert bpe_pair_merge(["a", "a", "a"], "a", "a") == ["aa", "a"]
+
+
+def test_bpe_train_early_stop(spark):
+    """Training stops when the best pair count drops below
+    min_pair_count — the table is shorter than n_merges."""
+    from shuttle_spark.operators.pipeline import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd")], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=5, min_pair_count=2).collect()
+    assert got == []  # every pair occurs once
