@@ -8202,6 +8202,52 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "bpe_encode_stats_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext"
+)
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE corpus tokenization census (pipeline.bpe_subtoken_stats)
+    under a replay-equality oracle: a FIXED rank-ordered merge table
+    (with cascading merges — 'er'+'s' only exists after 'e'+'r') encodes
+    the corpus via the vocab-sized Arrow stage, and the four exact
+    integers (word occurrences, distinct words, frequency-weighted
+    subtoken total, used-symbol vocabulary) must equal a pure-Python
+    replay over the collected word dict sharing ``bpe_encode_word``
+    verbatim.  The merge table is fixed so this row prices/pins ENCODE
+    independently of training (bpe_merges_equal gates the trainer)."""
+    from shuttle_spark.functions import text as TXF
+    from shuttle_spark.operators.pipeline import (
+        bpe_encode_word,
+        bpe_subtoken_stats,
+    )
+
+    merges = [
+        ("e", "r"), ("er", "s"), ("i", "n"), ("in", "g"),
+        ("o", "w"), ("t", "h"), ("th", "e"), ("a", "n"),
+    ]
+    docs = load_table(spark, sf, "documents")
+    got = tuple(bpe_subtoken_stats(docs, merges).collect()[0])
+    vocab = (
+        docs.select(F.explode(TXF.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_words = n_sub = 0
+    used: set = set()
+    for r in vocab:
+        enc = bpe_encode_word(list(r["w"]), merges)
+        n_words += int(r["n"])
+        n_sub += int(r["n"]) * len(enc)
+        used.update(enc)
+    exp = (n_words, len(vocab), n_sub, len(used))
+    ok = got == exp
+    return spark.createDataFrame(
+        [(bool(ok), bool(n_words > 0))], "ok boolean, nonempty boolean"
+    )
+
+
 @contract("kcore_peel_equal", "SELECT TRUE AS ok, TRUE AS nonempty", "ext")
 def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """k-core decomposition (components.kcore) under a replay-equality
@@ -8505,7 +8551,10 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # stream_dedup_dup_count; exact_dedup_docs keeps B27); bpe_merges_equal
 # (distributed BPE tokenizer-merge training, replay-equality gated like
 # kcore/label_prop) displaces scalar_functions (B19 keeps the incoming
-# date_functions + string_functions).  All displaced rows are green in
+# date_functions + string_functions); bpe_encode_stats_equal (the encode
+# side, fixed merge table so it pins encode independently of training)
+# displaces column_profile_docs (B23 keeps table_recon_counts +
+# fk_integrity_census).  All displaced rows are green in
 # CORRECTNESS_r09 and stay FULL-gated.
 # Every displaced row below is green in CORRECTNESS_r09 and stays
 # FULL-gated; every §2.B family keeps at least one row IN the r10 gate
@@ -8536,7 +8585,7 @@ _DRIVER_PRIORITY = [
     "equi_depth_lineitem",
     "bpe_merges_equal", "json_extract_variant_agg",
     "inverted_index_terms", "topk_cosine",
-    "column_profile_docs", "semantic_dedup_kept", "hll_sketch_merge_ok",
+    "bpe_encode_stats_equal", "semantic_dedup_kept", "hll_sketch_merge_ok",
     "label_prop_equal", "table_recon_counts",
     "priority_sample_orders",
     "changeset_apply_arriving", "ohlc_bars",

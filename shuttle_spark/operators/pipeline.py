@@ -1061,3 +1061,78 @@ def bpe_train(
         "rank long, left string, right string, merged string,"
         " pair_count long",
     )
+
+
+def bpe_encode_word(symbols: list, merges: list) -> list:
+    """Encode one word with a rank-ordered merge list — apply each merge
+    greedily in training order (the reference encode rule).  Shared by
+    the distributed stats pass and the replay oracle."""
+    for left, right in merges:
+        if len(symbols) < 2:
+            break
+        # cheap containment gate before the full pass
+        if left in symbols and right in symbols:
+            symbols = bpe_pair_merge(symbols, left, right)
+    return symbols
+
+
+def bpe_subtoken_stats(
+    docs: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus tokenization census under a TRAINED BPE merge table — the
+    encode side of ``bpe_train`` and the number every pre-training data
+    plan starts from ("how many subword tokens is this corpus?").
+    Output (ONE row, exact integers): ``n_words`` (corpus word
+    occurrences), ``n_distinct_words``, ``n_subtokens`` (total encoded
+    length, frequency-weighted), ``vocab_subtokens`` (distinct symbols
+    the encoded corpus actually uses).
+
+    Scale shape, same as training: ONE corpus-scale aggregate collapses
+    to the distinct-word frequency dict; each DISTINCT word is encoded
+    exactly once in an Arrow batch stage (``merges`` rides the closure —
+    it is the vocab-small trained artifact, a broadcast by construction)
+    and every corpus-level number is a weighted aggregate of that
+    vocab-sized relation.  A 100 TB corpus pays one scan + one
+    word-count exchange; Python touches only the vocabulary."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    words = (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "syms": [
+                        bpe_encode_word(list(w), merge_list)
+                        for w in pdf["w"]
+                    ],
+                    "n": pdf["n"].values,
+                }
+            )
+
+    enc = words.mapInPandas(encode, out_schema)
+    return enc.agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(F.col("n") * F.size("syms")).alias("n_subtokens"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array_distinct("syms")))
+            )
+        ).cast("long").alias("vocab_subtokens"),
+    )

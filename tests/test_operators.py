@@ -2415,3 +2415,27 @@ def test_bpe_train_early_stop(spark):
     )
     got = bpe_train(docs, n_merges=5, min_pair_count=2).collect()
     assert got == []  # every pair occurs once
+
+
+def test_bpe_encode_word_cascade(spark):
+    """Merges apply in rank order and cascade ('er'+'s' exists only
+    because 'e'+'r' ran first); untouched words pass through."""
+    from shuttle_spark.operators.pipeline import bpe_encode_word
+
+    merges = [("e", "r"), ("er", "s")]
+    assert bpe_encode_word(list("powers"), merges) == [
+        "p", "o", "w", "ers"
+    ]
+    assert bpe_encode_word(list("abc"), merges) == ["a", "b", "c"]
+
+
+def test_bpe_subtoken_stats_semantics(spark):
+    """Exact frequency-weighted counts over the distinct-word relation."""
+    from shuttle_spark.operators.pipeline import bpe_subtoken_stats
+
+    docs = spark.createDataFrame(
+        [(1, "er er abc")], "doc_id long, text string"
+    )
+    row = bpe_subtoken_stats(docs, [("e", "r")]).collect()[0]
+    # 'er' x2 encodes to ['er'] (1 symbol), 'abc' to 3 symbols
+    assert tuple(row) == (3, 2, 2 * 1 + 3, 4)  # er, a, b, c
