@@ -6995,7 +6995,7 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     cutoff = ev.agg(F.max("ts")).collect()[0][0]
     okey = F.struct(
         F.unix_micros(F.col("ts")).alias("t"),
-        F.col("event_id").alias("i"),
+        F.col("event_id").cast("long").alias("i"),
     )
     v = F.col("value")
     stream = (

@@ -197,9 +197,12 @@ def golden_record(
     entity key first — in-partition CPU, no extra exchange; the
     window/row_number formulation would also sort but then shuffle
     every entity's FULL history instead of the collapsed candidates."""
+    # cast matches the SQL twin's HUGEINT cast: a string-typed numeric
+    # tiebreak must order NUMERICALLY on both engines, not
+    # lexicographically on one (ADVICE r10)
     okey = F.struct(
         F.unix_micros(F.col(ts_col)).alias("t"),
-        F.col(tiebreak).alias("i"),
+        F.col(tiebreak).cast("long").alias("i"),
     )
     aggs = [
         F.count(F.lit(1)).alias("n_versions"),

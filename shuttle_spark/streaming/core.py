@@ -1384,8 +1384,24 @@ def stream_cusum(
     ``tiebreak_col`` and ``scale`` mirror ``cusum_points``' signature
     exactly (defaults ``event_id`` / 2), so non-default batch callers
     get the same stream twin, not a silently divergent one.
+    ``tiebreak_col`` MUST be an integral column (it is carried through
+    state arrays and the output schema as a long) — validated below
+    rather than failing at Arrow conversion or silently truncating a
+    float (ADVICE r10).
 
     Emits ``(key, tiebreak, ts_us, stat_cents, is_alert)``."""
+    tb_type = {f.name: f.dataType for f in events.schema.fields}.get(
+        tiebreak_col
+    )
+    if tb_type is not None and not isinstance(
+        tb_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"stream_cusum tiebreak_col {tiebreak_col!r} must be an"
+            f" integral column (got {tb_type.simpleString()}); its value"
+            " rides the LongType state/output schema exactly like batch"
+            " cusum_points' long tiebreak"
+        )
     drift = target_cents + slack_cents
     m_scale = 10 ** scale
     out_schema = T.StructType(

@@ -2078,6 +2078,27 @@ def test_golden_record_semantics(spark):
     assert naive is None  # guarded form above returned "p9"
 
 
+def test_golden_record_string_tiebreak_orders_numerically(spark):
+    """ADVICE r10: a string-typed numeric tiebreak must order
+    NUMERICALLY (the struct okey casts it to long, matching the SQL
+    twin's HUGEINT cast) — lexicographic ordering would pick "9" over
+    "10" and silently diverge from the oracle."""
+    import datetime as dt
+
+    from shuttle_spark.operators.dedup import golden_record
+
+    ts = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, ts, "9", "lo", None), (1, ts, "10", "hi", None)],
+        "user_id long, ts timestamp, event_id string,"
+        " phone string, email string",
+    )
+    got = golden_record(
+        df, ["user_id"], "ts", "event_id", ["phone"]
+    ).collect()[0]
+    assert got["phone"] == "hi"  # 10 > 9 numerically; "10" < "9" lex
+
+
 def test_cusum_points_semantics(spark):
     """The closed form (cumsum minus clamped running min) equals Page's
     recursion s_i = max(0, s_{i-1} + dev_i) replayed in pure Python;
@@ -2439,3 +2460,98 @@ def test_bpe_subtoken_stats_semantics(spark):
     row = bpe_subtoken_stats(docs, [("e", "r")]).collect()[0]
     # 'er' x2 encodes to ['er'] (1 symbol), 'abc' to 3 symbols
     assert tuple(row) == (3, 2, 2 * 1 + 3, 4)  # er, a, b, c
+
+
+def test_bpe_subtoken_stats_no_collect_list(spark):
+    """VERDICT r10 item 1a: the census plan must hold NO collect_list
+    (the old vocab_subtokens formulation concentrated every encoded
+    symbol array in one aggregation buffer); the used-symbol count now
+    rides Catalyst's two-phase distinct Expand, every buffer bounded."""
+    from shuttle_spark.operators.pipeline import bpe_subtoken_stats
+
+    docs = spark.createDataFrame(
+        [(1, "er er abc")], "doc_id long, text string"
+    )
+    plan = bpe_subtoken_stats(docs, [("e", "r")])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "collect_list" not in plan
+    # the distinct aggregate is planned two-phase: a partial aggregate
+    # KEYED on the symbol, a hash exchange on the symbol, then
+    # partial_count(distinct s) — every buffer holds per-task symbol
+    # groups, never the corpus's array-of-arrays
+    assert "partial_count(distinct" in plan
+
+
+def test_bpe_train_driver_fast_path_parity(spark):
+    """VERDICT r10 item 1b: the size-guarded driver fast path
+    (_bpe_train_vocab — heap argmax + incremental pair counts) must be
+    BIT-EQUAL to the distributed rounds, including tie-breaks and the
+    min_pair_count early stop; a bound smaller than the vocab must fall
+    back to the distributed loop (same table either way)."""
+    from shuttle_spark.operators.pipeline import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest"),
+         (3, "widest widest widest wide wide")],
+        "doc_id long, text string",
+    )
+    dist = [tuple(r) for r in bpe_train(docs, n_merges=8)
+            .orderBy("rank").collect()]
+    fast = [tuple(r) for r in
+            bpe_train(docs, n_merges=8, driver_fast_max_words=1000)
+            .orderBy("rank").collect()]
+    small_bound = [tuple(r) for r in
+                   bpe_train(docs, n_merges=8, driver_fast_max_words=2)
+                   .orderBy("rank").collect()]
+    assert dist == fast == small_bound
+    assert len(dist) == 8
+
+
+def test_bpe_train_vocab_reappearing_pair():
+    """The incremental trainer must keep a merged pair's bookkeeping
+    alive: a LATER merge can recreate the pair's adjacency (merging
+    ('a','b')->'ab' puts 'ab' before 'c' again after ('ab','c') was
+    already merged at an earlier rank in another word), and the recount
+    semantics of the distributed loop would pick it a second time."""
+    from shuttle_spark.operators.pipeline import (
+        _bpe_train_vocab,
+        bpe_pair_merge,
+    )
+
+    def replay(vocab, n_merges, min_pair_count):
+        out = []
+        for rank in range(n_merges):
+            counts: dict = {}
+            for syms, n in vocab:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + n
+            if not counts:
+                break
+            (left, right), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if c < min_pair_count:
+                break
+            out.append((rank, left, right, left + right, c))
+            for entry in vocab:
+                if left in entry[0] and right in entry[0]:
+                    entry[0] = bpe_pair_merge(entry[0], left, right)
+        return out
+
+    # rank 0: ('ab','c') x20 merges (pre-seeded 'ab' symbol); rank 1:
+    # ('a','b') x8 wins its lex tie with ('b','c') and rewrites the
+    # second word to ['ab','c']; rank 2: ('ab','c') REAPPEARS at count 8
+    # and must be merged a second time
+    vocab1 = [
+        [["ab", "c"], 20],
+        [["a", "b", "c"], 8],
+    ]
+    import copy
+
+    got = _bpe_train_vocab(copy.deepcopy(vocab1), 5, 1)
+    exp = replay(copy.deepcopy(vocab1), 5, 1)
+    assert got == exp
+    # the pair ('ab','c') must appear at two ranks
+    assert [m[1:3] for m in exp].count(("ab", "c")) == 2

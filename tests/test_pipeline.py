@@ -168,6 +168,35 @@ def test_cleanse_filters_and_dedups(spark):
     assert "content_hash" in out.columns
 
 
+def test_pii_gate_soundness_prover():
+    """ADVICE r10: _gate_is_sound proves (from the parsed pattern) that
+    every match contains a gate char — so an edit that invalidates the
+    hand-maintained gate table fails at import, not by silently skipping
+    real PII.  Positive: the shipped table passes.  Negative: the exact
+    drift the advice named (phone separator class gaining a space) is
+    caught, as are gates the pattern merely permits but doesn't force."""
+    from shuttle_spark.operators.pipeline import (
+        _PII_GATE_CHARS,
+        PII_PATTERNS,
+        _gate_is_sound,
+    )
+
+    for name, pat, _ in PII_PATTERNS:
+        assert _gate_is_sound(pat, _PII_GATE_CHARS[name]), name
+    # the advice's scenario: a space joins the separator class and the
+    # old ('-', '.') gates become unsound
+    drifted = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+    assert not _gate_is_sound(drifted, ("-", "."))
+    assert _gate_is_sound(drifted, ("-", ".", " "))
+    # optional occurrence is NOT an implied literal
+    assert not _gate_is_sound(r"[0-9]+-?[0-9]+", ("-",))
+    # but a min>=1 repeat of a gate-only class is
+    assert _gate_is_sound(r"[0-9]+[-.]{1,2}[0-9]+", ("-", "."))
+    # alternation: every branch must force a gate
+    assert _gate_is_sound(r"(a@b|c@d)", ("@",))
+    assert not _gate_is_sound(r"(a@b|cd)", ("@",))
+
+
 def test_scrub_pii_redacts_and_flags(spark):
     from shuttle_spark.operators import pipeline as P
 

@@ -690,3 +690,17 @@ def test_stream_cusum_equals_batch_single_and_multi_batch(spark):
         )
         assert got == want, f"{name}: stream != batch"
     assert any(r[-1] for r in want) and not all(r[-1] for r in want)
+
+
+def test_stream_cusum_rejects_non_integral_tiebreak(spark):
+    """ADVICE r10: a non-integral tiebreak_col must raise up front (the
+    value rides a LongType state/output schema), not truncate silently
+    or die inside Arrow conversion mid-stream."""
+    import pytest
+
+    from shuttle_spark.streaming import events_stream
+    from shuttle_spark.streaming.core import stream_cusum
+
+    src = events_stream(spark, SF)
+    with pytest.raises(ValueError, match="must be an integral column"):
+        stream_cusum(src, tiebreak_col="value")  # value is a double
