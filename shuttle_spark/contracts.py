@@ -8575,6 +8575,25 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # compact_changeset_net (out: mv_arriving_totals); graph keeps
 # label_prop_equal (out: kcore_peel_equal); stats ext (out:
 # decayed_engagement).
+# Round-11 rotation — executes the r11 batch of the standing schedule
+# above verbatim (VERDICT r10 item 2; 13 rows in, tail 40 -> 27).  Every
+# displaced row is green in CORRECTNESS_r10 and stays FULL-gated; every
+# §2.B family keeps at least one row IN the gate.  Displacements:
+#   tpch_q11/q13/q14/q15/q16/q17_shape <- tpch_q2/q4/q6/q8/q9/q10/
+#        q12_shape (B12 keeps six fresh q-shapes + broadcast_join_agg
+#        for B13; one extra B12 slot funds the 13th incoming row)
+#   stats_agg, percentile_agg, conditional_agg, minmax_by_agg,
+#   collect_set_agg (B6/B22 agg family, never driver-gated before) <-
+#        string_functions (B19 keeps date_functions),
+#        window_lag_lead (B17 keeps interp_impute_census + ohlc_bars),
+#        stream_decontaminate_count + stream_pii_scrub (B24 keeps
+#        stream_mv_maintenance + stream_dedup_dup_count; both
+#        pipeline-stream twins were driver-verified in r10),
+#        fk_integrity_census (B23 keeps table_recon_counts)
+#   sliding_window_agg (B24 windowed agg, never driver-gated) <-
+#        compact_changeset_net (CDC keeps changeset_apply_arriving)
+#   window_ntile_pctrank (B18, never driver-gated) rides the freed
+#        B12 slot (B18 also keeps equi_depth_lineitem)
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -8591,12 +8610,14 @@ _DRIVER_PRIORITY = [
     "changeset_apply_arriving", "ohlc_bars",
     "sessionize",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
-    "compact_changeset_net", "fk_integrity_census", "bigram_lm_top",
-    "tpch_q2_shape", "tpch_q4_shape", "tpch_q6_shape", "tpch_q8_shape",
-    "tpch_q9_shape", "tpch_q10_shape", "tpch_q12_shape",
-    "stream_decontaminate_count", "stream_dedup_dup_count",
-    "stream_pii_scrub",
-    "date_functions", "string_functions", "window_lag_lead",
+    "bigram_lm_top",
+    "tpch_q11_shape", "tpch_q13_shape", "tpch_q14_shape",
+    "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "stats_agg", "percentile_agg", "conditional_agg",
+    "minmax_by_agg", "collect_set_agg",
+    "sliding_window_agg", "window_ntile_pctrank",
+    "stream_dedup_dup_count",
+    "date_functions",
 ]
 
 
