@@ -103,7 +103,7 @@ def main() -> None:
         "n_queries": len(timings),
         "floor_sec": floor_sec,
         # non-default paths whose wall must not be read as the engine's
-        # story for that family (e.g. json_extract_agg's raw-Jackson
+        # story for that family (e.g. json_extract_agg_compat's raw-Jackson
         # compat twin next to the staged-VARIANT default)
         "labels": {
             name: "compat"

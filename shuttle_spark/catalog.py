@@ -174,7 +174,7 @@ def _ingest_relayout(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                     # parquet VARIANT column and every subsequent
                     # variant_get is binary traversal, no JSON parse.  The
                     # raw string column stays for the compat twin
-                    # (json_extract_agg).  This mirrors the reference's
+                    # (json_extract_agg_compat).  This mirrors the reference's
                     # consumption pattern — aggregate over pre-structured
                     # data (Ors2ShuffleManagerTest.scala:74-79), parse
                     # paid once at ingest.  try_parse_json: a malformed

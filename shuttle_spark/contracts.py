@@ -838,7 +838,7 @@ def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
-    "json_extract_agg",
+    "json_extract_agg_compat",
     "SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS cnt"
     " FROM events GROUP BY k",
     "B20",
@@ -866,7 +866,7 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_json_extract_variant(spark: SparkSession, sf: str) -> DataFrame:
     """The DEFAULT JSON path (VERDICT r4 item 3): the same query as
-    json_extract_agg routed over the parse-once VARIANT column the catalog
+    json_extract_agg_compat routed over the parse-once VARIANT column the catalog
     stages at ingest (catalog._ingest_relayout writes events.props_v as a
     parquet VARIANT; the JSON parse is paid once per corpus, not once per
     query).  variant_get is binary traversal — the engine answer to the
@@ -5583,7 +5583,7 @@ def q_variant_json(spark: SparkSession, sf: str) -> DataFrame:
     variant_get with a target type over the parse-once staged column
     (catalog ingest writes events.props_v as parquet VARIANT) — the
     shred-on-read path for schema-on-read event bags (vs the string
-    get_json_object twin in json_extract_agg; the string-typed default
+    get_json_object twin in json_extract_agg_compat; the string-typed default
     path is json_extract_variant_agg)."""
     ev = load_table(spark, sf, "events")
     k = F.variant_get(F.col("props_v"), "$.k", "bigint")

@@ -51,7 +51,7 @@ QUERIES = [
     "window_cumsum",
     "global_rank_distributed",
     "global_pctrank_distributed",
-    "json_extract_agg",
+    "json_extract_agg_compat",
     # round-5: the parse-once VARIANT default path vs the raw-string twin
     # above — the Jackson-vs-yyjson residual's engine answer on the curve.
     "json_extract_variant_agg",

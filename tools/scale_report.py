@@ -62,7 +62,7 @@ RESIDUALS = """
   the quantile boundaries (statistics, not data — ANALYZE once), cutting
   the warm path to 2 jobs; the ratio still falls monotonically
   (122x -> 6.3x / 198x -> 10.4x across the curve).
-- `json_extract_agg` residual **CLOSED in round 5** by parse-once VARIANT
+- `json_extract_agg` (renamed json_extract_agg_compat in r11) residual **CLOSED in round 5** by parse-once VARIANT
   staging at catalog ingest (events.props_v stored as a parquet VARIANT;
   the Jackson parse is paid once per corpus on the ingest write): the raw
   Jackson twin stays ~18-30x on the curve BY DESIGN as the compat path,
