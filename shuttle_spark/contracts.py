@@ -4114,6 +4114,39 @@ def q_stream_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "ts_us", "event_id", "event_type")
 
 
+@contract(
+    "stream_keep_latest_packed",
+    "SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type"
+    " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+    "   ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn FROM events)"
+    " WHERE rn = 1 AND ts::TIMESTAMP <"
+    "  (SELECT MAX(ts::TIMESTAMP) - INTERVAL 2 HOUR FROM events)",
+    "B8",
+)
+def q_stream_keep_latest_packed(spark: SparkSession, sf: str) -> DataFrame:
+    """stream_keep_latest with PACKED state (VERDICT r10 item 6): many
+    logical keys share one physical state group, so the measured ~1.3 ms
+    applyInPandasWithState per-group constant pays once per BUCKET per
+    batch instead of once per key — the 100 TB state-scaling transform
+    stream_locf_packed shipped, extended to the keep-latest family.
+    Oracle is the per-key contract's SQL VERBATIM (batch keep-latest
+    restricted to quiesced users), and a pytest parity gate holds packed
+    == per-key row-for-row; the per-key original stays contracted as
+    regression coverage."""
+    from shuttle_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_keep_latest_packed,
+    )
+
+    out = run_available_now(
+        stream_keep_latest_packed(events_stream(spark, sf)),
+        f"sklp_{abs(hash(sf)) % 99999}",
+        shuffle_partitions=4,
+    )
+    return out.select("user_id", "ts_us", "event_id", "event_type")
+
+
 def _register_tws_contract() -> None:
     """stream_keep_latest_tws is registered ONLY where the runtime can
     execute it (google.protobuf present — the TWS Python runner's state
@@ -8594,6 +8627,13 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 #        compact_changeset_net (CDC keeps changeset_apply_arriving)
 #   window_ntile_pctrank (B18, never driver-gated) rides the freed
 #        B12 slot (B18 also keeps equi_depth_lineitem)
+# Round-11 addition, rotated in the SAME session it landed (the r10
+# discipline): stream_keep_latest_packed (the packed-state transform
+# extended to the keep-latest family, parity-gated against the per-key
+# original and sharing its oracle verbatim) displaces
+# stream_dedup_dup_count (green in r10; B24 keeps
+# stream_mv_maintenance + this new stateful row, B7 keeps
+# exact_dedup_docs' family via B27 and distinct stays FULL-gated).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -8616,7 +8656,7 @@ _DRIVER_PRIORITY = [
     "stats_agg", "percentile_agg", "conditional_agg",
     "minmax_by_agg", "collect_set_agg",
     "sliding_window_agg", "window_ntile_pctrank",
-    "stream_dedup_dup_count",
+    "stream_keep_latest_packed",
     "date_functions",
 ]
 

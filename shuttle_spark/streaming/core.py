@@ -347,6 +347,143 @@ def stream_keep_latest(
     )
 
 
+def stream_keep_latest_packed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    n_state_buckets: int = 32,
+) -> DataFrame:
+    """``stream_keep_latest`` with PACKED state (VERDICT r10 item 6) —
+    the second family to ship the ``stream_locf_packed`` transform, the
+    100 TB state-scaling answer to applyInPandasWithState's measured
+    ~1.3 ms per GROUP INVOCATION constant: per-key state pays
+    keys x batches x 1.3 ms (the whole budget at a 10M-key stream),
+    packed state pays it once per BUCKET per batch and runs the per-key
+    argmax vectorized over the bucket's rows.
+
+    Bucketing is ``pmod(key, n_state_buckets)`` like the locf twin;
+    state per bucket = the pending winners as flat parallel arrays
+    (key, ts_us, event_id, event_type) — O(quiescing keys/bucket), and
+    a key's entry is freed the moment its row is emitted.
+
+    Emission protocol is OBSERVATIONALLY IDENTICAL to the per-key
+    operator (asserted by the packed-vs-per-key parity test and by
+    sharing the batch keep-latest oracle verbatim): a key's winner — the
+    max row under the total (ts, event_id) order — is emitted once the
+    watermark passes its event time (``ts_ms < watermark_ms``, exactly
+    the per-key ``setTimeoutTimestamp(best_ts_ms + 1)`` firing rule),
+    and the bucket re-arms its timeout at the EARLIEST pending winner's
+    emission time, so every key emits in the same micro-batch the
+    per-key form would have emitted it."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("k_ids", T.ArrayType(T.LongType())),
+            T.StructField("k_ts", T.ArrayType(T.LongType())),
+            T.StructField("k_eid", T.ArrayType(T.LongType())),
+            T.StructField("k_type", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            k_ids = np.asarray(state.get[0], dtype="int64")
+            k_ts = np.asarray(state.get[1], dtype="int64")
+            k_eid = np.asarray(state.get[2], dtype="int64")
+            k_type = np.asarray(list(state.get[3]), dtype=object)
+        else:
+            k_ids = k_ts = k_eid = np.empty(0, dtype="int64")
+            k_type = np.empty(0, dtype=object)
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype(
+                    "int64"
+                )
+                k_ids = np.concatenate(
+                    [k_ids, pdf[key_col].values.astype("int64")]
+                )
+                k_ts = np.concatenate([k_ts, us])
+                k_eid = np.concatenate(
+                    [k_eid, pdf["event_id"].values.astype("int64")]
+                )
+                k_type = np.concatenate(
+                    [k_type, pdf["event_type"].values.astype(object)]
+                )
+        if len(k_ids):
+            # per-key winner under the total (ts, event_id) order: sort
+            # by (key, ts, eid) and keep each key's LAST row — one
+            # vectorized pass for the whole bucket instead of a group
+            # invocation per key
+            order = np.lexsort((k_eid, k_ts, k_ids))
+            sorted_keys = k_ids[order]
+            last = np.empty(len(sorted_keys), dtype=bool)
+            last[:-1] = sorted_keys[1:] != sorted_keys[:-1]
+            last[-1] = True
+            sel = order[last]
+            k_ids, k_ts, k_eid, k_type = (
+                k_ids[sel], k_ts[sel], k_eid[sel], k_type[sel],
+            )
+            emit = (k_ts // 1000) < wm_ms
+            out = None
+            if emit.any():
+                out = pd.DataFrame(
+                    {
+                        key_col: k_ids[emit],
+                        "ts_us": k_ts[emit],
+                        "event_id": k_eid[emit],
+                        "event_type": k_type[emit],
+                    }
+                )
+                keep = ~emit
+                k_ids, k_ts, k_eid, k_type = (
+                    k_ids[keep], k_ts[keep], k_eid[keep], k_type[keep],
+                )
+            if len(k_ids):
+                state.update(
+                    (
+                        [int(x) for x in k_ids],
+                        [int(x) for x in k_ts],
+                        [int(x) for x in k_eid],
+                        [str(x) for x in k_type],
+                    )
+                )
+                state.setTimeoutTimestamp(
+                    max(int(k_ts.min()) // 1000 + 1, wm_ms + 1)
+                )
+            elif state.exists:
+                state.remove()
+            if out is not None and len(out):
+                yield out
+        elif state.exists:
+            state.remove()
+
+    bucketed = events.withColumn(
+        "__bucket", F.pmod(F.col(key_col), F.lit(n_state_buckets))
+    )
+    return (
+        bucketed.withWatermark(ts_col, watermark)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def tws_available() -> bool:
     """Whether Spark's transformWithStateInPandas runner can execute here:
     its state-server protocol needs ``google.protobuf`` at runtime."""

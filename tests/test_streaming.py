@@ -653,6 +653,36 @@ def test_stream_locf_packed_parity_and_batch_equality(spark):
         assert packed.filter(F.col("was_filled")).count() > 0, name
 
 
+def test_stream_keep_latest_packed_parity(spark):
+    """stream_keep_latest_packed == stream_keep_latest row-for-row
+    (exceptAll both ways), single- and multi-batch — the packed form is
+    a pure physical-layout change (shared state groups + vectorized
+    per-bucket argmax), so ANY divergence is a bug.  Bucket count forces
+    real multi-key packing (sf0.001 has ~150 keys -> ~19/bucket at 8)."""
+    from shuttle_spark.streaming import events_stream_multi
+    from shuttle_spark.streaming.core import (
+        stream_keep_latest,
+        stream_keep_latest_packed,
+    )
+
+    cols = ["user_id", "ts_us", "event_id", "event_type"]
+    for mk, name in (
+        (lambda: events_stream(spark, SF), "pkl_one"),
+        (lambda: events_stream_multi(spark, SF, n_files=4), "pkl_multi"),
+    ):
+        plain = run_available_now(
+            stream_keep_latest(mk()), f"{name}_a", shuffle_partitions=4
+        ).select(*cols)
+        packed = run_available_now(
+            stream_keep_latest_packed(mk(), n_state_buckets=8),
+            f"{name}_b",
+            shuffle_partitions=4,
+        ).select(*cols)
+        assert plain.count() == packed.count() > 0, name
+        assert plain.exceptAll(packed).count() == 0, name
+        assert packed.exceptAll(plain).count() == 0, name
+
+
 def test_stream_cusum_equals_batch_single_and_multi_batch(spark):
     """stream_cusum == relational.cusum_points per POINT on the
     finalized subset, single- and multi-batch — the two-counter carry
