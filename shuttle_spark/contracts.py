@@ -3859,6 +3859,7 @@ def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     " FROM orders GROUP BY o_orderstatus",
     "B1",
     "sink",
+    "memoized",
 )
 def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Schema evolution across batches (the lakehouse drift case): batch 1

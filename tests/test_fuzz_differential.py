@@ -2428,3 +2428,55 @@ def test_fuzz_bpe_train(spark, duck, n_merges, doc_mod):
             if left in entry[0] and right in entry[0]:
                 entry[0] = bpe_pair_merge(entry[0], left, right)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Mode 52: BPE driver fast path (r11) — the incremental heap/index
+# trainer must equal the full-recount replay on RANDOM synthetic vocabs
+# (words drawn from a 3-letter alphabet maximize pair collisions, merge
+# cascades, and reappearing-pair cases the gate corpus rarely hits).
+# Pure Python: no Spark session, so hypothesis can afford many examples.
+# ---------------------------------------------------------------------------
+
+@given(
+    words=st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=1, max_size=8),
+                  st.integers(1, 9)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    n_merges=st.integers(1, 12),
+    min_pair_count=st.integers(1, 3),
+)
+@settings(
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES", "200")),
+    deadline=None,
+)
+def test_fuzz_bpe_vocab_trainer(words, n_merges, min_pair_count):
+    from shuttle_spark.operators.pipeline import (
+        _bpe_train_vocab,
+        bpe_pair_merge,
+    )
+
+    vocab_fast = [[list(w), n] for w, n in words]
+    vocab_slow = [[list(w), n] for w, n in words]
+    got = _bpe_train_vocab(vocab_fast, n_merges, min_pair_count)
+    exp = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for syms, n in vocab_slow:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        exp.append((rank, left, right, left + right, c))
+        for entry in vocab_slow:
+            if left in entry[0] and right in entry[0]:
+                entry[0] = bpe_pair_merge(entry[0], left, right)
+    assert got == exp

@@ -287,3 +287,55 @@ def test_fuzz_stream_locf_packed_parity(spark, n_buckets, null_mod, multi):
     assert plain.count() == packed.count() > 0
     assert plain.exceptAll(packed).count() == 0
     assert packed.exceptAll(plain).count() == 0
+
+
+@given(
+    n_buckets=st.sampled_from([1, 2, 7, 32]),
+    key_mod=st.sampled_from([1, 3, 10]),
+    multi=st.booleans(),
+)
+@FUZZ_PACKED
+def test_fuzz_stream_keep_latest_packed_parity(
+    spark, n_buckets, key_mod, multi
+):
+    """r11 packed twin under the same replay-space fuzz: bucket counts
+    from degenerate (1 = every key in one group) to one-key-per-bucket,
+    key-space inflation (key_mod folds event_id bits into user_id so
+    winners and bucket occupancy reshuffle), single- and multi-batch."""
+    from shuttle_spark.streaming import (
+        events_stream,
+        events_stream_multi,
+        run_available_now,
+    )
+    from shuttle_spark.streaming.core import (
+        stream_keep_latest,
+        stream_keep_latest_packed,
+    )
+
+    tag = f"kl_{n_buckets}_{key_mod}_{int(multi)}"
+
+    def src():
+        s = (
+            events_stream_multi(spark, SF, n_files=4)
+            if multi
+            else events_stream(spark, SF)
+        )
+        if key_mod > 1:
+            s = s.withColumn(
+                "user_id",
+                F.col("user_id") * key_mod + F.col("event_id") % key_mod,
+            )
+        return s
+
+    cols = ["user_id", "ts_us", "event_id", "event_type"]
+    plain = run_available_now(
+        stream_keep_latest(src()), f"fkl_{tag}", shuffle_partitions=4
+    ).select(*cols)
+    packed = run_available_now(
+        stream_keep_latest_packed(src(), n_state_buckets=n_buckets),
+        f"fkp_{tag}",
+        shuffle_partitions=4,
+    ).select(*cols)
+    assert plain.count() == packed.count() > 0
+    assert plain.exceptAll(packed).count() == 0
+    assert packed.exceptAll(plain).count() == 0
