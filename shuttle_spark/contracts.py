@@ -6171,6 +6171,42 @@ def q_stream_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@contract(
+    "stream_ewma_packed_anomalies",
+    _EWMA_FIR_SQL
+    + "  AND ts::TIMESTAMP <="
+    "   (SELECT MAX(ts::TIMESTAMP) - INTERVAL 7201 SECOND FROM events)",
+    "B24",
+    "B17",
+)
+def q_stream_ewma_packed(spark: SparkSession, sf: str) -> DataFrame:
+    """stream_ewma_deviants with PACKED state (r11 — third family on the
+    packed-state transform): same FIR recurrence, same finalize rule,
+    same batch oracle VERBATIM as stream_ewma_anomalies, but keys share
+    pmod hash buckets so the ~1.3 ms/group applyInPandasWithState
+    constant is paid per bucket per batch.  The per-key original stays
+    contracted as regression coverage of the one-group-per-key path;
+    packed == per-key is additionally exceptAll-parity-tested."""
+    from shuttle_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_ewma_packed,
+    )
+
+    ev = load_table(spark, sf, "events")
+    cutoff_us = (
+        ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 7_201_000_000
+    )
+    out = run_available_now(
+        stream_ewma_packed(events_stream(spark, sf)),
+        f"sewmp_{abs(hash(sf)) % 99999}",
+        shuffle_partitions=4,
+    )
+    return out.filter(F.col("ts_us") <= cutoff_us).select(
+        "event_id", "user_id", "cents", "wsum", "denom"
+    )
+
+
 _STREAM_LOCF_ORACLE = (
     "WITH e AS (SELECT user_id, event_id, ts,"
     "  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value"
@@ -8628,17 +8664,21 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 #        compact_changeset_net (CDC keeps changeset_apply_arriving)
 #   window_ntile_pctrank (B18, never driver-gated) rides the freed
 #        B12 slot (B18 also keeps equi_depth_lineitem)
-# Round-11 addition, rotated in the SAME session it landed (the r10
+# Round-11 additions, rotated in the SAME session they landed (the r10
 # discipline): stream_keep_latest_packed (the packed-state transform
 # extended to the keep-latest family, parity-gated against the per-key
 # original and sharing its oracle verbatim) displaces
 # stream_dedup_dup_count (green in r10; B24 keeps
-# stream_mv_maintenance + this new stateful row, B7 keeps
-# exact_dedup_docs' family via B27 and distinct stays FULL-gated).
+# stream_mv_maintenance's successor rows, B7 keeps
+# exact_dedup_docs' family via B27 and distinct stays FULL-gated);
+# stream_ewma_packed_anomalies (third packed family, same oracle
+# verbatim as the per-key stream_ewma_anomalies) displaces
+# stream_mv_maintenance (green r10; B24 keeps the two packed stateful
+# rows in-gate, the MV/CDC family keeps changeset_apply_arriving).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
-    "stream_mv_maintenance", "k_anonymity_events", "golden_record_users",
+    "stream_ewma_packed_anomalies", "k_anonymity_events", "golden_record_users",
     "global_sort_topk", "sort_within_partitions_invariance", "interp_impute_census",
     "broadcast_join_agg", "minhash_replay_equal", "anti_join_count",
     "intersect_count", "rollup_agg", "corr_matrix_lineitem",

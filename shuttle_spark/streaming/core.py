@@ -1116,6 +1116,173 @@ def stream_ewma_deviants(
     )
 
 
+def stream_ewma_packed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold_cents: int = 10000,
+    window: int = 8,
+    min_lags: int = 4,
+    watermark: str = "2 hours",
+    n_state_buckets: int = 32,
+) -> DataFrame:
+    """``stream_ewma_deviants`` with PACKED state — third family on the
+    packed-state transform (after locf and keep-latest): keys share
+    ``pmod`` hash buckets so the ~1.3 ms applyInPandasWithState
+    per-group constant is paid per BUCKET per batch, not per key.
+
+    The EWMA recurrence is history-dependent per key, so unlike locf's
+    groupby-ffill the finalize walk stays a Python loop — but the SAME
+    per-row loop the per-key operator runs; what packing removes is the
+    Arrow slicing + state round-trip per key, which dominates (the fold
+    body is microseconds/row).  State per bucket = per-key histories as
+    (u_ids, flattened last-``window`` cents, per-key lengths) plus the
+    pending-row arrays; identical finalize rule (score rows once the
+    watermark passes them, drop true-late rows, (ts, event_id) order).
+
+    Emission parity with the per-key operator is exceptAll-both-ways
+    tested (single- and multi-batch) and the contract shares
+    ``stream_ewma_deviants``' batch oracle shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("wsum", T.LongType()),
+            T.StructField("denom", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("u_ids", T.ArrayType(T.LongType())),
+            T.StructField("h_flat", T.ArrayType(T.LongType())),
+            T.StructField("h_len", T.ArrayType(T.LongType())),
+            T.StructField("p_u", T.ArrayType(T.LongType())),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_eid", T.ArrayType(T.LongType())),
+            T.StructField("p_cents", T.ArrayType(T.LongType())),
+        ]
+    )
+    weights = [1 << (window - j) for j in range(1, window + 1)]
+    cumdenom = [sum(weights[:k]) for k in range(window + 1)]
+    thr = int(threshold_cents)
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        hist: dict = {}
+        if state.exists:
+            u_ids, h_flat, h_len, p_u, p_ts, p_eid, p_c = state.get
+            pos = 0
+            for uid, ln in zip(u_ids, h_len):
+                hist[int(uid)] = [int(x) for x in h_flat[pos:pos + ln]]
+                pos += ln
+            p_u = [int(x) for x in p_u]
+            p_ts = [int(x) for x in p_ts]
+            p_eid = [int(x) for x in p_eid]
+            p_c = [int(x) for x in p_c]
+        else:
+            p_u, p_ts, p_eid, p_c = [], [], [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                pdf = pdf[pdf[value_col].notna()]
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype(
+                    "int64"
+                )
+                # same boundary rule as the per-key operator: true-late
+                # rows (strictly before the watermark) drop, at-watermark
+                # rows stay
+                live = us >= wm_us
+                if not live.all():
+                    pdf = pdf[live]
+                    us = us[live]
+                    if not len(pdf):
+                        continue
+                cents = np.floor(
+                    pdf[value_col].values.astype("float64") * 100 + 0.5
+                ).astype("int64")
+                p_u.extend(int(x) for x in pdf[key_col].values)
+                p_ts.extend(int(x) for x in us)
+                p_eid.extend(int(x) for x in pdf["event_id"].values)
+                p_c.extend(int(x) for x in cents)
+        out_rows = []
+        if p_ts:
+            # finalize in (key, ts, eid) order: per-key subsequences come
+            # out contiguous and event-time-ordered, so the sequential
+            # recurrence walk below is key-correct in one pass
+            order = np.lexsort(
+                (np.asarray(p_eid), np.asarray(p_ts), np.asarray(p_u))
+            )
+            rem_u, rem_ts, rem_eid, rem_c = [], [], [], []
+            for i in order:
+                i = int(i)
+                if p_ts[i] > wm_us:
+                    rem_u.append(p_u[i])
+                    rem_ts.append(p_ts[i])
+                    rem_eid.append(p_eid[i])
+                    rem_c.append(p_c[i])
+                    continue
+                u = p_u[i]
+                x = p_c[i]
+                h = hist.get(u)
+                if h is None:
+                    h = hist[u] = []
+                n_hist = len(h)
+                if n_hist >= min_lags:
+                    k = min(window, n_hist)
+                    wsum = sum(
+                        h[-j] * weights[j - 1] for j in range(1, k + 1)
+                    )
+                    denom = cumdenom[k]
+                    if abs(x * denom - wsum) > thr * denom:
+                        out_rows.append(
+                            (u, p_eid[i], p_ts[i], x, wsum, denom)
+                        )
+                h.append(x)
+                if len(h) > window:
+                    del h[:-window]
+            p_u, p_ts, p_eid, p_c = rem_u, rem_ts, rem_eid, rem_c
+        u_ids = sorted(hist)
+        h_flat: list = []
+        h_len = []
+        for u in u_ids:
+            h = hist[u][-window:]
+            h_flat.extend(h)
+            h_len.append(len(h))
+        state.update((u_ids, h_flat, h_len, p_u, p_ts, p_eid, p_c))
+        if p_ts:
+            state.setTimeoutTimestamp(
+                max(min(p_ts) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    key_col, "event_id", "ts_us", "cents", "wsum", "denom",
+                ],
+            )
+
+    bucketed = events.withColumn(
+        "__bucket", F.pmod(F.col(key_col), F.lit(n_state_buckets))
+    )
+    return (
+        bucketed.withWatermark(ts_col, watermark)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_mv_maintenance(
     base_totals: DataFrame,
     changes: DataFrame,

@@ -339,3 +339,52 @@ def test_fuzz_stream_keep_latest_packed_parity(
     assert plain.count() == packed.count() > 0
     assert plain.exceptAll(packed).count() == 0
     assert packed.exceptAll(plain).count() == 0
+
+
+@given(
+    n_buckets=st.sampled_from([1, 2, 7, 32]),
+    window=st.sampled_from([4, 8]),
+    min_lags=st.integers(2, 5),
+    multi=st.booleans(),
+)
+@FUZZ_PACKED
+def test_fuzz_stream_ewma_packed_parity(
+    spark, n_buckets, window, min_lags, multi
+):
+    """r11 third packed family under replay-space fuzz: the FIR
+    recurrence's dials (window width, warm-up lag floor) vary with the
+    bucket count and batch split — history handoff across micro-batch
+    boundaries must stay bit-equal to the per-key operator."""
+    from shuttle_spark.streaming import (
+        events_stream,
+        events_stream_multi,
+        run_available_now,
+    )
+    from shuttle_spark.streaming.core import (
+        stream_ewma_deviants,
+        stream_ewma_packed,
+    )
+
+    tag = f"ew_{n_buckets}_{window}_{min_lags}_{int(multi)}"
+    dials = dict(window=window, min_lags=min_lags)
+
+    def src():
+        return (
+            events_stream_multi(spark, SF, n_files=4)
+            if multi
+            else events_stream(spark, SF)
+        )
+
+    cols = ["user_id", "event_id", "ts_us", "cents", "wsum", "denom"]
+    plain = run_available_now(
+        stream_ewma_deviants(src(), **dials),
+        f"fep_{tag}", shuffle_partitions=4,
+    ).select(*cols)
+    packed = run_available_now(
+        stream_ewma_packed(src(), n_state_buckets=n_buckets, **dials),
+        f"fep2_{tag}",
+        shuffle_partitions=4,
+    ).select(*cols)
+    assert plain.count() == packed.count() > 0
+    assert plain.exceptAll(packed).count() == 0
+    assert packed.exceptAll(plain).count() == 0

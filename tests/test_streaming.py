@@ -722,6 +722,35 @@ def test_stream_cusum_equals_batch_single_and_multi_batch(spark):
     assert any(r[-1] for r in want) and not all(r[-1] for r in want)
 
 
+def test_stream_ewma_packed_parity(spark):
+    """stream_ewma_packed == stream_ewma_deviants row-for-row (exceptAll
+    both ways), single- and multi-batch — packing is a physical layout
+    change; the per-key FIR recurrence walk is byte-identical, so ANY
+    divergence is a bug.  8 buckets force real multi-key packing."""
+    from shuttle_spark.streaming import events_stream_multi
+    from shuttle_spark.streaming.core import (
+        stream_ewma_deviants,
+        stream_ewma_packed,
+    )
+
+    cols = ["user_id", "event_id", "ts_us", "cents", "wsum", "denom"]
+    for mk, name in (
+        (lambda: events_stream(spark, SF), "pew_one"),
+        (lambda: events_stream_multi(spark, SF, n_files=4), "pew_multi"),
+    ):
+        plain = run_available_now(
+            stream_ewma_deviants(mk()), f"{name}_a", shuffle_partitions=4
+        ).select(*cols)
+        packed = run_available_now(
+            stream_ewma_packed(mk(), n_state_buckets=8),
+            f"{name}_b",
+            shuffle_partitions=4,
+        ).select(*cols)
+        assert plain.count() == packed.count() > 0, name
+        assert plain.exceptAll(packed).count() == 0, name
+        assert packed.exceptAll(plain).count() == 0, name
+
+
 def test_stream_cusum_rejects_non_integral_tiebreak(spark):
     """ADVICE r10: a non-integral tiebreak_col must raise up front (the
     value rides a LongType state/output schema), not truncate silently
