@@ -115,10 +115,39 @@ RESIDUALS = """
   speed; exact, each pattern provably requires its literal) is 1.7x on
   the injected gate corpus and ~40x on a clean corpus — the gates
   shipped, marginal 7.4x -> 5.1x, and the remainder is the sre-vs-RE2
-  constant.  `tpch_q3_shape`'s uptick is exchange cost on the fact
-  join — the shape that actually distributes.  The heavy ALGORITHMIC
-  families (near-dup, linkage, ANN join) stay at or under ~2x because
-  their cost is the algorithm.
+  constant.  The heavy ALGORITHMIC families (near-dup, linkage, ANN
+  join) stay at or under ~2x because their cost is the algorithm.
+- `tpch_q3_shape` residual, decomposed and priced (round 11, VERDICT
+  r10 item 4; medians of 3 at sf10, warm scans): full plan 4.10 s, of
+  which the lineitem<->orders shuffle join is ~2.6 s — measured by
+  forcing the filtered orders-x-BUILDING key relation (445k rows after
+  both dim filters) to broadcast, which drops the wall to 1.51 s
+  (~2.8x vs DuckDB) with bit-identical top-10 rows.  That broadcast is
+  deliberately NOT shipped: the o_orderkey relation grows linearly with
+  the fact tables (~10% of all orders pass Q3's date+segment filters),
+  so at 100 TB it is a multi-GB build side and the forced-broadcast
+  plan dies exactly where the engine must live; AQE's runtime
+  SMJ->BHJ demotion was also measured NOT firing here (the shuffled
+  key side lands within ~2x of the 10 MB threshold — a conf-tuning
+  coin-flip, not a plan fix).  The shipped shuffle join IS the
+  100 TB plan; the co-located answer at scale is bucketing, priced
+  separately by `bucketed_join_agg` (zero-exchange join at any SF).
+- `ab_test_summary` residual, decomposed and priced (round 11, VERDICT
+  r10 item 4; medians of 3 at sf10, warm scans): full 2.49 s =
+  md5 arm-assignment kernel ~1.5 s (swapping the hash for `user_id % 2`
+  gives 1.00 s; a bare md5-prefix scan reproduces 0.85 s — the
+  commons-codec-vs-vectorized-md5 constant already named on the
+  fingerprint/dedup rows) + bare two-level agg 0.42 s + cents
+  round/cast and the conditional per-arm pivot ~0.6 s.  NOT the
+  per-group variance arithmetic the r10 verdict suspected — that runs
+  on the collapsed O(event_types) relation and is nanoseconds.  The
+  obvious fix was measured and REJECTED: assigning arms on DISTINCT
+  users then broadcast-joining the map back costs 3.48 s vs 2.74 s
+  inline at sf10's 67 rows/user (the distinct exchange over 10M rows
+  exceeds the md5 savings; the break-even needs ~1000+ rows/user).
+  The md5 is load-bearing — it is hash_split's growth-stable
+  assignment, reproducible in DuckDB/any engine — so the residual is
+  the named kernel constant, linear on both sides.
 - `near_dup_clusters` at sf10: the round-5 run let the ORACLE (DuckDB's
   recursive-CTE transitive closure) run to completion — 124 s vs the
   engine's 18 s log-round star joins (0.1x).  The superlinearity argument
