@@ -236,6 +236,34 @@ def main() -> None:
     }
     with open(os.path.join(root, "BENCH_RATIO.json"), "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
+    render(root, artifact)
+
+
+def render(root: str, artifact: dict) -> None:
+    """Regenerate BASELINE.md's bench-ratio section from an artifact dict
+    — also reachable as ``bench_ratio.py --render [BENCH_RATIO.json]`` so
+    the committed artifact and the markdown can never disagree (e.g.
+    when the committed run is not the last run executed)."""
+    try:
+        with open(os.path.join(root, "BENCH_FULL.json")) as f:
+            bench_full = json.load(f).get("queries", {})
+    except FileNotFoundError:
+        bench_full = {}
+    excluded = [c for c in REGISTRY.values() if not _comparable(c)]
+    sf_dir = artifact["sf_dir"]
+    load_start = artifact["loadavg_start"]
+    load_end = artifact["loadavg_end"]
+    load_max = artifact["load_max"]
+    floor = artifact["floor_sec"]
+    n_comp = artifact["n_comparable"]
+    comp_spark = artifact["comp_spark_sec"]
+    comp_duck = artifact["comp_duck_sec"]
+    comp_marginal = max(comp_spark - floor * n_comp, 0.0)
+    marginal_ratio = artifact["marginal"]
+    headline = artifact["headline_end_to_end"]
+    headline_floor_norm = artifact["headline_floor_normalized"]
+    pass_ratios = artifact["pass_ratios"]
+    per_q = artifact["queries"]
 
     spread = (
         f"{min(pass_ratios):.2f}x–{max(pass_ratios):.2f}x"
@@ -325,4 +353,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--render":
+        _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            _root, "BENCH_RATIO.json"
+        )
+        with open(src) as f:
+            render(_root, json.load(f))
+    else:
+        main()
