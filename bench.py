@@ -70,6 +70,20 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
     floor_sec = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
 
+    def _host_probe() -> float:
+        """Fixed CPU loop — pure host-speed indicator (seconds).  This
+        guest shares a hypervisor whose neighbor load is invisible to
+        loadavg; the probe (quiet host ~0.16-0.24 s, hot neighbor 0.3+)
+        makes a slow-host suite wall identifiable from the artifact
+        alone, the same discipline as tools/bench_ratio.py."""
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        return round(time.perf_counter() - t0, 4)
+
+    probe_start = _host_probe()
+
     cold: dict[str, float] = {}
     warm1: dict[str, float] = {}
     timings: dict[str, float] = {}
@@ -102,6 +116,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "floor_sec": floor_sec,
+        "host_probe_start_sec": probe_start,
+        "host_probe_end_sec": _host_probe(),
         # non-default paths whose wall must not be read as the engine's
         # story for that family (e.g. json_extract_agg_compat's raw-Jackson
         # compat twin next to the staged-VARIANT default)
@@ -141,6 +157,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "floor_sec": floor_sec,
+                "host_probe_start_sec": full["host_probe_start_sec"],
+                "host_probe_end_sec": full["host_probe_end_sec"],
                 "cold_total": round(sum(cold.values()), 4),
                 "families": families,
                 "full": "BENCH_FULL.json",
