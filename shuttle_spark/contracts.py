@@ -5119,6 +5119,34 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @contract(
+    "duplicated_span_census",
+    _GRAM5_BODY
+    + ", pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)"
+    ", gd AS (SELECT g, COUNT(*) AS nd FROM pg GROUP BY 1)"
+    ", dup AS (SELECT p.doc_id, SUM(p.c) AS n_dup FROM pg p"
+    "   JOIN gd ON p.g = gd.g WHERE gd.nd >= 2 GROUP BY 1)"
+    ", tot AS (SELECT doc_id, SUM(c) AS n_grams FROM pg GROUP BY 1)"
+    " SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,"
+    " CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,"
+    " ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_grams, 6)"
+    "  AS dup_fraction"
+    " FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id",
+    "ext",
+    "llm",
+)
+def q_duplicated_span_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-span census (pipeline.
+    duplicated_span_census — the Lee et al. 2021 exact-substring dedup
+    signal): per document, how many of its word-5gram positions carry a
+    gram that also appears in at least one OTHER document.  Exact
+    integer counts + one 6dp integer-ratio double; the oracle shares the
+    decontamination family's _GRAM5_BODY gram relation verbatim, so the
+    tokenization semantics are pinned by the already-gated twins."""
+    docs = load_table(spark, sf, "documents")
+    return P.duplicated_span_census(docs, n=5)
+
+
+@contract(
     "repetition_score_avg",
     _GRAM5_BODY
     + ", per AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS dist"
@@ -8674,7 +8702,10 @@ def q_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
 # stream_ewma_packed_anomalies (third packed family, same oracle
 # verbatim as the per-key stream_ewma_anomalies) displaces
 # stream_mv_maintenance (green r10; B24 keeps the two packed stateful
-# rows in-gate, the MV/CDC family keeps changeset_apply_arriving).
+# rows in-gate, the MV/CDC family keeps changeset_apply_arriving);
+# duplicated_span_census (cross-doc exact-substring dedup signal, Lee
+# et al. 2021 — oracle shares the decontamination family's _GRAM5_BODY)
+# displaces bigram_lm_top (green r10; B30 keeps both BPE rows + this).
 _DRIVER_PRIORITY = [
     "scan_count", "project_arith", "filter_range_count",
     "repartition_agg_invariance", "agg_tpch_q1",
@@ -8691,7 +8722,7 @@ _DRIVER_PRIORITY = [
     "changeset_apply_arriving", "ohlc_bars",
     "sessionize",
     "multimodal_expected_ok", "pandas_udf_bucket", "exact_dedup_docs",
-    "bigram_lm_top",
+    "duplicated_span_census",
     "tpch_q11_shape", "tpch_q13_shape", "tpch_q14_shape",
     "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
     "stats_agg", "percentile_agg", "conditional_agg",

@@ -754,6 +754,60 @@ def doc_typicality(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def duplicated_span_census(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-document duplicated-span census — the exact-substring dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): a word ``n``-gram occurring in >=
+    ``min_docs`` DISTINCT documents marks every position it occupies as
+    duplicated text, and the per-document duplicated fraction is the
+    number training pipelines threshold on (memorization risk scales
+    with it).  ``repeated_span_docs`` is the INTRA-document twin (spans
+    repeated within one doc); this is the corpus-level complement.
+    Output per document with >= 1 gram: ``doc_id, n_grams`` (positions),
+    ``n_dup_grams`` (positions whose gram is cross-doc duplicated),
+    ``dup_fraction`` (6dp integer-ratio double).
+
+    Plan (the inverted-index shape, never all-pairs): positions collapse
+    FIRST to (doc, gram, count) in one partial+final hash aggregate —
+    the join that follows moves the collapsed relation, not raw
+    positions; the gram's doc-frequency is a second aggregate of that
+    relation ALREADY partitioned by a superset key, and the dup
+    back-join is gram-partitioned.  One final doc-keyed aggregate.  At
+    100 TB every exchange carries (doc, gram)-collapsed or gram-keyed
+    rows; hot grams (the duplicated ones) are bounded per doc by the
+    collapse, so the join cannot skew beyond a doc's gram multiplicity."""
+    toks = docs.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
+    )
+    pos = toks.select(
+        id_col, F.explode(TX.ngrams_from_tokens(F.col("toks"), n)).alias("g")
+    )
+    pg = pos.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("__c"))
+    gd = pg.groupBy("g").agg(F.count(F.lit(1)).alias("__nd"))
+    dup = (
+        pg.join(gd.filter(F.col("__nd") >= min_docs), "g")
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("n_dup_grams"))
+    )
+    tot = pg.groupBy(id_col).agg(F.sum("__c").alias("n_grams"))
+    return tot.join(dup, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        F.round(
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
 def stratified_split(
     df: DataFrame,
     id_col: str,

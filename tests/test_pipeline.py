@@ -168,6 +168,32 @@ def test_cleanse_filters_and_dedups(spark):
     assert "content_hash" in out.columns
 
 
+def test_duplicated_span_census_semantics(spark):
+    """Cross-doc semantics: a 5-gram shared by two docs marks its
+    positions duplicated in BOTH; a gram repeated only WITHIN one doc
+    does not count (that is repeated_span_docs' intra-doc signal); docs
+    under 5 tokens are absent; position counts are per-occurrence."""
+    from shuttle_spark.operators import pipeline as P
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " one two"),            # grams: 3; 1 duplicated
+        (2, "x " + shared),                  # grams: 2; 1 duplicated
+        (3, "p q r s t p q r s t p q r s t"),  # intra-doc repeats only
+        (4, "too few words"),                # < 5 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_fraction"])
+        for r in P.duplicated_span_census(df, n=5).collect()
+    }
+    assert got == {
+        1: (3, 1, round(1 / 3, 6)),
+        2: (2, 1, 0.5),
+        3: (11, 0, 0.0),
+    }
+
+
 def test_pii_gate_soundness_prover():
     """ADVICE r10: _gate_is_sound proves (from the parsed pattern) that
     every match contains a gate char — so an edit that invalidates the
