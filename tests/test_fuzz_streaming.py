@@ -354,7 +354,14 @@ def test_fuzz_stream_ewma_packed_parity(
     """r11 third packed family under replay-space fuzz: the FIR
     recurrence's dials (window width, warm-up lag floor) vary with the
     bucket count and batch split — history handoff across micro-batch
-    boundaries must stay bit-equal to the per-key operator."""
+    boundaries must stay bit-equal to the per-key operator.
+
+    min_lags > window is degenerate by the operator's own contract
+    (history is capped at ``window`` entries, so the warm-up floor is
+    unreachable and BOTH forms correctly emit nothing — found by this
+    fuzzer's first full-suite run); clamp instead of assume() so the
+    example still exercises a real dial pair."""
+    min_lags = min(min_lags, window)
     from shuttle_spark.streaming import (
         events_stream,
         events_stream_multi,
