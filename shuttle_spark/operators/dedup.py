@@ -199,10 +199,13 @@ def golden_record(
     every entity's FULL history instead of the collapsed candidates."""
     # cast matches the SQL twin's HUGEINT cast: a string-typed numeric
     # tiebreak must order NUMERICALLY on both engines, not
-    # lexicographically on one (ADVICE r10)
+    # lexicographically on one (ADVICE r10); validated so a non-numeric
+    # tiebreak fails loudly instead of NULLing the order (ADVICE r11)
+    from shuttle_spark.operators.relational import long_tiebreak
+
     okey = F.struct(
         F.unix_micros(F.col(ts_col)).alias("t"),
-        F.col(tiebreak).cast("long").alias("i"),
+        long_tiebreak(df, tiebreak).alias("i"),
     )
     aggs = [
         F.count(F.lit(1)).alias("n_versions"),

@@ -335,13 +335,19 @@ _PII_GATE_CHARS: dict[str, tuple[str, ...]] = {
     "ip": (".",),
     "phone": ("-", "."),
 }
+# explicit raise, not assert: the proof must survive `python -O`
+# (assert statements are stripped under optimization — ADVICE r11),
+# or the advertised fail-at-import guarantee silently disappears in
+# optimized runs.
 for _name, _pat, _repl in PII_PATTERNS:
-    assert _name in _PII_GATE_CHARS, f"no gate chars declared for {_name}"
-    assert _gate_is_sound(_pat, _PII_GATE_CHARS[_name]), (
-        f"gate chars {_PII_GATE_CHARS[_name]} are no longer implied"
-        f" literals of the {_name} pattern {_pat!r}; scrub_pii would"
-        " silently skip real matches — update _PII_GATE_CHARS"
-    )
+    if _name not in _PII_GATE_CHARS:
+        raise ValueError(f"no gate chars declared for {_name}")
+    if not _gate_is_sound(_pat, _PII_GATE_CHARS[_name]):
+        raise ValueError(
+            f"gate chars {_PII_GATE_CHARS[_name]} are no longer implied"
+            f" literals of the {_name} pattern {_pat!r}; scrub_pii would"
+            " silently skip real matches — update _PII_GATE_CHARS"
+        )
 del _name, _pat, _repl
 
 

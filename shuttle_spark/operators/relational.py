@@ -1476,6 +1476,62 @@ LEX_OKEY_SQL = (
 )
 
 
+def long_tiebreak(df: DataFrame, tiebreak: str) -> Column:
+    """The tiebreak component of a total-order key, as a validated LONG.
+
+    The ordering-key struct used by ``ohlc_bars`` / ``golden_record``
+    (and the SQL twin's ``LEX_OKEY_SQL`` HUGEINT cast) needs the
+    tiebreak as a long.  A bare ``cast("long")`` on a NON-numeric
+    string (e.g. a UUID column passed by mistake) yields NULL for every
+    row under ANSI-off sessions, silently degrading the documented
+    total order to a nondeterministic pick among timestamp ties
+    (ADVICE r11).  ``stream_cusum`` already rejects bad tiebreak types
+    up front; this helper gives the batch okey builders the same
+    discipline:
+
+    - integral column (byte/short/int/long): plain widening cast;
+    - string column (the documented numeric-string compat path, cast
+      like the oracle's HUGEINT): ``try_cast`` + ``raise_error`` so a
+      malformed value FAILS THE JOB in both ANSI modes instead of
+      sorting as NULL (ANSI-on would raise on its own; ANSI-off would
+      silently NULL — this expression raises in either);
+    - anything else (double/decimal/timestamp/...): immediate
+      ValueError — those types don't round-trip the long order the SQL
+      twin uses, so accepting them would diverge the engines.
+
+    An unresolvable column name falls through to the plain cast so
+    Spark's own resolution error surfaces with its usual context."""
+    from pyspark.sql import types as T
+
+    tb_type = {f.name: f.dataType for f in df.schema.fields}.get(tiebreak)
+    col = F.col(tiebreak)
+    if tb_type is None or isinstance(
+        tb_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return col.cast("long")
+    if isinstance(tb_type, T.StringType):
+        return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+            F.coalesce(
+                col.try_cast("long"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"tiebreak column {tiebreak!r} holds a"
+                            " non-numeric string (total order would"
+                            " silently degrade): "
+                        ),
+                        col,
+                    )
+                ),
+            )
+        )
+    raise ValueError(
+        f"tiebreak column {tiebreak!r} must be an integral or"
+        f" numeric-string column (got {tb_type.simpleString()}); it is"
+        " cast to LONG to match the SQL twin's HUGEINT ordering key"
+    )
+
+
 def ohlc_bars(
     events: DataFrame,
     keys: Sequence[str],
@@ -1512,10 +1568,11 @@ def ohlc_bars(
     keys = list(keys)
     # cast matches the SQL twin's HUGEINT cast: a string-typed numeric
     # tiebreak must order NUMERICALLY on both engines, not
-    # lexicographically on one (ADVICE r10)
+    # lexicographically on one (ADVICE r10); validated so a non-numeric
+    # tiebreak fails loudly instead of NULLing the order (ADVICE r11)
     okey = F.struct(
         F.unix_micros(F.col(ts_col)).alias("t"),
-        F.col(tiebreak).cast("long").alias("i"),
+        long_tiebreak(events, tiebreak).alias("i"),
     )
     bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
     if step != "1 hour":  # hour is the contract grain; others pass through

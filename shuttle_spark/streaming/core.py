@@ -1254,6 +1254,15 @@ def stream_ewma_packed(
             h = hist[u][-window:]
             h_flat.extend(h)
             h_len.append(len(h))
+        if not u_ids and not p_ts:
+            # fully drained (timeout flushed the last pending rows, or
+            # every ingested value was null): drop the entry instead of
+            # storing empty arrays with no timeout that nothing would
+            # ever remove — state-store hygiene, matching
+            # keep_latest_packed's remove-on-empty (ADVICE r11)
+            if state.exists:
+                state.remove()
+            return
         state.update((u_ids, h_flat, h_len, p_u, p_ts, p_eid, p_c))
         if p_ts:
             state.setTimeoutTimestamp(

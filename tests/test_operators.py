@@ -2099,6 +2099,56 @@ def test_golden_record_string_tiebreak_orders_numerically(spark):
     assert got["phone"] == "hi"  # 10 > 9 numerically; "10" < "9" lex
 
 
+def test_tiebreak_validation_fails_loudly(spark):
+    """ADVICE r11: a tiebreak that cannot carry the long total order
+    must FAIL, never silently cast to NULL (which would degrade the
+    documented deterministic pick to engine-arbitrary among ts ties).
+
+    Three layers, covering both okey builders (golden_record and
+    ohlc_bars share ``long_tiebreak``): a double column raises
+    ValueError at PLAN time; a non-numeric string (UUID-ish) raises at
+    EXECUTION in either ANSI mode; a null tiebreak value stays an
+    ordinary NULL (no spurious raise)."""
+    import datetime as dt
+
+    import pytest
+
+    from shuttle_spark.operators.dedup import golden_record
+    from shuttle_spark.operators.relational import ohlc_bars
+
+    ts = dt.datetime(2024, 1, 1)
+    dbl = spark.createDataFrame(
+        [(1, ts, 1.5, "a", None)],
+        "user_id long, ts timestamp, event_id double,"
+        " phone string, email string",
+    )
+    with pytest.raises(ValueError, match="integral or numeric-string"):
+        golden_record(dbl, ["user_id"], "ts", "event_id", ["phone"])
+    with pytest.raises(ValueError, match="integral or numeric-string"):
+        ohlc_bars(
+            dbl.withColumnRenamed("phone", "v")
+            .withColumn("value", F.lit(1.0)),
+            ["user_id"], "ts", "value", tiebreak="event_id",
+        )
+    uuid = spark.createDataFrame(
+        [(1, ts, "a-b-c-d", "lo", None), (1, ts, "b-c-d-e", "hi", None)],
+        "user_id long, ts timestamp, event_id string,"
+        " phone string, email string",
+    )
+    plan = golden_record(uuid, ["user_id"], "ts", "event_id", ["phone"])
+    with pytest.raises(Exception, match="non-numeric string"):
+        plan.collect()
+    nulls = spark.createDataFrame(
+        [(1, ts, None, "only", None), (1, ts, "7", "late", None)],
+        "user_id long, ts timestamp, event_id string,"
+        " phone string, email string",
+    )
+    got = golden_record(
+        nulls, ["user_id"], "ts", "event_id", ["phone"]
+    ).collect()[0]
+    assert got["phone"] == "late"  # NULL tiebreak sorts low, no raise
+
+
 def test_cusum_points_semantics(spark):
     """The closed form (cumsum minus clamped running min) equals Page's
     recursion s_i = max(0, s_{i-1} + dev_i) replayed in pure Python;

@@ -751,6 +751,25 @@ def test_stream_ewma_packed_parity(spark):
         assert packed.exceptAll(plain).count() == 0, name
 
 
+def test_stream_ewma_packed_all_null_values_clean(spark):
+    """ADVICE r11 state hygiene: a bucket whose every ingested value is
+    NULL (the upstream filter drops them all) must not park an empty,
+    timeout-less state entry — the fold skips update / removes instead.
+    Externally: empty output, clean replay, no crash."""
+    from shuttle_spark.streaming import events_stream
+    from shuttle_spark.streaming.core import stream_ewma_packed
+
+    src = events_stream(spark, SF).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    out = run_available_now(
+        stream_ewma_packed(src, n_state_buckets=8),
+        "pew_allnull",
+        shuffle_partitions=4,
+    )
+    assert out.count() == 0
+
+
 def test_stream_cusum_rejects_non_integral_tiebreak(spark):
     """ADVICE r10: a non-integral tiebreak_col must raise up front (the
     value rides a LongType state/output schema), not truncate silently

@@ -68,6 +68,9 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
+    # an existing artifact may predate either top-level key (ADVICE r11)
+    out.setdefault("points", {})
+    out.setdefault("queries", {})
     train_row = out["queries"].setdefault("bpe_train", {})
     train_row["label"] = "no-oracle"
     train_row["note"] = (
