@@ -1811,3 +1811,195 @@ def stream_cusum(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_cusum_packed(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target_cents: int = 5000,
+    slack_cents: int = 200,
+    threshold_cents: int = 20000,
+    watermark: str = "2 hours",
+    tiebreak_col: str = "event_id",
+    scale: int = 2,
+    n_state_buckets: int = 32,
+) -> DataFrame:
+    """``stream_cusum`` with PACKED state — fourth family on the
+    packed-state transform (after locf, keep-latest and ewma): keys
+    share ``pmod(hash(key), n_state_buckets)`` buckets so the measured
+    ~1.3 ms applyInPandasWithState per-GROUP-invocation constant is
+    paid per bucket per batch, not per key — at a 10M-key stream the
+    per-key form's whole budget is that constant.
+
+    CUSUM is the friendliest recurrence for packing: the entire per-key
+    history compresses to TWO long counters (``c`` running deviation
+    sum, ``m`` its clamped running min), so bucket state is three flat
+    parallel arrays (key, c, m) plus the in-flight disorder buffer.
+    The finalize walk stays the per-key operator's fold VERBATIM — rows
+    sort by (key, ts, tiebreak) so per-key subsequences come out
+    contiguous and event-time-ordered, and the two counters thread
+    through exactly as the per-key state would.  The hash bucketing
+    (rather than locf/ewma's ``pmod(key)``) keeps the transform
+    key-type-generic: ``stream_cusum`` keys on a STRING metric name.
+
+    Emission protocol, null handling, the true-late drop rule
+    (``ts < watermark`` drops, at-watermark stays), the
+    round-half-up cents conversion and the integral-tiebreak
+    validation are all identical to ``stream_cusum``; packed == per-key
+    is exceptAll-both-ways parity-tested and the contract shares the
+    per-key operator's batch-closed-form oracle verbatim.
+
+    Emits ``(key, tiebreak, ts_us, stat_cents, is_alert)``."""
+    tb_type = {f.name: f.dataType for f in events.schema.fields}.get(
+        tiebreak_col
+    )
+    if tb_type is not None and not isinstance(
+        tb_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"stream_cusum_packed tiebreak_col {tiebreak_col!r} must be"
+            f" an integral column (got {tb_type.simpleString()}); its"
+            " value rides the LongType state/output schema exactly like"
+            " batch cusum_points' long tiebreak"
+        )
+    drift = target_cents + slack_cents
+    m_scale = 10 ** scale
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(tiebreak_col, T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("stat_cents", T.LongType()),
+            T.StructField("is_alert", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("k_ids", T.ArrayType(T.StringType())),
+            T.StructField("k_c", T.ArrayType(T.LongType())),
+            T.StructField("k_min", T.ArrayType(T.LongType())),
+            T.StructField("p_k", T.ArrayType(T.StringType())),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_eid", T.ArrayType(T.LongType())),
+            T.StructField("p_cents", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        counters: dict = {}
+        if state.exists:
+            k_ids, k_c, k_min, p_k, p_ts, p_eid, p_c = state.get
+            for kk, cc, mm in zip(k_ids, k_c, k_min):
+                counters[str(kk)] = [int(cc), int(mm)]
+            p_k = [str(x) for x in p_k]
+            p_ts = [int(x) for x in p_ts]
+            p_eid = [int(x) for x in p_eid]
+            p_c = [int(x) for x in p_c]
+        else:
+            p_k, p_ts, p_eid, p_c = [], [], [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                us = pdf[ts_col].values.astype("datetime64[us]").astype(
+                    "int64"
+                )
+                # same boundary rule as the per-key operator: true-late
+                # rows (strictly before the watermark) drop
+                live = us >= wm_us
+                pdf, us = pdf[live], us[live]
+                if not len(pdf):
+                    continue
+                vals = pdf[value_col].values.astype("float64")
+                ok = ~np.isnan(vals)
+                cents = np.zeros(len(vals), dtype="int64")
+                cents[ok] = np.floor(vals[ok] * m_scale + 0.5).astype(
+                    "int64"
+                )
+                p_k.extend(str(x) for x in pdf[key_col].values[ok])
+                p_ts.extend(int(x) for x in us[ok])
+                p_eid.extend(int(x) for x in pdf[tiebreak_col].values[ok])
+                p_c.extend(int(x) for x in cents[ok])
+        out_rows = []
+        if p_ts:
+            # finalize in (key, ts, eid) order: per-key subsequences come
+            # out contiguous and event-time-ordered, so the two-counter
+            # walk below threads each key's state exactly like the
+            # per-key fold
+            kidx = {}
+            k_codes = np.fromiter(
+                (kidx.setdefault(k, len(kidx)) for k in p_k),
+                dtype="int64",
+                count=len(p_k),
+            )
+            order = np.lexsort(
+                (np.asarray(p_eid), np.asarray(p_ts), k_codes)
+            )
+            rem_k, rem_ts, rem_eid, rem_c = [], [], [], []
+            for i in order:
+                i = int(i)
+                if p_ts[i] > wm_us:
+                    rem_k.append(p_k[i])
+                    rem_ts.append(p_ts[i])
+                    rem_eid.append(p_eid[i])
+                    rem_c.append(p_c[i])
+                    continue
+                k = p_k[i]
+                st = counters.get(k)
+                if st is None:
+                    st = counters[k] = [0, 0]
+                st[0] += p_c[i] - drift
+                if st[0] < st[1]:
+                    st[1] = st[0]
+                s = st[0] - st[1]
+                out_rows.append(
+                    (k, p_eid[i], p_ts[i], s, s > threshold_cents)
+                )
+            p_k, p_ts, p_eid, p_c = rem_k, rem_ts, rem_eid, rem_c
+        if not counters and not p_ts:
+            # fully drained: no counters and nothing pending — drop the
+            # entry instead of parking empty arrays with no timeout
+            # (the ADVICE r11 hygiene rule all packed families follow)
+            if state.exists:
+                state.remove()
+            return
+        k_ids = sorted(counters)
+        state.update(
+            (
+                k_ids,
+                [counters[k][0] for k in k_ids],
+                [counters[k][1] for k in k_ids],
+                p_k,
+                p_ts,
+                p_eid,
+                p_c,
+            )
+        )
+        if p_ts:
+            state.setTimeoutTimestamp(
+                max(min(p_ts) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[key_col, tiebreak_col, "ts_us", "stat_cents",
+                         "is_alert"],
+            )
+
+    bucketed = events.filter(F.col(value_col).isNotNull()).withColumn(
+        "__bucket", F.pmod(F.hash(F.col(key_col)), F.lit(n_state_buckets))
+    )
+    return (
+        bucketed.withWatermark(ts_col, watermark)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fold,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -99,3 +99,45 @@ def test_fixture_dir_tracks_source_fingerprint(tmp_path):
     os.utime(d1, (old, old))
     assert C._fixture_dir(str(sf), "unittest", "lineitem") == d2
     assert not os.path.exists(d1)
+
+
+def test_driver_gate_covers_every_b_family():
+    """VERDICT r11 item 1: the promise that the driver's first-50 gate
+    keeps a row for every SURVEY §2.B family (B1-B30) is a CHECKED
+    invariant, not narration — the r11 rotation displaced B7's only
+    gate row and nothing caught it.  The import-time check
+    (_check_driver_gate_families, an explicit raise so `python -O`
+    can't strip it) must pass on the shipped curation, and must FAIL
+    on a curation that uncovers a family."""
+    import shuttle_spark.contracts as C
+
+    # shipped curation passes (import already ran it; run it again
+    # explicitly so a regression pinpoints here, not at collection)
+    C._check_driver_gate_families()
+
+    gate = list(C.REGISTRY)[:C._DRIVER_GATE_SIZE]
+    covered = {t for n in gate for t in C.REGISTRY[n].tags}
+    assert not (C._B_FAMILIES - covered)
+
+    # and the check actually bites: displace B7's only gate row the
+    # exact way r11 did, on a scratch registry ordering
+    b7_rows = [n for n in gate if "B7" in C.REGISTRY[n].tags]
+    assert b7_rows, "gate must carry a B7 row (the r11 regression)"
+    original = dict(C.REGISTRY)
+    # every B7 row sinks below the gate window; everything stays
+    # registered so the coverage check (not the unknown-name check)
+    # is what fires
+    reordered = {
+        n: c for n, c in original.items() if "B7" not in c.tags
+    }
+    reordered.update(
+        (n, c) for n, c in original.items() if "B7" in c.tags
+    )
+    try:
+        C.REGISTRY.clear()
+        C.REGISTRY.update(reordered)
+        with pytest.raises(ValueError, match="B7"):
+            C._check_driver_gate_families()
+    finally:
+        C.REGISTRY.clear()
+        C.REGISTRY.update(original)

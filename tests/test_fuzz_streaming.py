@@ -395,3 +395,64 @@ def test_fuzz_stream_ewma_packed_parity(
     assert plain.count() == packed.count() > 0
     assert plain.exceptAll(packed).count() == 0
     assert packed.exceptAll(plain).count() == 0
+
+
+@given(
+    n_buckets=st.sampled_from([1, 2, 7, 32]),
+    key_mod=st.sampled_from([1, 3, 11]),
+    dials=st.sampled_from(
+        [
+            dict(target_cents=5000, slack_cents=200, threshold_cents=20000),
+            dict(target_cents=4000, slack_cents=0, threshold_cents=5000),
+            dict(target_cents=6000, slack_cents=500, threshold_cents=50000),
+        ]
+    ),
+    multi=st.booleans(),
+)
+@FUZZ_PACKED
+def test_fuzz_stream_cusum_packed_parity(
+    spark, n_buckets, key_mod, dials, multi
+):
+    """r12 fourth packed family under replay-space fuzz: CUSUM's
+    two-counter recurrence must hand off across micro-batch boundaries
+    bit-equal to the per-key operator while bucket counts go from
+    degenerate (1 = every key in one group) to effectively-per-key,
+    the key space inflates (event_type x user_id % key_mod reshuffles
+    bucket occupancy), and the drift/threshold dials move the alert
+    rate from dense to sparse."""
+    from shuttle_spark.streaming import (
+        events_stream,
+        events_stream_multi,
+        run_available_now,
+    )
+    from shuttle_spark.streaming.core import stream_cusum, stream_cusum_packed
+
+    tag = f"cu_{n_buckets}_{key_mod}_{dials['threshold_cents']}_{int(multi)}"
+
+    def src():
+        s = (
+            events_stream_multi(spark, SF, n_files=4)
+            if multi
+            else events_stream(spark, SF)
+        )
+        if key_mod > 1:
+            s = s.withColumn(
+                "event_type",
+                F.concat_ws(
+                    "_", F.col("event_type"), F.col("user_id") % key_mod
+                ),
+            )
+        return s
+
+    cols = ["event_type", "event_id", "ts_us", "stat_cents", "is_alert"]
+    plain = run_available_now(
+        stream_cusum(src(), **dials), f"fcu_{tag}", shuffle_partitions=4
+    ).select(*cols)
+    packed = run_available_now(
+        stream_cusum_packed(src(), n_state_buckets=n_buckets, **dials),
+        f"fcp_{tag}",
+        shuffle_partitions=4,
+    ).select(*cols)
+    assert plain.count() == packed.count() > 0
+    assert plain.exceptAll(packed).count() == 0
+    assert packed.exceptAll(plain).count() == 0

@@ -778,7 +778,44 @@ def test_stream_cusum_rejects_non_integral_tiebreak(spark):
 
     from shuttle_spark.streaming import events_stream
     from shuttle_spark.streaming.core import stream_cusum
+    from shuttle_spark.streaming.core import stream_cusum_packed
 
     src = events_stream(spark, SF)
     with pytest.raises(ValueError, match="must be an integral column"):
         stream_cusum(src, tiebreak_col="value")  # value is a double
+    with pytest.raises(ValueError, match="must be an integral column"):
+        stream_cusum_packed(src, tiebreak_col="value")
+
+
+def test_stream_cusum_packed_parity(spark):
+    """stream_cusum_packed == stream_cusum row-for-row (exceptAll both
+    ways), single- and multi-batch — packing is a physical layout
+    change; the two-counter recurrence walk is byte-identical per key,
+    so ANY divergence is a bug.  The key space is inflated (event_type
+    x user_id % 7) so 8 buckets force real multi-key packing, and the
+    output must contain real alerts (the dials bite)."""
+    from shuttle_spark.streaming import events_stream_multi
+    from shuttle_spark.streaming.core import stream_cusum, stream_cusum_packed
+
+    ktag = F.concat_ws("_", F.col("event_type"), F.col("user_id") % 7)
+    cols = ["event_type", "event_id", "ts_us", "stat_cents", "is_alert"]
+    for mk, name in (
+        (lambda: events_stream(spark, SF), "pcu_one"),
+        (lambda: events_stream_multi(spark, SF, n_files=4), "pcu_multi"),
+    ):
+        plain = run_available_now(
+            stream_cusum(mk().withColumn("event_type", ktag)),
+            f"{name}_a",
+            shuffle_partitions=4,
+        ).select(*cols)
+        packed = run_available_now(
+            stream_cusum_packed(
+                mk().withColumn("event_type", ktag), n_state_buckets=8
+            ),
+            f"{name}_b",
+            shuffle_partitions=4,
+        ).select(*cols)
+        assert plain.count() == packed.count() > 0, name
+        assert plain.exceptAll(packed).count() == 0, name
+        assert packed.exceptAll(plain).count() == 0, name
+        assert packed.filter(F.col("is_alert")).count() > 0, name
