@@ -5,6 +5,7 @@ from shuttle_spark.plans.audit import (
     executed_plan,
     explain_formatted,
     pushed_filters,
+    single_partition_windows,
     read_schema_columns,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "executed_plan",
     "explain_formatted",
     "pushed_filters",
+    "single_partition_windows",
     "read_schema_columns",
 ]

@@ -85,6 +85,43 @@ def count_exchanges(df: DataFrame, plan: str | None = None) -> int:
     )
 
 
+def single_partition_windows(df: DataFrame, plan: str | None = None) -> int:
+    """Count Window nodes with an EMPTY partition spec — the plan shape
+    that moves ALL rows to one partition (Spark logs "Moving all data to
+    a single partition" and the operator stops scaling past one core).
+
+    One such window is a deliberate, documented semantics dial
+    (``window_ntile_pctrank``: global ntile/percent_rank is
+    single-partition BY DEFINITION; the distributed twins
+    ``global_pctrank_distributed`` / ``global_rank_distributed`` are the
+    scale path) — but an UNDOCUMENTED one is a hidden scale-killer, and
+    until r12 no PLANS.md column would have exposed it (VERDICT r11
+    item 5).  Detection: a ``Window`` node prints ``[exprs],
+    [partitionSpec], [orderSpec]``; with no partition spec the middle
+    list is omitted, so exactly TWO top-level bracket groups follow the
+    node name (``WindowGroupLimit`` doesn't match the ``Window [``
+    token; bracket groups are counted at depth 0 so nested brackets
+    inside window expressions can't miscount)."""
+    if plan is None:
+        plan = executed_plan(df)
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|\s)Window\s+(\[.*)$", line)
+        if not m:
+            continue
+        depth, groups = 0, 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
+
+
 def audit(df: DataFrame) -> dict[str, object]:
     """One-call plan summary for a query under tuning.  The plan strings
     are fetched ONCE and threaded through the helpers — each refetch is a
@@ -103,6 +140,7 @@ def audit(df: DataFrame) -> dict[str, object]:
         )
         or plan.count("HashAggregate") // 2,
         "top_k": "TakeOrderedAndProject" in plan,
+        "single_partition_windows": single_partition_windows(df, plan),
         "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", fmt))),
         "python_stages": plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")

@@ -235,3 +235,40 @@ def test_fuzzy_maxdf_plan_budget(spark):
     plan = plan_of(df)
     assert plan.count("Window") == 2
     assert plan.count("Exchange") <= 9
+
+
+def test_single_partition_window_detector(spark):
+    """VERDICT r11 item 5: WindowExec with an EMPTY partition spec (all
+    rows forced into one partition) must be detectable from the plan so
+    PLANS.md regeneration fails loudly on any undocumented instance.
+    Three shapes: a bare global window trips it, a partitioned window
+    does not, and a plan mixing both counts exactly the global one."""
+    from pyspark.sql import Window
+
+    from shuttle_spark.plans import single_partition_windows
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    w_glob = Window.orderBy("id")
+    w_part = Window.partitionBy("g").orderBy("id")
+    assert single_partition_windows(
+        df.withColumn("r", F.percent_rank().over(w_glob))
+    ) == 1
+    assert single_partition_windows(
+        df.withColumn("r", F.percent_rank().over(w_part))
+    ) == 0
+    both = df.withColumn("r", F.percent_rank().over(w_part)).withColumn(
+        "q", F.ntile(4).over(w_glob)
+    )
+    assert single_partition_windows(both) == 1
+
+
+def test_distributed_rank_twins_have_no_single_partition_window(spark):
+    """The scale-safe global-rank twins must NEVER plan the
+    single-partition WindowExec — that absence is their whole reason to
+    exist (window_ntile_pctrank is the one documented instance)."""
+    from shuttle_spark.contracts import REGISTRY
+    from shuttle_spark.plans import single_partition_windows
+
+    for name in ("global_pctrank_distributed", "global_rank_distributed"):
+        df = REGISTRY[name].build(spark, SF)
+        assert single_partition_windows(df) == 0, name
