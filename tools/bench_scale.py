@@ -132,6 +132,11 @@ QUERIES = [
     # round-10 additions
     "interp_impute_census",
     "k_anonymity_events",
+    # round-12 (VERDICT r11 item 4): the cross-document exact-substring
+    # dedup census — its inverted-index exchanges (positions collapsed to
+    # (doc, gram) BEFORE any join) are precisely the shape that must be
+    # shown sub-linear against the oracle's identical-algebra SQL.
+    "duplicated_span_census",
 ]
 
 
