@@ -1185,9 +1185,11 @@ def bpe_train(
     lineage stays O(1) across iterations.
 
     Vocab-scale bound (stated, not hidden): the distributed loop costs
-    TWO strictly sequential Spark jobs per merge (pair-count aggregate +
-    argmax collect; the Arrow rewrite fuses into the next round's scan),
-    so a production 32k–100k-merge vocabulary is ~10⁵ sequential jobs —
+    ONE strictly sequential Spark job per merge (the pair-count +
+    argmax collect, whose scan stage also materializes the previous
+    round's lazily-checkpointed Arrow rewrite — r12: the checkpoint was
+    eager before, costing a second job per merge), so a production
+    32k–100k-merge vocabulary is ~10⁵ sequential jobs —
     job-launch latency dominates long before data size does.  The
     corpus-scale collapse already reduced the problem to the distinct-
     word dict, which for real corpora is driver-sized (10⁶–10⁸ rows of a
@@ -1221,7 +1223,11 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.split(F.col("w"), "").alias("syms"), "n")
-        .localCheckpoint(eager=True)
+        # lazy: the first consumer (the fast-path count or round 0's
+        # argmax) materializes the collapse inside its own job instead of
+        # paying a separate eager-materialization job (guide §1.2: fewer
+        # sequential jobs, identical computation)
+        .localCheckpoint(eager=False)
     )
     merge_schema = (
         "rank long, left string, right string, merged string,"
@@ -1283,7 +1289,14 @@ def bpe_train(
             # no shuffle
             .coalesce(n_parts)
         )
-        words = rewritten.localCheckpoint(eager=True)
+        # LAZY checkpoint (the pagerank idiom): the logical plan is
+        # truncated immediately, and the rewrite materializes as the scan
+        # stage of the NEXT round's argmax job — one sequential Spark job
+        # per merge instead of two (the argmax collect + a separate eager
+        # materialization), and the final round's rewrite (which nothing
+        # consumes) is never computed at all.  Bit-identical rounds: the
+        # same relation is materialized, only inside the consumer's job.
+        words = rewritten.localCheckpoint(eager=False)
     return spark.createDataFrame(merges, merge_schema)
 
 
