@@ -128,15 +128,20 @@ def connected_components(
             F.sum(F.xxhash64("a", "b").cast(T.DecimalType(38, 0))).alias("h"),
         ).collect()[0]
 
+    # LAZY checkpoints (the pagerank idiom, r12): the per-round signature
+    # aggregate is the action that materializes the round's edge set, so
+    # each round costs ONE job (sig) instead of two (eager materialize +
+    # sig).  The checkpoint still truncates lineage immediately, and the
+    # persisted blocks serve the round's other readers (stars, roots).
     e = _canon(
         pairs.select(
             F.col(a_col).cast("long").alias("a"),
             F.col(b_col).cast("long").alias("b"),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     state = _sig(e)
     for _ in range(max_iter):
-        e_next = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        e_next = _canon(_small_star(_large_star(e))).localCheckpoint(eager=False)
         nxt = _sig(e_next)
         prev, state, e = state, nxt, e_next
         if (prev.n, prev.h) == (nxt.n, nxt.h):
@@ -446,7 +451,10 @@ def kcore(
         bad = (
             deg.filter(F.col("deg") < k)
             .select("node")
-            .localCheckpoint(eager=True)
+            # lazy: the emptiness probe below is the materializing action
+            # (cached-on-compute blocks serve both anti-joins), one job
+            # per round instead of two (r12)
+            .localCheckpoint(eager=False)
         )
         # one bounded driver scalar per round (the CC convergence idiom)
         if bad.limit(1).count() == 0:
@@ -470,7 +478,10 @@ def kcore(
                 "left_anti",
             )
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            # lazy: next round's degree probe materializes the surviving
+            # edge set inside its own job (r12; round wall attribution
+            # shifts one round later, totals unchanged)
+            .localCheckpoint(eager=False)
         )
         round_secs.append(_time.perf_counter() - t0)
     else:
@@ -536,13 +547,13 @@ def label_propagation(
     nbr = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         nbr.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     round_secs: list[float] = []
     for _ in range(n_rounds):
@@ -566,7 +577,13 @@ def label_propagation(
                 ).alias("m")
             )
             .select("node", (-F.col("m.neg")).alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy (r12, the pagerank idiom): every checkpoint truncates
+            # the logical plan immediately but materializes inside the
+            # CALLER's action — the whole fixed-round recurrence executes
+            # as one job over the staged neighbor relation instead of one
+            # eager-materialization job per round.  round_secs therefore
+            # times plan construction only.
+            .localCheckpoint(eager=False)
         )
         round_secs.append(_time.perf_counter() - t0)
     if stats is not None:
