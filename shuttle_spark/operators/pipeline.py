@@ -780,14 +780,15 @@ def duplicated_span_census(
     ``dup_fraction`` (6dp integer-ratio double).
 
     Plan (the inverted-index shape, never all-pairs): positions collapse
-    FIRST to (doc, gram, count) in one partial+final hash aggregate —
-    the join that follows moves the collapsed relation, not raw
-    positions; the gram's doc-frequency is a second aggregate of that
-    relation ALREADY partitioned by a superset key, and the dup
-    back-join is gram-partitioned.  One final doc-keyed aggregate.  At
-    100 TB every exchange carries (doc, gram)-collapsed or gram-keyed
-    rows; hot grams (the duplicated ones) are bounded per doc by the
-    collapse, so the join cannot skew beyond a doc's gram multiplicity."""
+    FIRST to (doc, gram, count) in one partial+final hash aggregate;
+    the gram's doc-frequency is a COUNT window over that collapsed
+    relation (one gram-keyed exchange — r12 replaced the r11
+    aggregate-plus-back-join pair, 6 exchanges -> 3, zero joins), and
+    both census sums ride ONE final doc-keyed aggregate.  At 100 TB
+    every exchange carries (doc, gram)-collapsed or gram-keyed rows;
+    hot grams (the duplicated ones) are bounded per doc by the
+    collapse, and a gram's window partition is its doc list — the same
+    rows the old join moved."""
     toks = docs.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
     )
@@ -795,21 +796,31 @@ def duplicated_span_census(
         id_col, F.explode(TX.ngrams_from_tokens(F.col("toks"), n)).alias("g")
     )
     pg = pos.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("__c"))
-    gd = pg.groupBy("g").agg(F.count(F.lit(1)).alias("__nd"))
-    dup = (
-        pg.join(gd.filter(F.col("__nd") >= min_docs), "g")
-        .groupBy(id_col)
-        .agg(F.sum("__c").alias("n_dup_grams"))
+    # The gram's doc-frequency is a COUNT window over the collapsed
+    # (doc, gram) relation — one gram-keyed exchange replaces the r11
+    # aggregate-plus-back-join pair (6 exchanges -> 3, zero joins,
+    # guide §2.4), and both census sums then ride ONE doc-keyed
+    # aggregate (the dup sum is conditional on the windowed frequency,
+    # so the old tot/dup left join disappears too).  Identical values:
+    # __nd is the same distinct-doc count per gram, and a doc with no
+    # duplicated gram sums the empty condition to 0 exactly like the
+    # old coalesce(left join).
+    from pyspark.sql import Window
+
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    per_doc = pg.withColumn("__nd", nd).groupBy(id_col).agg(
+        F.sum("__c").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("__nd") >= min_docs, F.col("__c"))),
+            F.lit(0),
+        ).alias("n_dup_grams"),
     )
-    tot = pg.groupBy(id_col).agg(F.sum("__c").alias("n_grams"))
-    return tot.join(dup, id_col, "left").select(
+    return per_doc.select(
         id_col,
         "n_grams",
-        F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        "n_dup_grams",
         F.round(
-            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
-            / F.col("n_grams"),
-            6,
+            F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
         ).alias("dup_fraction"),
     )
 
