@@ -991,11 +991,10 @@ def bigram_lm_stats(
     one hash agg on (w1, w2); unigram marginals ride the session-staged
     token relation (one hash agg on term); the two marginal joins
     hash-partition on w1/w2 (vocabulary-sized relations).  The corpus
-    token total is collected once driver-side and folded in as a
-    literal — a 1-row broadcast, not a join; NOTE this makes
-    DataFrame CONSTRUCTION eager (one scalar-aggregate job runs at call
-    time, not at action time).  An empty corpus (zero tokens)
-    short-circuits to an empty result.  Top-k orders by
+    token total rides the plan as a broadcast 1-row cross join (r12 —
+    previously an eager driver collect folded a literal in, costing a
+    scalar-aggregate job at construction time).  An empty corpus yields
+    an empty result (no pairs survive the joins).  Top-k orders by
     (pair_n DESC, w1, w2) — a unique total order."""
     from shuttle_spark.functions import text as TXF
 
@@ -1019,24 +1018,25 @@ def bigram_lm_stats(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    total = int(uni.agg(F.sum("__n")).collect()[0][0] or 0)
-    if total == 0:
-        spark = docs.sparkSession
-        return spark.createDataFrame(
-            [], "w1 string, w2 string, pair_n bigint, lift_micro bigint"
-        )
+    # The corpus token total rides the plan as a broadcast 1-row cross
+    # join instead of an eager driver collect (r12, guide §1.2/§5: no
+    # construction-time job; the old empty-corpus short-circuit is
+    # subsumed — zero tokens means zero pairs, so the joined relation is
+    # already empty and no row evaluates the division).
+    total_df = uni.agg(F.sum("__n").alias("__tot"))
     dec = "decimal(38,0)"
     joined = (
         pairs.join(uni.select(F.col("term").alias("w1"),
                               F.col("__n").alias("__n1")), "w1")
         .join(uni.select(F.col("term").alias("w2"),
                          F.col("__n").alias("__n2")), "w2")
+        .crossJoin(F.broadcast(total_df))
     )
     return (
         joined.withColumn(
             "lift_micro",
             F.expr(
-                f"CAST(CAST(pair_n AS {dec}) * CAST({total} AS {dec})"
+                f"CAST(CAST(pair_n AS {dec}) * CAST(__tot AS {dec})"
                 f" * CAST(1000000 AS {dec})"
                 f" DIV (CAST(__n1 AS {dec}) * CAST(__n2 AS {dec}))"
                 " AS BIGINT)"
