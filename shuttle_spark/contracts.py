@@ -1222,14 +1222,14 @@ def q_freq_items(spark: SparkSession, sf: str) -> DataFrame:
     false negatives).  Property: the exact heavy hitters of
     o_orderpriority at support 0.1 are all present in the sketch result."""
     orders = load_table(spark, sf, "orders")
-    n = orders.count()
-    exact = {
-        r.o_orderpriority
-        for r in orders.groupBy("o_orderpriority")
-        .count()
-        .filter(F.col("count") > 0.1 * n)
-        .collect()
+    # one grouped count gives both the total and the heavy hitters (one
+    # job instead of a count job + a filtered-collect job, guide §1.2)
+    by_prio = {
+        r.o_orderpriority: r["count"]
+        for r in orders.groupBy("o_orderpriority").count().collect()
     }
+    n = sum(by_prio.values())
+    exact = {k for k, c in by_prio.items() if c > 0.1 * n}
     sketch = set(
         orders.stat.freqItems(["o_orderpriority"], support=0.1).collect()[0][0]
     )
@@ -1252,14 +1252,21 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     fracs = {"A": 0.2, "N": 0.05, "R": 0.1}
     s1 = li.sampleBy("l_returnflag", fractions=fracs, seed=7)
-    got = {
-        r.l_returnflag: r.cnt
-        for r in s1.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
-    }
-    totals = {
-        r.l_returnflag: r.cnt
-        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
-    }
+    # sampled and total per-stratum counts ride ONE tagged union job
+    # (two independent aggregate subtrees scheduled concurrently inside
+    # it) instead of two sequential collect jobs (guide §1.2)
+    got: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    for r in (
+        s1.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+        .withColumn("src", F.lit("s"))
+        .unionByName(
+            li.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+            .withColumn("src", F.lit("t"))
+        )
+        .collect()
+    ):
+        (got if r.src == "s" else totals)[r.l_returnflag] = r.cnt
     ok = True
     for k, f in fracs.items():
         n = totals[k]
@@ -1912,8 +1919,19 @@ def q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     probability, independent of corpus size, so the sample bounds the O(n²)
     exact-side cost without weakening the check."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    exact_n = N.near_dup_pairs_exact(docs, 0.6, n=3).count()
-    mh_n = N.minhash_near_dup_pairs(docs, 0.6).count()
+    # both pair pipelines counted in ONE tagged job: their independent
+    # stages schedule concurrently inside it (guide §1.2/§2.6)
+    cnt = dict(
+        N.near_dup_pairs_exact(docs, 0.6, n=3)
+        .select(F.lit("exact").alias("t"))
+        .unionAll(
+            N.minhash_near_dup_pairs(docs, 0.6).select(F.lit("mh").alias("t"))
+        )
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    exact_n, mh_n = cnt.get("exact", 0), cnt.get("mh", 0)
     return spark.createDataFrame(
         [(bool(exact_n == 0 or mh_n / exact_n >= 0.9), bool(exact_n > 0))],
         "ok boolean, nonempty boolean",
@@ -1985,12 +2003,21 @@ def q_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("id"), N.simhash(F.col("text")).alias("sh")
     ).persist()
     a, b = sh.alias("a"), sh.alias("b")
-    exact_n = (
+    # brute-force and blocked pipelines counted in ONE tagged job
+    # (guide §1.2); sh stays persisted across both subtrees
+    cnt = dict(
         a.join(b, F.col("a.id") < F.col("b.id"))
         .filter(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= 3)
+        .select(F.lit("exact").alias("t"))
+        .unionAll(
+            N.simhash_near_dup_pairs(docs, max_hamming=3)
+            .select(F.lit("got").alias("t"))
+        )
+        .groupBy("t")
         .count()
+        .collect()
     )
-    got_n = N.simhash_near_dup_pairs(docs, max_hamming=3).count()
+    exact_n, got_n = cnt.get("exact", 0), cnt.get("got", 0)
     sh.unpersist()
     return spark.createDataFrame(
         [(bool(got_n == exact_n), bool(exact_n > 0))],
@@ -2031,20 +2058,25 @@ def q_cosine_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     sample: recall is a per-pair probability, so the sample bounds the O(n²)
     exact-side cost without weakening the property."""
     emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
-    exact_n = (
+    # exact and LSH pipelines counted in ONE tagged job (guide §1.2)
+    cnt = dict(
         S.cosine_near_dup_pairs(emb, dim=64, threshold=0.39, exact=True)
         .select(F.round("sim", 6).alias("sim"))
         .filter(F.col("sim") >= 0.4)
-        .count()
-    )
-    lsh_n = (
-        S.cosine_near_dup_pairs(
-            emb, dim=64, threshold=0.39, n_planes=64, bands=16
+        .select(F.lit("exact").alias("t"))
+        .unionAll(
+            S.cosine_near_dup_pairs(
+                emb, dim=64, threshold=0.39, n_planes=64, bands=16
+            )
+            .select(F.round("sim", 6).alias("sim"))
+            .filter(F.col("sim") >= 0.4)
+            .select(F.lit("lsh").alias("t"))
         )
-        .select(F.round("sim", 6).alias("sim"))
-        .filter(F.col("sim") >= 0.4)
+        .groupBy("t")
         .count()
+        .collect()
     )
+    exact_n, lsh_n = cnt.get("exact", 0), cnt.get("lsh", 0)
     return spark.createDataFrame(
         [(bool(exact_n == 0 or lsh_n / exact_n >= 0.8), bool(exact_n > 0))],
         "ok boolean, nonempty boolean",
@@ -3626,12 +3658,9 @@ def q_quantized_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     qv = query_vector(spark, sf, 0)
     quant = S.quantize_int8(emb)
     qq = quant.filter(F.col("vec_id") == 0).collect()[0]
-    approx = {
-        r.vec_id
-        for r in S.quantized_dot_topk(
-            quant.filter(F.col("vec_id") != 0), qq.qvec, qq.q_scale, 10
-        ).collect()
-    }
+    approx_df = S.quantized_dot_topk(
+        quant.filter(F.col("vec_id") != 0), qq.qvec, qq.q_scale, 10
+    )
     # brute_force_topk ranks by cosine, quantized by dot product: compare
     # on the normalized corpus property instead — recompute exact DOT here.
     idot = F.aggregate(
@@ -3643,14 +3672,21 @@ def q_quantized_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
-    exact_dot = {
-        r.vec_id
-        for r in emb.filter(F.col("vec_id") != 0)
+    exact_df = (
+        emb.filter(F.col("vec_id") != 0)
         .select("vec_id", idot.alias("dot"))
         .orderBy(F.desc("dot"), F.col("vec_id"))
         .limit(10)
+    )
+    # both top-10 lists ride ONE tagged union job (guide §1.2)
+    approx: set = set()
+    exact_dot: set = set()
+    for r in (
+        approx_df.select(F.lit("a").alias("t"), "vec_id")
+        .unionByName(exact_df.select(F.lit("e").alias("t"), "vec_id"))
         .collect()
-    }
+    ):
+        (approx if r.t == "a" else exact_dot).add(r.vec_id)
     return spark.createDataFrame(
         [(bool(len(exact_dot & approx) >= 8),)], "ok boolean"
     )
@@ -5049,9 +5085,16 @@ def q_sample(spark: SparkSession, sf: str) -> DataFrame:
     binomial expectation, and the same seed reproduces the same rows (the
     engines sample differently, so equality is property-not-hash)."""
     li = load_table(spark, sf, "lineitem")
-    n = li.count()
     s1 = li.sample(fraction=0.1, seed=42)
-    k = s1.count()
+    # population and sample counts in ONE tagged job (guide §1.2)
+    cnt = dict(
+        li.select(F.lit("n").alias("t"))
+        .unionAll(s1.select(F.lit("k").alias("t")))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    n, k = cnt.get("n", 0), cnt.get("k", 0)
     sigma = (n * 0.1 * 0.9) ** 0.5
     ok = abs(k - 0.1 * n) <= 3 * sigma
     same = s1.select("l_orderkey", "l_linenumber").exceptAll(
@@ -8222,12 +8265,24 @@ def q_ivf_upsert_equal(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     rebuilt = S2.assign_cells(post, cents).select("vec_id", "cell")
-    n_maintained = maintained.count()
-    mismatch = (
-        maintained.exceptAll(rebuilt).count()
-        + rebuilt.exceptAll(maintained).count()
+    # ONE verification job instead of four sequential actions (count +
+    # two exceptAll counts + post.count — guide §1.2): the four check
+    # relations union into a tagged census and aggregate once; identical
+    # predicates, and Spark's ReuseExchange shares the maintained/rebuilt
+    # subplans across the except branches inside the single job.
+    tag = lambda df, t: df.select(F.lit(t).alias("t"))  # noqa: E731
+    census = dict(
+        tag(maintained.exceptAll(rebuilt), "xm")
+        .unionAll(tag(rebuilt.exceptAll(maintained), "xr"))
+        .unionAll(tag(maintained, "m"))
+        .unionAll(tag(post, "p"))
+        .groupBy("t")
+        .count()
+        .collect()
     )
-    ok = mismatch == 0 and n_maintained == post.count()
+    n_maintained = census.get("m", 0)
+    mismatch = census.get("xm", 0) + census.get("xr", 0)
+    ok = mismatch == 0 and n_maintained == census.get("p", 0)
     return spark.createDataFrame(
         [(bool(ok), bool(n_maintained > 0))], "ok boolean, nonempty boolean"
     )
