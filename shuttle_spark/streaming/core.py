@@ -1328,18 +1328,52 @@ def stream_mv_maintenance(
         F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_batches)
     )
     ch = changes.withColumn("__b", res)
-    schema = None
+    schema = ch.drop("__b").schema
+    # ONE partitioned staging write instead of n_batches sequential
+    # coalesce(1) jobs (guide §1.2): repartition on __b puts each bucket
+    # in exactly one task, so every __b=i dir holds exactly one part
+    # file (partitionBy strips __b from the file contents, identical to
+    # the old per-bucket drop("__b") writes).
+    stage = tracked_mkdtemp("mvstream_stage_")
+    (
+        ch.repartition(n_batches, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
     for i in range(n_batches):
-        part_dir = tracked_mkdtemp(f"mvstream_part{i}_")
-        b = ch.filter(F.col("__b") == i).drop("__b")
-        b.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        data = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-        shutil.move(
-            os.path.join(part_dir, data[0]),
-            os.path.join(land, f"changeset-{i:04d}.parquet"),
+        part_dir = os.path.join(stage, f"__b={i}")
+        data = (
+            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            if os.path.isdir(part_dir)
+            else []
         )
-        schema = b.schema
-    state = {"totals": base_totals.localCheckpoint(eager=True)}
+        if len(data) == 1:
+            shutil.move(
+                os.path.join(part_dir, data[0]),
+                os.path.join(land, f"changeset-{i:04d}.parquet"),
+            )
+        elif not data:
+            # empty bucket (no key hashed to it): stage an empty
+            # changeset file so the micro-batch count is unchanged
+            empty_dir = tracked_mkdtemp(f"mvstream_empty{i}_")
+            spark.createDataFrame([], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(empty_dir)
+            f0 = [
+                f for f in os.listdir(empty_dir) if f.endswith(".parquet")
+            ][0]
+            shutil.move(
+                os.path.join(empty_dir, f0),
+                os.path.join(land, f"changeset-{i:04d}.parquet"),
+            )
+        else:  # pragma: no cover - repartition("__b") pins one task/bucket
+            raise RuntimeError(
+                f"staging bucket {i} produced {len(data)} files; expected 1"
+            )
+    # lazy: the first fold's merge materializes the base totals inside
+    # its own batch job (r12)
+    state = {"totals": base_totals.localCheckpoint(eager=False)}
 
     def _fold(batch_df: DataFrame, _batch_id: int) -> None:
         state["totals"] = incremental_group_totals(
