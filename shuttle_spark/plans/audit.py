@@ -97,11 +97,19 @@ def single_partition_windows(df: DataFrame, plan: str | None = None) -> int:
     scale path) — but an UNDOCUMENTED one is a hidden scale-killer, and
     until r12 no PLANS.md column would have exposed it (VERDICT r11
     item 5).  Detection: a ``Window`` node prints ``[exprs],
-    [partitionSpec], [orderSpec]``; with no partition spec the middle
-    list is omitted, so exactly TWO top-level bracket groups follow the
-    node name (``WindowGroupLimit`` doesn't match the ``Window [``
-    token; bracket groups are counted at depth 0 so nested brackets
-    inside window expressions can't miscount)."""
+    [partitionSpec], [orderSpec]`` with EMPTY specs omitted — so both a
+    global ordered window (``[exprs], [orderSpec]``) and a partitioned
+    UNORDERED window (``[exprs], [partitionSpec]`` — e.g. a COUNT over
+    ``partitionBy(k)`` with no ordering, which scales fine) print two
+    top-level bracket groups.  The first cut of this detector counted
+    groups alone and false-positived on every partitioned-unordered
+    window (caught on the first full PLANS regeneration, r12); the
+    groups are now distinguished by content: a sort spec always renders
+    its direction (``col ASC NULLS FIRST``), a partition spec never
+    does.  Single-partition == one group only, or two groups whose
+    second is a sort spec.  (``WindowGroupLimit`` doesn't match the
+    ``Window [`` token; bracket groups are tracked at depth 0 so nested
+    brackets inside window expressions can't miscount.)"""
     if plan is None:
         plan = executed_plan(df)
     n = 0
@@ -109,15 +117,24 @@ def single_partition_windows(df: DataFrame, plan: str | None = None) -> int:
         m = re.search(r"(?:^|\s)Window\s+(\[.*)$", line)
         if not m:
             continue
-        depth, groups = 0, 0
+        depth = 0
+        groups: list[list[str]] = []
         for ch in m.group(1):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append([])
                 depth += 1
+                if depth == 1:
+                    continue
             elif ch == "]":
                 depth -= 1
-        if groups == 2:
+                if depth == 0:
+                    continue
+            if depth >= 1 and groups:
+                groups[-1].append(ch)
+        second = "".join(groups[1]) if len(groups) > 1 else ""
+        is_sort_spec = bool(re.search(r" (ASC|DESC) NULLS ", second))
+        if len(groups) <= 1 or (len(groups) == 2 and is_sort_spec):
             n += 1
     return n
 

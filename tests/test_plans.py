@@ -260,6 +260,21 @@ def test_single_partition_window_detector(spark):
         "q", F.ntile(4).over(w_glob)
     )
     assert single_partition_windows(both) == 1
+    # partitioned but UNORDERED window (count over partitionBy with no
+    # orderBy): also prints two bracket groups ([exprs], [partitionSpec])
+    # because empty specs are omitted — the first detector cut counted
+    # groups alone and false-positived on exactly this shape (caught on
+    # the r12 PLANS regeneration; 8 contracts use it, e.g. the span
+    # census' gram doc-frequency window)
+    w_part_unordered = Window.partitionBy("g")
+    assert single_partition_windows(
+        df.withColumn("c", F.count("*").over(w_part_unordered))
+    ) == 0
+    # global unordered window (neither spec): one bracket group, still
+    # single-partition
+    assert single_partition_windows(
+        df.withColumn("c", F.count("*").over(Window.partitionBy()))
+    ) == 1
 
 
 def test_distributed_rank_twins_have_no_single_partition_window(spark):
