@@ -478,10 +478,13 @@ def kcore(
                 "left_anti",
             )
             .select("a", "b")
-            # lazy: next round's degree probe materializes the surviving
-            # edge set inside its own job (r12; round wall attribution
-            # shifts one round later, totals unchanged)
-            .localCheckpoint(eager=False)
+            # EAGER, deliberately (r12 A/B): fusing this materialization
+            # into the next round's emptiness probe measured ~15-20%
+            # SLOWER than a dedicated job (median 1.07 vs 0.90 s at
+            # sf0.1's residue graph) — the probe job's DAG gets the two
+            # anti-join stages appended, and the deeper chain beats the
+            # saved job launch.  `bad` above stays lazy (clear win).
+            .localCheckpoint(eager=True)
         )
         round_secs.append(_time.perf_counter() - t0)
     else:
