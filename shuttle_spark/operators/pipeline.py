@@ -1166,6 +1166,69 @@ def _bpe_train_vocab(
     return merges
 
 
+def bpe_pair_merge_expr(syms, left: str, right: str):
+    """JVM expression twin of ``bpe_pair_merge``: the same greedy
+    left-to-right single-pair merge as a higher-order ``aggregate`` fold
+    (state = (acc, pend): ``pend`` holds an as-yet-unappended ``left``
+    candidate; the finisher flushes it).  Non-overlap is inherited from
+    the state machine: consuming ``right`` clears ``pend``, so the pair
+    cannot re-match its own output — exactly ``bpe_pair_merge``'s
+    ``i += 2``.  Bit-parity with the Python kernel is pinned by a
+    dedicated unit test over the adversarial shapes (overlap runs,
+    merged == left, empty/singleton) and by the train-level replay
+    contracts.  Exists so bpe_train's per-round rewrite runs inside the
+    JVM (guide §4.1: built-ins over Python) instead of an Arrow
+    mapInPandas stage per merge round."""
+    l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
+    empty = F.lit([]).cast("array<string>")
+
+    def step(s, x):
+        acc, pend = s.getField("acc"), s.getField("pend")
+        return (
+            F.when(
+                pend & (x == r),
+                F.struct(
+                    F.concat(acc, F.array(m)).alias("acc"),
+                    F.lit(False).alias("pend"),
+                ),
+            )
+            .when(
+                pend & (x == l),
+                F.struct(
+                    F.concat(acc, F.array(l)).alias("acc"),
+                    F.lit(True).alias("pend"),
+                ),
+            )
+            .when(
+                pend,
+                F.struct(
+                    F.concat(acc, F.array(l, x)).alias("acc"),
+                    F.lit(False).alias("pend"),
+                ),
+            )
+            .when(
+                x == l,
+                F.struct(acc.alias("acc"), F.lit(True).alias("pend")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc, F.array(x)).alias("acc"),
+                    F.lit(False).alias("pend"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(empty.alias("acc"), F.lit(False).alias("pend")),
+        step,
+        lambda s: F.when(
+            s.getField("pend"),
+            F.concat(s.getField("acc"), F.array(l)),
+        ).otherwise(s.getField("acc")),
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -1187,18 +1250,19 @@ def bpe_train(
     ``transform(sequence(...))`` bigram kernel, weighted by word count,
     counting overlapping positions like the reference algorithm), ONE
     collected argmax row (count DESC, then (left, right) ASC — a total
-    order, so ties are deterministic), and one vectorized Arrow merge
-    application GATED JVM-side on ``array_contains(left) AND
+    order, so ties are deterministic), and one all-JVM merge application
+    (``bpe_pair_merge_expr``, a higher-order aggregate fold
+    parity-pinned to the Python kernel — r12 replaced the per-round
+    Arrow mapInPandas stage) GATED on ``array_contains(left) AND
     array_contains(right)`` (the pii literal-gate discipline: words
-    that cannot contain the pair are passed through untouched without
-    entering Python).  Each round's vocab relation is
+    that cannot contain the pair skip the fold entirely).  Each round's vocab relation is
     ``localCheckpoint``-ed like the connected-components rounds so plan
     lineage stays O(1) across iterations.
 
     Vocab-scale bound (stated, not hidden): the distributed loop costs
     ONE strictly sequential Spark job per merge (the pair-count +
     argmax collect, whose scan stage also materializes the previous
-    round's lazily-checkpointed Arrow rewrite — r12: the checkpoint was
+    round's lazily-checkpointed rewrite — r12: the checkpoint was
     eager before, costing a second job per merge), so a production
     32k–100k-merge vocabulary is ~10⁵ sequential jobs —
     job-launch latency dominates long before data size does.  The
@@ -1224,9 +1288,6 @@ def bpe_train(
     the merge table bit-stable; the contract replays the identical loop
     (same ``bpe_pair_merge``) in pure Python over the collected word
     dict and requires exact table equality."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
@@ -1250,18 +1311,11 @@ def bpe_train(
         vocab = [[list(r["syms"]), int(r["n"])] for r in words.collect()]
         fast = _bpe_train_vocab(vocab, n_merges, min_pair_count)
         return spark.createDataFrame(fast, merge_schema)
-    n_parts = max(words.rdd.getNumPartitions(), 1)
     pair_expr = (
         "CASE WHEN size(syms) >= 2 THEN"
         " transform(sequence(1, size(syms) - 1),"
         "  i -> struct(syms[i-1] AS l, syms[i] AS r))"
         " ELSE array() END"
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("syms", T.ArrayType(T.StringType())),
-            T.StructField("n", T.LongType()),
-        ]
     )
     merges: list[tuple] = []
     for rank in range(n_merges):
@@ -1278,27 +1332,19 @@ def bpe_train(
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, left, right, left + right, cnt))
 
-        def apply_merge(batches, _l=left, _r=right):
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["syms"] = [
-                    bpe_pair_merge(list(s), _l, _r) for s in pdf["syms"]
-                ]
-                yield pdf
-
+        # r12: the rewrite is a pure JVM expression (bpe_pair_merge_expr,
+        # parity-pinned to the Python kernel) gated on the same
+        # containment test the Arrow stage used — one narrow projection
+        # per round, no Python boundary, no filter-union split (whose
+        # partition doubling the old coalesce existed to contain).
         hit = F.array_contains("syms", left) & F.array_contains(
             "syms", right
         )
-        rewritten = (
-            words.filter(hit)
-            .mapInPandas(apply_merge, out_schema)
-            .unionByName(words.filter(~hit))
-            # the two filter branches each inherit the parent's partition
-            # count, so the union would DOUBLE partitions every round
-            # (exponential task growth over the loop); coalesce pins the
-            # vocab relation at its collapse-time width — a narrow merge,
-            # no shuffle
-            .coalesce(n_parts)
+        rewritten = words.select(
+            F.when(hit, bpe_pair_merge_expr(F.col("syms"), left, right))
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+            "n",
         )
         # LAZY checkpoint (the pagerank idiom): the logical plan is
         # truncated immediately, and the rewrite materializes as the scan

@@ -2448,6 +2448,55 @@ def test_k_anonymity_census_semantics(spark):
         k_anonymity_census(df, [])
 
 
+def test_bpe_pair_merge_expr_parity(spark):
+    """The JVM fold kernel (bpe_pair_merge_expr) must be bit-equal to
+    the Python kernel (bpe_pair_merge) that the replay oracle uses —
+    including the adversarial shapes: overlap runs (aaa with (a,a)
+    merges the FIRST pair only), merged-symbol-equals-left, pair at the
+    array tail, empty and singleton words, and a trailing unconsumed
+    left candidate."""
+    import random
+
+    import pyspark.sql.functions as SF
+
+    from shuttle_spark.operators.pipeline import (
+        bpe_pair_merge,
+        bpe_pair_merge_expr,
+    )
+
+    cases = [
+        ([], "a", "b"), (["a"], "a", "b"), (["a", "b"], "a", "b"),
+        (["a", "a", "a"], "a", "a"), (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"), (["a", "a", "b"], "a", "b"),
+        (["b", "a"], "a", "b"), (["a", "b", "b"], "a", "b"),
+        (["x", "a", "b", "y", "a", "b"], "a", "b"),
+        (["aa", "a"], "a", "a"), (["a", "ab"], "a", "b"),
+        (["ab", "c", "ab", "c"], "ab", "c"),
+    ]
+    rng = random.Random(7)
+    for _ in range(60):
+        syms = [rng.choice(["a", "b", "c", "ab"]) for _ in range(rng.randint(0, 9))]
+        cases.append((syms, rng.choice(["a", "b", "ab"]), rng.choice(["a", "b", "c"])))
+    from collections import defaultdict
+
+    by_pair = defaultdict(list)
+    for i, (syms, left, right) in enumerate(cases):
+        by_pair[(left, right)].append(i)
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i long, syms array<string>",
+    )
+    for (left, right), idxs in by_pair.items():
+        got = {
+            row["i"]: row["out"]
+            for row in df.filter(SF.col("i").isin(idxs))
+            .select("i", bpe_pair_merge_expr(SF.col("syms"), left, right).alias("out"))
+            .collect()
+        }
+        for i in idxs:
+            assert got[i] == bpe_pair_merge(list(cases[i][0]), left, right), cases[i]
+
+
 def test_bpe_train_semantics(spark):
     """The classic Sennrich worked example: merge ranks follow exact
     weighted pair counts with the (count DESC, left, right) tie-break;
