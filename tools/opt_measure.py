@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--json", default=None)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--plans-dir", default="r13",
+                    help="subdirectory of plans/ for the explain dumps")
     args = ap.parse_args()
 
     unknown = set(args.names) - set(REGISTRY)
@@ -41,7 +43,7 @@ def main() -> None:
         raise SystemExit(f"unknown contract(s): {sorted(unknown)}")
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r12")
+    plans_dir = os.path.join(here, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_session("opt-measure", data_dir=args.sf)
