@@ -57,6 +57,22 @@ def main() -> None:
 
     # Warm-up: JVM, parquet footer caches, Arrow lanes.
     REGISTRY["agg_tpch_q1"].build(spark, sf_dir).collect()
+    # Streaming-machinery warm-up (round 13, declared in
+    # OPTIMIZATION_r13.md): the first streaming replay of a session pays a
+    # one-time micro-batch-engine + state-store + Python-state-runner
+    # class-load/JIT cost that has nothing to do with the query it lands
+    # on.  The first streaming contract sits at registry position 6, so
+    # that cost (measured 6-15 s, amplified when the session starts in a
+    # slow host window) landed inside stream_ewma_packed_anomalies' timed
+    # runs — three independent 32-core suite runs read it at 10.6-11.0 s
+    # vs 2.7-3.2 s isolated (tools/stream_scaling_probe.py), which is also
+    # what produced the r12 scaling block's spurious <1 low/high-core
+    # ratios on streaming rows.  One throwaway stateful replay here moves
+    # the machinery cost into the (unmeasured) warm-up, exactly like the
+    # agg_tpch_q1 batch warm-up above; every streaming contract still
+    # re-runs its full replay from the parquet inputs on every timed run
+    # (fresh checkpoint each time — nothing is cached across runs).
+    REGISTRY["stream_keep_latest_packed"].build(spark, sf_dir).collect()
 
     # Measured per-query floor: the wall cost of a trivial job (plan +
     # schedule + collect of one row) on this warm session.  Every contract
