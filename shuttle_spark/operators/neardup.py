@@ -395,21 +395,18 @@ def minhash_candidates(
     # exact inverted-index path, where a gramless doc posts nothing and
     # never joins; exact_dedup owns identical-empty-doc collapsing.
     grams = gram_sets(df, id_col, text_col, n).filter(F.size("grams") > 0)
-    carry = ("grams",) if carry_grams else ()
     sig = grams.select(
         "id",
-        *carry,
         minhash_signature(F.col("grams"), n_perm).alias("sig"),
     )
     banded = sig.select(
         "id",
-        *carry,
         F.posexplode(lsh_band_keys(F.col("sig"), bands, r)).alias("band_idx", "band_key"),
     )
     # merge hint: see near_dup_pairs_exact — a banded self-join side
-    # (candidates × carried gram arrays) must never be a static broadcast.
+    # must never be a static broadcast.
     a, b = banded.alias("a").hint("merge"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -419,11 +416,28 @@ def minhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
-            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not carry_grams:
+        return pairs
+    # Decide on narrow rows, attach payloads once (round 13, guide §8):
+    # the pre-r13 form carried each doc's full shingle array through the
+    # bands-way posexplode, the band sort-merge self-join AND the pair
+    # dropDuplicates — every gram set crossed those exchanges `bands`
+    # times per side.  The band collision and the id ordering depend only
+    # on (id, band_idx, band_key), so the join/dedup above runs on ~40-byte
+    # rows and the gram sets join back HERE, each moving exactly once per
+    # side from the session-staged (persisted) gram relation.  Same rows,
+    # same schema: pairs are unique by (id_a, id_b) before the attach and
+    # gram sets are unique per id.
+    return pairs.join(
+        grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
+        "id_a",
+    ).join(
+        grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
+        "id_b",
+    ).select("id_a", "id_b", "grams_a", "grams_b")
 
 
 def minhash_near_dup_pairs(
