@@ -451,9 +451,13 @@ def kcore(
         bad = (
             deg.filter(F.col("deg") < k)
             .select("node")
-            # lazy: the emptiness probe below is the materializing action
-            # (cached-on-compute blocks serve both anti-joins), one job
-            # per round instead of two (r12)
+            # lazy: the emptiness probe below is what typically
+            # materializes the checkpoint (cached-on-compute blocks then
+            # serve both anti-joins) — though CollectLimit's incremental
+            # partition scan may short-circuit, leaving the remaining
+            # partitions to a second internal job; either way the degree
+            # aggregate itself runs once per round instead of three times
+            # (r12, comment per r12 ADVICE)
             .localCheckpoint(eager=False)
         )
         # one bounded driver scalar per round (the CC convergence idiom)
@@ -524,10 +528,17 @@ def label_propagation(
     symmetric edge list (the label relation is node-sized and SHRINKS
     relative to edges — SHUFFLE_HASH-hinted so the edge relation never
     sorts, the kcore r8 lesson) + one (node, label) count + one max_by
-    argmax, all map-side combined; the label vector is eagerly
-    localCheckpoint-ed so lineage stays O(1) across rounds.  At 100 TB:
-    rounds x (one edge-sized exchange + one node-sized exchange), no
-    driver data beyond a per-round count.
+    argmax, all map-side combined; the label vector is LAZILY
+    localCheckpoint-ed (r12) so lineage stays O(1) across rounds while
+    the whole fixed-round recurrence executes inside the caller's one
+    action.  At 100 TB: rounds x (one edge-sized exchange + one
+    node-sized exchange), no driver data beyond a per-round count.
+
+    ``stats['round_secs']`` times PLAN CONSTRUCTION only (sub-ms per
+    round under lazy checkpointing — execution happens in the caller's
+    action); ``stats['rounds']`` is the fixed round count.  kcore's
+    stats, whose rounds run an eager probe, are the per-round wall
+    numbers.
 
     Returns (node, label); nodes with no edges don't appear (no
     community membership), matching connected_components' convention."""

@@ -787,8 +787,14 @@ def duplicated_span_census(
     both census sums ride ONE final doc-keyed aggregate.  At 100 TB
     every exchange carries (doc, gram)-collapsed or gram-keyed rows;
     hot grams (the duplicated ones) are bounded per doc by the
-    collapse, and a gram's window partition is its doc list — the same
-    rows the old join moved."""
+    collapse.  Execution-model caveat (r12 ADVICE): a gram's window
+    partition is its doc list — the same ROWS the old join moved, but
+    WindowExec BUFFERS each gram's whole doc list in one task (spilling
+    via UnsafeExternalSorter beyond memory) where the old streaming
+    hash aggregate + join did not; a stopword-like gram present in most
+    docs becomes a single buffered-and-spilled partition.  If such
+    grams dominate at scale, pre-filter them (a min_docs-style stop
+    list) or revert that gram's path to the aggregate+join shape."""
     toks = docs.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
     )

@@ -542,3 +542,44 @@ def test_label_propagation_matches_synchronous_replay(spark, edges, rounds):
             for n, nbrs in adj.items()
         }
     assert got == set(labels.items())
+
+
+def test_union_weight_census_equals_exceptall_counts(spark):
+    """Round 13: ivf_upsert_equal's verification was rewritten from a
+    tagged exceptAll union (which evaluated each side's plan up to 3x) to
+    a union-weight census that evaluates each side once.  This pins the
+    arithmetic equivalence on adversarial multisets: sum(|cm - cr|) over
+    (vec_id, cell) keys must equal |m exceptAll r| + |r exceptAll m|, and
+    sum(cm) must equal |m| — including duplicate rows, count-only
+    differences, disjoint sets and empty sides."""
+    cases = [
+        ([(1, 0), (2, 1), (2, 1), (3, 2)], [(1, 0), (2, 1), (2, 1), (3, 2)]),
+        ([(1, 0), (2, 1), (2, 1)], [(1, 0), (2, 1)]),  # count diff only
+        ([(1, 0)], [(2, 5)]),  # disjoint
+        ([], [(1, 0)]),  # left empty
+        ([(1, 0), (1, 0)], []),  # right empty
+        ([(1, 0), (2, 1), (3, 4)], [(1, 0), (2, 2), (3, 4)]),  # cell moved
+    ]
+    for m_rows, r_rows in cases:
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows or [(None, None)], "vec_id long, cell int"
+        ).filter(F.col("vec_id").isNotNull())
+        m, r = mk(m_rows), mk(r_rows)
+        row = (
+            m.withColumn("w", F.lit(1))
+            .unionByName(r.withColumn("w", F.lit(-1)))
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum("w").alias("d"),
+                F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("cm"),
+            )
+            .agg(
+                F.sum(F.abs(F.col("d"))).alias("mismatch"),
+                F.sum("cm").alias("n_m"),
+            )
+            .collect()[0]
+        )
+        mismatch, n_m = row["mismatch"] or 0, row["n_m"] or 0
+        assert mismatch == m.exceptAll(r).count() + r.exceptAll(m).count(), (
+            m_rows, r_rows)
+        assert n_m == m.count(), (m_rows, r_rows)
