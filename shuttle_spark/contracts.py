@@ -4142,11 +4142,14 @@ def q_stream_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     restricted to quiesced users.  This is the reference's stale-attempt
     filter (PartitionPipeReader.java:150-170) as a live streaming op."""
     from shuttle_spark.streaming import events_stream, run_available_now, stream_keep_latest
+    from shuttle_spark.streaming.core import replay_partitions
 
     out = run_available_now(
         stream_keep_latest(events_stream(spark, sf)),
         f"skl_{abs(hash(sf)) % 99999}",
-        shuffle_partitions=4,
+        # per-key Python-state replay over ~1500 user keys: the runner
+        # constant parallelizes with cores (r13, see replay_partitions)
+        shuffle_partitions=replay_partitions(spark),
     )
     return out.select("user_id", "ts_us", "event_id", "event_type")
 
@@ -6224,6 +6227,7 @@ def q_stream_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
         run_available_now,
         stream_ewma_deviants,
     )
+    from shuttle_spark.streaming.core import replay_partitions
 
     ev = load_table(spark, sf, "events")
     # epoch-µs arithmetic (no Python datetime/timezone round-trip): the
@@ -6235,7 +6239,9 @@ def q_stream_ewma_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     out = run_available_now(
         stream_ewma_deviants(events_stream(spark, sf)),
         f"sewma_{abs(hash(sf)) % 99999}",
-        shuffle_partitions=4,
+        # per-key Python-state replay over ~1500 user keys (r13, see
+        # replay_partitions; the packed twin stays at 4)
+        shuffle_partitions=replay_partitions(spark),
     )
     return out.filter(F.col("ts_us") <= cutoff_us).select(
         "event_id", "user_id", "cents", "wsum", "denom"
@@ -6319,7 +6325,7 @@ def q_stream_locf_census(spark: SparkSession, sf: str) -> DataFrame:
     watermark vs µs-grain event time); same deterministic NULL injection
     as locf_impute_cents (the shipped table has no NULLs)."""
     from shuttle_spark.streaming import events_stream, run_available_now
-    from shuttle_spark.streaming.core import stream_locf
+    from shuttle_spark.streaming.core import replay_partitions, stream_locf
 
     ev = load_table(spark, sf, "events")
     cutoff_us = (
@@ -6334,7 +6340,9 @@ def q_stream_locf_census(spark: SparkSession, sf: str) -> DataFrame:
     out = run_available_now(
         stream_locf(src),
         f"slocf_{abs(hash(sf)) % 99999}",
-        shuffle_partitions=4,
+        # per-key Python-state replay over ~1500 user keys (r13, see
+        # replay_partitions; the packed twin stays at 4)
+        shuffle_partitions=replay_partitions(spark),
     )
     return (
         out.filter(F.col("ts_us") <= cutoff_us)

@@ -819,3 +819,22 @@ def test_stream_cusum_packed_parity(spark):
         assert plain.exceptAll(packed).count() == 0, name
         assert packed.exceptAll(plain).count() == 0, name
         assert packed.filter(F.col("is_alert")).count() > 0, name
+
+
+def test_replay_partitions_tracks_local_cores(spark):
+    """Round 13: the per-key replay partition dial follows the local core
+    count, clamped to [4, 16] — the measured sweet spot for the
+    applyInPandasWithState per-group runner at bench SF (see
+    streaming.core.replay_partitions).  The live session must yield a
+    value in bounds, and the parsing must handle explicit local[N]
+    masters via the real SparkContext."""
+    from shuttle_spark.streaming.core import replay_partitions
+
+    p = replay_partitions(spark)
+    assert 4 <= p <= 16
+    master = spark.sparkContext.master
+    if master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+        assert p == max(4, min(16, cores))
+    # bounds are parameters, not constants
+    assert replay_partitions(spark, lo=2, hi=8) <= 8
